@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2a A1–A5 + §2b approx cardinality).
+  *
+  * All group-bys compile to Spark `HashAggregate` with map-side partial
+  * aggregation — at 100 TB the shuffle carries one row per (partition, key),
+  * not per input row.
+  */
+object AggOps {
+
+  /** A1 — group-by hash aggregate (`transform_stocks_job.py:177-180`):
+    * per-sector avg(close) + sum(volume), generalized to any key/agg list.
+    */
+  def groupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** A4 — full-row dedup (`transform_news_job.py:121`). */
+  def distinctRows(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** A5 — keyed dedup, arbitrary survivor (`transform_news_job.py:123-124`).
+    * Matches the reference's nondeterministic first-row-per-key semantics.
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
+
+  /** A5 (deterministic variant) — first row per key under an explicit total
+    * order, via `row_number` (SURVEY.md §2a A5 note). The `orderBy` must be a
+    * total order (include a unique tie-break column) for determinism.
+    *
+    * Scale note: one shuffle on `keys` + in-partition sort; equivalent cost
+    * to `dropDuplicates(keys)` but reproducible, so oracle-comparable.
+    */
+  def dedupByKeyOrdered(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** §2b — distinct cardinality at scale: HLL++ sketch, no exact-distinct
+    * shuffle of every value. `rsd` = relative standard deviation.
+    */
+  def approxDistinct(df: DataFrame, keys: Seq[String], target: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(target), rsd).alias(s"approx_${target}_count"))
+}

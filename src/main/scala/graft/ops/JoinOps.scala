@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2a J1–J2).
+  *
+  * Scale posture: dimension sides are explicitly `broadcast()` — at 100 TB
+  * the fact side must never shuffle for a kilobyte-scale dim table, and an
+  * explicit hint keeps the plan stable even if stats are missing or the dim
+  * grows past `spark.sql.autoBroadcastJoinThreshold`'s estimate.
+  */
+object JoinOps {
+
+  /** J1 — left equi-join of a fact table with a small dimension
+    * (`extract_stocks_job.py:144`: 10-row (sector,ticker,company) dim joined
+    * onto every price row). Dim side broadcast → BroadcastHashJoin, zero
+    * shuffle of the fact table.
+    */
+  def enrichWithDim(fact: DataFrame, dim: DataFrame, usingCols: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), usingCols, "left")
+
+  /** J2 — attach per-group aggregates back onto detail rows
+    * (`transform_stocks_job.py:177-181`: groupBy(setor).agg(...) left-joined
+    * back on setor).
+    *
+    * Implemented as window aggregates over `Window.partitionBy(keys)` —
+    * identical semantics to the reference's agg-then-self-join but ONE
+    * shuffle instead of two (no separate aggregate + join exchange), which
+    * is the difference between 1 and 2 full-data shuffles at 100 TB.
+    */
+  def withGroupAggregates(df: DataFrame, keys: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    aggs.foldLeft(df) { case (d, (name, agg)) => d.withColumn(name, agg.over(w)) }
+  }
+
+  /** J2 (literal form) — the reference's exact shape: aggregate then
+    * left-join back on the keys. Kept for fidelity tests; prefer
+    * `withGroupAggregates` in pipelines.
+    */
+  def aggJoinBack(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val agged = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.join(broadcast(agged), keys, "left")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+
+/** P11 — dynamic schema normalization (SURVEY.md §2a), re-expressing the
+  * reference's `normalize_column_names` (`transform_news_job.py:42-84`):
+  *
+  *  1. lowercase + strip every incoming column name;
+  *  2. fuzzy-match each *expected* column against the incoming ones, treating
+  *     underscores as optional (`Published_Time` ≡ `publishedtime`);
+  *  3. rename matches to the canonical expected name;
+  *  4. add missing expected columns as typed NULL literals.
+  *
+  * Resolution is deterministic: expected names are processed in declaration
+  * order and each incoming column can be claimed once (first match wins, in
+  * the incoming schema's column order) — same arbitration the reference's
+  * sequential dict loop produces.
+  */
+object SchemaOps {
+
+  /** Normalize `df` to exactly `expected` (name → type), in that order. */
+  def normalizeColumns(df: DataFrame, expected: Seq[(String, DataType)]): DataFrame = {
+    def canon(s: String): String = s.toLowerCase.trim.replace("_", "")
+
+    val incoming = df.columns.toSeq
+    // withColumnsRenamed would collide if two raw names canon-match the same
+    // expected name; claiming each raw column at most once avoids that.
+    val claimed = scala.collection.mutable.Set.empty[String]
+    val resolved: Seq[(String, Option[String])] = expected.map { case (name, _) =>
+      val hit = incoming.find(c => !claimed.contains(c) && canon(c) == canon(name))
+      hit.foreach(claimed += _)
+      name -> hit
+    }
+
+    val renames = resolved.collect { case (want, Some(have)) if have != want => have -> want }.toMap
+    val renamed = if (renames.isEmpty) df else df.withColumnsRenamed(renames)
+
+    val columns = expected.map { case (name, dt) =>
+      if (renamed.columns.contains(name)) col(name).cast(dt).alias(name)
+      else lit(null).cast(dt).alias(name)
+    }
+    renamed.select(columns: _*)
+  }
+
+  /** Convenience overload for the reference's all-string news schema
+    * (`extract_news_job.py:275-290`).
+    */
+  def normalizeToStringSchema(df: DataFrame, expected: Seq[String]): DataFrame =
+    normalizeColumns(df, expected.map(_ -> StringType))
+}

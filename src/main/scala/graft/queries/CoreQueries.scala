@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops._
+
+/** One registry entry: a Spark query over the testdata dir plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL the driver hash-compares
+  * against. Column names/aliases MUST match between the two — the driver
+  * sorts columns by name before hashing. Every query ends in a deterministic
+  * total ORDER BY (both sides) so row-order comparison is stable.
+  */
+final case class GQ(name: String, oracle: Option[String], run: (SparkSession, String) => DataFrame)
+
+/** Queries covering the reference's own operator inventory (SURVEY.md §2a).
+  *
+  * Determinism rules applied throughout (SURVEY.md §7 "hard parts"):
+  *  - any float produced by re-associated arithmetic (sum/avg across rows) is
+  *    `round`ed identically on both sides; single-expression row arithmetic
+  *    (`a * (1 - b)`) is bit-exact across engines and left unrounded;
+  *  - timestamps are projected as DATE or formatted strings (events.ts is
+  *    nanosecond-precision parquet; Spark truncates to micros on read);
+  *  - every ORDER BY is a total order on non-null keys (Spark defaults to
+  *    NULLS FIRST, DuckDB to NULLS LAST — avoided entirely).
+  */
+object CoreQueries {
+
+  def all: Seq[GQ] = Seq(
+
+    // ----- S1: in-memory localized dimension source --------------------------
+    // Reference: extract_stocks_job.py:64-74 (_create_stock_mapping).
+    GQ("s1_inline_dim",
+      Some("""SELECT * FROM (VALUES
+             |  ('Banks','ITUB4.SA','Itau Unibanco'),
+             |  ('Banks','BBDC4.SA','Bradesco'),
+             |  ('Banks','BBAS3.SA','Banco do Brasil'),
+             |  ('Banks','SANB11.SA','Santander Brasil'),
+             |  ('Energy','PETR4.SA','Petrobras'),
+             |  ('Energy','ELET3.SA','Eletrobras'),
+             |  ('Sanitation','SBSP3.SA','Sabesp'),
+             |  ('Insurance','BBSE3.SA','BB Seguridade'),
+             |  ('Telecommunications','VIVT3.SA','Vivo'),
+             |  ('Telecommunications','TIMS3.SA','TIM Brasil')
+             |) AS t(sector, ticker, company) ORDER BY ticker""".stripMargin),
+      (spark, _) => {
+        import spark.implicits._
+        Seq(
+          ("Banks", "ITUB4.SA", "Itau Unibanco"),
+          ("Banks", "BBDC4.SA", "Bradesco"),
+          ("Banks", "BBAS3.SA", "Banco do Brasil"),
+          ("Banks", "SANB11.SA", "Santander Brasil"),
+          ("Energy", "PETR4.SA", "Petrobras"),
+          ("Energy", "ELET3.SA", "Eletrobras"),
+          ("Sanitation", "SBSP3.SA", "Sabesp"),
+          ("Insurance", "BBSE3.SA", "BB Seguridade"),
+          ("Telecommunications", "VIVT3.SA", "Vivo"),
+          ("Telecommunications", "TIMS3.SA", "TIM Brasil"),
+        ).toDF("sector", "ticker", "company").orderBy("ticker")
+      }),
+
+    // ----- S4: partition-pruned parquet scan ---------------------------------
+    // Reference reads one dataproc=<date>/ dir (transform_stocks_job.py:115);
+    // here the date predicate reaches the scan as a pushed filter instead.
+    GQ("s4_pruned_scan",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+             |  AND l_shipdate <  TIMESTAMP '1995-04-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" >= "1995-03-01" && $"l_shipdate" < "1995-04-01")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            to_date($"l_shipdate").as("ship_date"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- S6: unpivot wide→long ---------------------------------------------
+    // Reference: pandas stack() (extract_stocks_job.py:99-102); Spark-native
+    // df.unpivot keeps it distributed.
+    GQ("s6_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100
+             |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.lineitem(spark, dir)
+          .filter($"l_orderkey" < 100)
+          .unpivot(
+            ids = Array($"l_orderkey", $"l_linenumber"),
+            values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      }),
+
+    // ----- P1: NaN→NULL conditional cast projection --------------------------
+    GQ("p1_nan_null_cast",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+             |       THEN l_quantity END AS l_quantity,
+             |  CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             |       THEN l_extendedprice END AS l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        CleanOps.nanSafeCast(li, Seq(
+          "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
+          "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- P2: bulk rename ---------------------------------------------------
+    GQ("p2_rename_bulk",
+      Some("""SELECT l_orderkey AS chave_pedido, l_linenumber AS numero_linha,
+             |       l_quantity AS quantidade, l_extendedprice AS preco
+             |FROM lineitem ORDER BY chave_pedido, numero_linha""".stripMargin),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        CleanOps.renameAll(li, Map(
+          "l_orderkey" -> "chave_pedido", "l_linenumber" -> "numero_linha",
+          "l_quantity" -> "quantidade", "l_extendedprice" -> "preco"))
+          .orderBy("chave_pedido", "numero_linha")
+      }),
+
+    // ----- P3: literal partition-tag column ----------------------------------
+    GQ("p3_lit_column",
+      Some("""SELECT r_regionkey, r_name, '20260812' AS dataproc
+             |FROM region ORDER BY r_regionkey""".stripMargin),
+      (spark, dir) =>
+        CleanOps.withProcessDate(Tables.region(spark, dir), "20260812")
+          .orderBy("r_regionkey")),
+
+    // ----- P4+P5: cast cleanup + conjunctive validity filter -----------------
+    GQ("p4_p5_cast_filter",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |       CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem
+             |WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_shipdate IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val li = Tables.lineitem(spark, dir)
+          .withColumn("ship_date", to_date($"l_shipdate"))
+        CleanOps.filterValid(li, Seq(
+          $"l_quantity" > 0, $"l_extendedprice" > 0, $"ship_date".isNotNull))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "ship_date")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- P6: same-day equality filter --------------------------------------
+    // News kept only when published_date == extracted_date; analog: lineitems
+    // shipped the same day the order was placed.
+    GQ("p6_same_day_filter",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_shipdate AS DATE) AS ship_date
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE CAST(l.l_shipdate AS DATE) IS NOT NULL
+             |  AND CAST(o.o_orderdate AS DATE) IS NOT NULL
+             |  AND CAST(l.l_shipdate AS DATE) = CAST(o.o_orderdate AS DATE)
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+        val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        CleanOps.sameDayFilter(joined, to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("ship_date"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- P8: regex truncation of ISO timestamp to date part ----------------
+    GQ("p8_regex_truncate",
+      Some("""SELECT regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'T.*', '') AS day,
+             |       count(*) AS n
+             |FROM events GROUP BY day ORDER BY day""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = Tables.events(spark, dir)
+          .withColumn("iso", date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        CleanOps.truncateIsoToDate(ev, "iso", "day")
+          .groupBy("day").agg(count(lit(1)).as("n"))
+          .orderBy("day")
+      }),
+
+    // ----- P10: null/NaN-drop on subset --------------------------------------
+    GQ("p10_na_drop",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND value IS NOT NULL AND NOT isnan(value)
+             |ORDER BY event_id""".stripMargin),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select("event_id", "user_id", "event_type", "value")
+        CleanOps.dropNullsIn(ev, Seq("user_id", "event_type", "value", "not_a_column"))
+          .orderBy("event_id")
+      }),
+
+    // ----- P11: dynamic schema normalization ---------------------------------
+    // Misname the incoming columns, drop one, and let SchemaOps recover the
+    // canonical schema (transform_news_job.py:42-84 semantics).
+    GQ("p11_schema_normalize",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             |       CAST(NULL AS DOUBLE) AS l_tax
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        val messy = Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .withColumnsRenamed(Map(
+            "l_orderkey" -> "L_Order_Key", "l_linenumber" -> "LLINENUMBER",
+            "l_quantity" -> "l_quantity ", "l_returnflag" -> " L_RETURN_FLAG"))
+        SchemaOps.normalizeColumns(messy, Seq(
+          "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
+          "l_quantity" -> DoubleType, "l_returnflag" -> StringType,
+          "l_tax" -> DoubleType))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- P12: arithmetic projection ----------------------------------------
+    // Single-expression row arithmetic — bit-identical across engines.
+    GQ("p12_arithmetic",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS revenue
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ----- P13: string sanitize ----------------------------------------------
+    GQ("p13_sanitize",
+      Some("""SELECT doc_id, md5(trim(text)) AS fp FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        CleanOps.sanitize(Tables.documents(spark, dir), "text")
+          .select($"doc_id", md5($"text".cast(BinaryType)).as("fp"))
+          .orderBy("doc_id")
+      }),
+
+    // ----- J1: broadcast dim enrichment join ---------------------------------
+    GQ("j1_dim_enrich_join",
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+             |FROM customer c
+             |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+             |ORDER BY c.c_custkey""".stripMargin),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+          .withColumnRenamed("c_nationkey", "n_nationkey")
+        val n = Tables.nation(spark, dir)
+        val r = Tables.region(spark, dir)
+          .withColumnRenamed("r_regionkey", "n_regionkey")
+        JoinOps.enrichWithDim(JoinOps.enrichWithDim(c, n, Seq("n_nationkey")), r, Seq("n_regionkey"))
+          .select("c_custkey", "c_name", "n_name", "r_name")
+          .orderBy("c_custkey")
+      }),
+
+    // ----- J2 (+A1): per-group aggregates attached to detail rows ------------
+    // Window form: one shuffle instead of the reference's agg + join-back two.
+    GQ("j2_agg_join_back",
+      Some("""SELECT s_suppkey, s_nationkey,
+             |       round(avg(s_acctbal) OVER (PARTITION BY s_nationkey), 6) AS nation_avg_bal,
+             |       count(*) OVER (PARTITION BY s_nationkey) AS nation_cnt
+             |FROM supplier ORDER BY s_suppkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        JoinOps.withGroupAggregates(Tables.supplier(spark, dir), Seq("s_nationkey"), Seq(
+          "nation_avg_bal" -> avg($"s_acctbal"),
+          "nation_cnt" -> count(lit(1))))
+          .select($"s_suppkey", $"s_nationkey",
+            round($"nation_avg_bal", 6).as("nation_avg_bal"), $"nation_cnt")
+          .orderBy("s_suppkey")
+      }),
+
+    // ----- A1: group-by hash aggregate (TPC-H Q1 shape) ----------------------
+    GQ("a1_groupby_agg",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       round(avg(l_quantity), 6) AS avg_qty,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        AggOps.groupAgg(Tables.lineitem(spark, dir), Seq("l_returnflag", "l_linestatus"), Seq(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          round(avg($"l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("n")))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
+    // ----- A2/A3: global count -----------------------------------------------
+    GQ("a2_count_star",
+      Some("SELECT count(*) AS n_rows FROM lineitem"),
+      (spark, dir) => Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))),
+
+    // ----- A4: full-row distinct ---------------------------------------------
+    GQ("a4_distinct",
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (spark, dir) =>
+        AggOps.distinctRows(Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // ----- A5: keyed dedup, deterministic survivor ---------------------------
+    GQ("a5_keyed_dedup",
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |                                   ORDER BY o_orderdate, o_orderkey) AS rn
+             |      FROM orders) WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
+          Seq("o_custkey"), Seq($"o_orderdate".asc, $"o_orderkey".asc))
+          .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("order_date"))
+          .orderBy("o_custkey")
+      }),
+
+    // ----- W1: lag-window delta per key --------------------------------------
+    GQ("w1_lag_delta",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+             |                                              ORDER BY o_orderdate, o_orderkey) AS delta
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        WindowOps.lagDelta(Tables.orders(spark, dir),
+          Seq("o_custkey"), Seq($"o_orderdate".asc, $"o_orderkey".asc),
+          "o_totalprice", "delta")
+          .select("o_custkey", "o_orderkey", "delta")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // ----- O1: top-k (ORDER BY ... DESC LIMIT k) -----------------------------
+    // Catalyst plans TakeOrderedAndProject: per-task k-row heaps, no global sort.
+    GQ("o1_topk",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        TopKOps.topK(Tables.orders(spark, dir),
+          Seq($"o_totalprice".desc, $"o_orderkey".asc), 10)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      }),
+
+    // ----- §2b ranking: top-N per group --------------------------------------
+    GQ("rank_top_per_group",
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |         row_number() OVER (PARTITION BY p_brand
+             |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) WHERE rn <= 3
+             |ORDER BY p_brand, rn""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        WindowOps.topNPerGroup(Tables.part(spark, dir),
+          Seq("p_brand"), Seq($"p_retailprice".desc, $"p_partkey".asc), 3)
+          .select("p_brand", "p_partkey", "p_retailprice", "rn")
+          .orderBy("p_brand", "rn")
+      }),
+
+    // ----- §2b set ops -------------------------------------------------------
+    // Customers with finished orders but no open ones — incremental-load
+    // anti-set shape (non-empty at every SF).
+    GQ("set_except",
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val o = Tables.orders(spark, dir)
+        val finished = o.filter($"o_orderstatus" === "F").select("o_custkey")
+        val open = o.filter($"o_orderstatus" === "O").select("o_custkey")
+        SetOps.minus(finished, open).orderBy("o_custkey")
+      }),
+
+    GQ("set_intersect",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir).select("c_nationkey").withColumnRenamed("c_nationkey", "nationkey")
+        val s = Tables.supplier(spark, dir).select("s_nationkey").withColumnRenamed("s_nationkey", "nationkey")
+        SetOps.intersection(c, s).orderBy("nationkey")
+      }),
+
+    GQ("set_union",
+      Some("""SELECT r_name AS name, 'region' AS kind FROM region
+             |UNION ALL SELECT n_name, 'nation' FROM nation
+             |ORDER BY kind, name""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val r = Tables.region(spark, dir).select($"r_name".as("name"), lit("region").as("kind"))
+        val n = Tables.nation(spark, dir).select($"n_name".as("name"), lit("nation").as("kind"))
+        SetOps.unionAll(Seq(r, n)).orderBy("kind", "name")
+      }),
+
+    // ----- §2b approx distinct (HLL++) — implementation-specific sketch, no
+    // SQL oracle; driver records rows-only check, exactness covered in specs.
+    GQ("hll_approx_distinct", None,
+      (spark, dir) =>
+        AggOps.approxDistinct(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey")
+          .orderBy("l_returnflag")),
+  )
+}
