@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, GQ}
+import graft.queries.{CoreQueries, ExtQueries, GQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{CoreQueries, GQ}
   */
 object SparkEntry {
 
-  def registry: Seq[GQ] = CoreQueries.all
+  def registry: Seq[GQ] = CoreQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline shape (SURVEY.md §3): scan → filter/cast → agg-join-back

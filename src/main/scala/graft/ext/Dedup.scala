@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2b): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale ladder (100 TB posture):
+  *  - `exact` — one hash-shuffle on a 16-byte digest, the cheapest possible.
+  *  - `ngramJaccardPairs` — exact all-pairs via shingle-inverted-index join;
+  *    O(sum df²) in shingle document-frequency, only for verification scale.
+  *  - `minhashLshPairs` — the scale path: fixed-width sketch per doc (one
+  *    aggregate pass), banded bucket join emits only candidate pairs, exact
+  *    verify on the candidates. Sub-quadratic; the inverted-index join never
+  *    materializes.
+  *  - `simhash64`/`simhashPairs` — 64-bit sketch, hamming-ball search via
+  *    pigeonhole banding; constant state per doc.
+  *  - `embeddingCosinePairs` — brute-force pair cosine for ground truth;
+  *    LSH/IVF variants for ANN live in [[SimSearch]].
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min(id) among identical texts. Grouping key
+    * is the md5 digest, not the text itself — the shuffle carries 16 bytes
+    * per row instead of full documents (the difference between shuffling
+    * 100 TB and shuffling 1.6 TB).
+    */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", md5(col(textCol).cast("binary")))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  /** Distinct (id, shingle) rows — the shared inverted-index input for
+    * Jaccard / MinHash below.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.distinctShingles(col(textCol), n)).as("s"))
+
+  /** Exact n-gram Jaccard similarity join: all pairs (id_a < id_b) with
+    * |A∩B| / |A∪B| ≥ `threshold` over distinct word `n`-gram shingle sets.
+    *
+    * Plan: inverted index (shingle → docs) self-joined on shingle, pair
+    * co-occurrence counts via hash aggregate, set sizes joined back. Every
+    * step is a shuffle on a key (shingle, then pair) — no cross join. Hub
+    * shingles with document frequency ≥ `maxDocFreq` can be dropped
+    * (standard stop-shingle cap) to bound the df² blowup at scale; None
+    * keeps exact semantics for oracle comparison.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh0 = shingleRows(df, idCol, textCol, n)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap).select("s")
+        sh0.join(broadcast(hubs), Seq("s"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.withColumnsRenamed(Map("id" -> "id_a"))
+    val b = sh.withColumnsRenamed(Map("id" -> "id_b"))
+    val common = a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: array of `numHashes` minima of seeded
+    * xxhash64 over the doc's distinct shingles. One aggregate pass — the
+    * 100 TB path never materializes pairwise anything until LSH banding
+    * has cut candidates to near-linear.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        numHashes: Int): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), bucket-join on (band index, band hash) to get
+    * candidates, then verify candidates with EXACT Jaccard over shingle
+    * sets (attached as arrays — per-pair intersection, no re-join through
+    * the inverted index).
+    *
+    * Output matches `ngramJaccardPairs` up to LSH recall; with 128/32
+    * hashes/bands the miss probability at j ≥ 0.4 is ≈ (1-0.4⁴)³² ≈ 0.57 —
+    * tune bands to the threshold (32 bands × r=4: s-curve midpoint
+    * ≈ (1/32)^(1/4) ≈ 0.42).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col("id"), posexplode(
+      array((0 until bands).map(bnd =>
+        xxhash64(slice(col("sig"), bnd * rows + 1, rows).cast("string"))): _*)
+    ).as(Seq("band", "bh")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+
+    val sets = df.select(col(idCol).as("id"),
+      TextOps.distinctShingles(col(textCol), n).as("set"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
+      .withColumn("jaccard", size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint per document: per-token xxhash64, each hash
+    * votes ±1 on each of 64 bit positions, fingerprint bit j = sign of the
+    * vote sum. One explode + one 64-column aggregate — constant state per
+    * doc, linear scan at scale.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val agged = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agged.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
+    * pigeonhole banding on four 16-bit chunks (any pair within hamming 3
+    * shares at least one intact chunk), bucket join, exact `bit_count`
+    * verify on candidates.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming <= 3")
+    val fps = simhash64(df, idCol, textCol)
+    val chunks = fps.select(col("id"), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
+    ).as(Seq("chunk", "ck")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b")).distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.
+    * Brute-force O(n²) pair join — ground truth / verification scale only;
+    * the ANN path for 100 TB is [[SimSearch.lshTopK]]. Similarity is
+    * rounded to 6 decimals (cross-engine float reproducibility).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(SimSearch.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

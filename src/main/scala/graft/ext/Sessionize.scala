@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization and event-time windows over event streams
+  * (SURVEY.md §2b). Batch forms here; streaming twins (watermark +
+  * `session_window`) in `graft.streaming.StreamOps`.
+  *
+  * All timestamp arithmetic runs on integer epoch-microseconds
+  * (`unix_micros`) — exact, and reproducible against engines that read the
+  * source's nanosecond parquet (micros = floor(nanos/1000) on both sides).
+  */
+object Sessionize {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSeconds`. Classic lag + running-sum
+    * pattern: one shuffle on the user key, one in-partition sort — the same
+    * cost envelope as any per-user window at 100 TB (skewed power-users
+    * handled by AQE skew splitting on the exchange).
+    *
+    * Adds `session_seq` (1-based per-user session index).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc)
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(byUser)
+    val newSession = when(prevUs.isNull || (us - prevUs) > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup: event count, value sum, and start/end epoch
+    * seconds. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+                   gapSeconds: Long): DataFrame =
+    sessionize(df, userCol, tsCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("value_sum"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+      // integer `div`, not `/`: long/long in Spark is DOUBLE division, and
+      // floor(x/1e6) can misround near second boundaries
+      .withColumn("start_s", expr("start_us div 1000000"))
+      .withColumn("end_s", expr("end_us div 1000000"))
+      .drop("start_us", "end_us")
+
+  /** Tumbling event-time window aggregate: `window(ts, width)` + groupBy.
+    * Window starts are epoch-aligned, emitted as epoch seconds.
+    */
+  def tumbling(df: DataFrame, tsCol: String, widthSeconds: Long,
+               aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), s"$widthSeconds seconds").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_s", unix_timestamp(col("w.start")))
+      .drop("w")
+
+  /** Sliding event-time window aggregate (width, slide). Each row lands in
+    * width/slide windows; Spark expands via the `window` generator.
+    */
+  def sliding(df: DataFrame, tsCol: String, widthSeconds: Long, slideSeconds: Long,
+              aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), s"$widthSeconds seconds", s"$slideSeconds seconds").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_s", unix_timestamp(col("w.start")))
+      .drop("w")
+}

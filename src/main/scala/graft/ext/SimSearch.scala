@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2b).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(probes × corpus)). Scale
+  * path: random-hyperplane LSH bucketing — probes only compare against
+  * their bucket's corpus slice, turning the full cross join into a bucket
+  * equi-join that shuffles each side once on the bucket key.
+  */
+object SimSearch {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Higher-order functions fold left-to-right sequentially, so the result
+    * is deterministic (and engine-reproducible after rounding).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors per probe: cross join probes × corpus, cosine,
+    * windowed rank. `k` survivors per probe under the total order
+    * (similarity desc, id asc) — rounded similarity so rank ties resolve
+    * identically across engines.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val scored = p.crossJoin(c)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cosine", round(cosine(col("probe_vec"), col("nbr_vec")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded), as literal arrays baked
+    * into the plan — broadcast-free, no driver-side state at runtime.
+    */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(array(Seq.fill(dim)(lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*))
+  }
+
+  /** Sign-random-projection bucket key: `numPlanes`-bit signature of the
+    * vector (bit p = sign of dot(vec, plane_p)).
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(numPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
+      val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via LSH bucketing: corpus and probes are both hashed to
+    * `numPlanes`-bit buckets; candidates = same-bucket pairs (equi-join on
+    * the bucket key — a hash shuffle, NOT a cross join); exact cosine +
+    * windowed rank within candidates.
+    *
+    * Recall < 1 by construction (a probe's true neighbor may land in
+    * another bucket); raise recall with fewer planes (bigger buckets) or
+    * multi-probe. Specs measure recall against [[bruteForceTopK]].
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+              k: Int, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val scored = p.join(c, "bucket")
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cosine", round(cosine(col("probe_vec"), col("nbr_vec")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nbr_id", "cosine", "rank")
+  }
+}

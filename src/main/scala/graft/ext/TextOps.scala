@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2b):
+  * tokenization, n-gram shingling, quality scoring, language-ID heuristic,
+  * and document fingerprinting.
+  *
+  * Everything is a column expression over built-ins (`split`, `transform`,
+  * `sequence`, `concat_ws`, `md5`) — no UDFs, so plans stay codegen-friendly
+  * and distribute trivially: per-row work, no shuffle, scales linearly with
+  * input splits at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (leading/trailing space trimmed first so no
+    * empty edge tokens).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Contiguous word n-grams ("shingles"), space-joined. Empty array when
+    * the document has fewer than `n` tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Simple quality metrics: char/token counts, mean token length, and the
+    * ratio of punctuation chars. All integer-derived single divisions —
+    * bit-exact across engines for oracle comparison.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t))
+  }
+
+  /** Stopword-ratio score against a lexicon: fraction of tokens that are
+    * lexicon members. Lexicon is broadcast as an array literal — no join.
+    */
+  def lexiconRatio(text: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    val ts = tokens(text)
+    size(filter(ts, t => array_contains(lex, t))).cast("double") / size(ts)
+  }
+
+  /** Language-ID n-gram/stopword heuristic: score each candidate language by
+    * its marker-token hit count; winner = highest score, ties broken by the
+    * declaration order of `lexicons` (deterministic, oracle-reproducible).
+    * A real pipeline would plug a trained model here; the operator shape
+    * (per-row scoring, no shuffle) is what matters at scale.
+    */
+  def languageId(text: Column, lexicons: Seq[(String, Seq[String])]): Column = {
+    val ts = tokens(text)
+    val scores = lexicons.map { case (lang, words) =>
+      val lex = array(words.map(lit): _*)
+      lang -> size(filter(ts, t => array_contains(lex, t)))
+    }
+    // fold right-to-left so earlier languages win ties
+    scores.reverse.tail.foldLeft(
+      (lit(scores.reverse.head._1), scores.reverse.head._2)) {
+      case ((langAcc, scoreAcc), (lang, score)) =>
+        (when(score >= scoreAcc, lit(lang)).otherwise(langAcc),
+         when(score >= scoreAcc, score).otherwise(scoreAcc))
+    }._1
+  }
+
+  /** Default marker lexicons for the five testdata languages. */
+  val defaultLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"),
+  )
+
+  /** Document fingerprint: digest of the whitespace-normalized, lowercased
+    * text. Whitespace runs collapse to single spaces so trivial reflows map
+    * to the same fingerprint (the rolling-hash idea, realized with a
+    * codegen'd digest every engine reproduces).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}

@@ -373,9 +373,10 @@ object CoreQueries {
              |ORDER BY p_brand, rn""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
+        // rn cast to long: Spark row_number is INT, DuckDB's is BIGINT
         WindowOps.topNPerGroup(Tables.part(spark, dir),
           Seq("p_brand"), Seq($"p_retailprice".desc, $"p_partkey".asc), 3)
-          .select("p_brand", "p_partkey", "p_retailprice", "rn")
+          .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn".cast("long").as("rn"))
           .orderBy("p_brand", "rn")
       }),
 

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext._
+
+/** Queries covering the LLM-data-pipeline extension surface (SURVEY.md §2b):
+  * text analysis, dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * embedding cosine), similarity search, sessionization, event-time windows,
+  * and multimodal column plumbing.
+  *
+  * Sketch-based operators (MinHash, SimHash, LSH buckets) have no SQL
+  * oracle — their hash families aren't reproducible in DuckDB — so they ship
+  * rows-only here and get recall/exactness assertions against their exact
+  * counterparts in the ScalaTest specs.
+  */
+object ExtQueries {
+
+  // DuckDB-side token array, identical to TextOps.tokens semantics.
+  private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  def all: Seq[GQ] = Seq(
+
+    // ----- text analysis -----------------------------------------------------
+    GQ("txt_token_count",
+      Some(s"""SELECT doc_id, len($duckTokens) AS n_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")),
+
+    GQ("txt_quality",
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars_m,
+              |  len($duckTokens) AS n_tokens,
+              |  CAST(length(text) - (len($duckTokens) - 1) AS DOUBLE) / len($duckTokens) AS avg_token_len,
+              |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |    / length(text) AS punct_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        TextOps.qualityMetrics(Tables.documents(spark, dir), "text")
+          .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("avg_token_len"), col("punct_ratio"))
+          .orderBy("doc_id")),
+
+    GQ("txt_langid", {
+      // scores in declaration order; earliest language wins ties (same
+      // arbitration as TextOps.languageId's fold)
+      val score = TextOps.defaultLexicons.map { case (lang, ws) =>
+        lang -> s"len(list_filter($duckTokens, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+      }.toMap
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN ${score("en")} >= greatest(${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'en'
+              |       WHEN ${score("es")} >= greatest(${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'es'
+              |       WHEN ${score("de")} >= greatest(${score("fr")}, ${score("zh")}) THEN 'de'
+              |       WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
+              |       ELSE 'zh' END AS lang_pred
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            TextOps.languageId(col("text"), TextOps.defaultLexicons).as("lang_pred"))
+          .orderBy("doc_id")),
+
+    GQ("txt_fingerprint",
+      Some("""SELECT doc_id,
+             |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")),
+
+    // ----- dedup -------------------------------------------------------------
+    GQ("dedup_exact",
+      Some("""SELECT doc_id,
+             |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             |       count(*)   OVER (PARTITION BY md5(text)) AS group_size
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Dedup.exactCanonical(Tables.documents(spark, dir), "doc_id", "text")
+          .select("doc_id", "canonical_id", "group_size")
+          .orderBy("doc_id")),
+
+    GQ("dedup_ngram_jaccard",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+             |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+          .orderBy("id_a", "id_b")),
+
+    // Sketch family — rows-only (hash families not reproducible in SQL);
+    // recall vs the exact operators asserted in DedupSpec.
+    GQ("dedup_minhash_lsh", None,
+      (spark, dir) =>
+        Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+          .orderBy("id_a", "id_b")),
+
+    GQ("dedup_simhash", None,
+      (spark, dir) =>
+        Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
+    GQ("dedup_embedding_cosine",
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+          .orderBy("id_a", "id_b")),
+
+    // ----- similarity search -------------------------------------------------
+    GQ("ann_topk_bruteforce",
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+             |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             |                  round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+             |           FROM p JOIN c ON p.vec_id <> c.vec_id)
+             |SELECT probe_id, nbr_id, cosine, rn AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |                              ORDER BY cosine DESC, nbr_id) AS rn
+             |  FROM scored) WHERE rn <= 5
+             |ORDER BY probe_id, rank""".stripMargin),
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select(col("probe_id"), col("nbr_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("probe_id", "rank")
+      }),
+
+    GQ("ann_topk_lsh", None,
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numPlanes = 8, dim = 64)
+          .select(col("probe_id"), col("nbr_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("probe_id", "rank")
+      }),
+
+    // ----- sessionization / event-time windows -------------------------------
+    GQ("sessionize_stats",
+      Some("""WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+             |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |                              THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY user_id ORDER BY us
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM l)
+             |SELECT user_id, session_seq, count(*) AS n_events,
+             |       round(sum(value), 4) AS value_sum,
+             |       min(us) // 1000000 AS start_s, max(us) // 1000000 AS end_s
+             |FROM s GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin),
+      (spark, dir) =>
+        Sessionize.sessionStats(Tables.events(spark, dir), "user_id", "ts", "value",
+          gapSeconds = 1800)
+          .select("user_id", "session_seq", "n_events", "value_sum", "start_s", "end_s")
+          .orderBy("user_id", "session_seq")),
+
+    GQ("tw_tumbling",
+      Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS window_start_s,
+             |       count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY window_start_s ORDER BY window_start_s""".stripMargin),
+      (spark, dir) =>
+        Sessionize.tumbling(Tables.events(spark, dir), "ts", 3600,
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum")))
+          .select("window_start_s", "n", "value_sum")
+          .orderBy("window_start_s")),
+
+    GQ("tw_sliding",
+      Some("""WITH e AS (SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |g AS (SELECT value, (us // 1800000000) * 1800 AS s0 FROM e),
+             |x AS (SELECT value, s0 AS ws FROM g
+             |      UNION ALL SELECT value, s0 - 1800 FROM g)
+             |SELECT ws AS window_start_s, count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM x GROUP BY ws ORDER BY ws""".stripMargin),
+      (spark, dir) =>
+        Sessionize.sliding(Tables.events(spark, dir), "ts", 3600, 1800,
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum")))
+          .select("window_start_s", "n", "value_sum")
+          .orderBy("window_start_s")),
+
+    // ----- multimodal plumbing ----------------------------------------------
+    // Payload = UTF-8 bytes of documents.text (no codec libs in-container);
+    // FakeCodec metadata is a pure function of byte length, reproduced in SQL.
+    GQ("mm_decode_meta",
+      Some("""SELECT doc_id AS mediaId,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS nBytes,
+             |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'
+             |       WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+             |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+             |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+             |  CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS nFrames
+             |FROM documents ORDER BY mediaId""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
+        Multimodal.decodeMeta(spark, media).toDF().orderBy("mediaId")
+      }),
+
+    GQ("mm_frame_sample", None,
+      (spark, dir) => {
+        val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
+        Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
+      }),
+
+    // ----- moving window frame (§2b ranking/frames) --------------------------
+    GQ("w2_moving_avg",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-6, 0)
+        Tables.orders(spark, dir)
+          .withColumn("ma7", round(avg(col("o_totalprice")).over(w), 6))
+          .select("o_custkey", "o_orderkey", "ma7")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+  )
+}
