@@ -61,22 +61,29 @@ object SimSearch {
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k via LSH bucketing: corpus and probes are both hashed to
-    * `numPlanes`-bit buckets; candidates = same-bucket pairs (equi-join on
-    * the bucket key — a hash shuffle, NOT a cross join); exact cosine +
-    * windowed rank within candidates.
+  /** ANN top-k via LSH bucketing with multi-probe: corpus vectors hash to
+    * one `numPlanes`-bit bucket; each probe additionally visits the
+    * `numPlanes` buckets at signature hamming distance 1 (sign flips are
+    * the likeliest LSH errors). Candidates = bucket equi-join — a hash
+    * shuffle, NOT a cross join; per-probe work is (1+numPlanes) bucket
+    * lookups instead of a corpus scan. Exact cosine + windowed rank on the
+    * deduplicated candidates.
     *
-    * Recall < 1 by construction (a probe's true neighbor may land in
-    * another bucket); raise recall with fewer planes (bigger buckets) or
-    * multi-probe. Specs measure recall against [[bruteForceTopK]].
+    * Recall < 1 by construction; tune with fewer planes (bigger buckets) or
+    * more probe flips. Specs measure recall against [[bruteForceTopK]].
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
       lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
+    val probeBuckets = array(col("bucket0") +:
+      (0 until numPlanes).map(f => col("bucket0").bitwiseXOR(lit(1L << f))): _*)
+    val p = p0.select(col("probe_id"), col("probe_vec"),
+      explode(probeBuckets).as("bucket"))
     val scored = p.join(c, "bucket")
+      .dropDuplicates("probe_id", "nbr_id")
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("cosine", round(cosine(col("probe_vec"), col("nbr_vec")), 6))
     val w = Window.partitionBy(col("probe_id"))

@@ -82,9 +82,12 @@ object CleanOps {
   def truncateIsoToDate(df: DataFrame, colName: String, outName: String): DataFrame =
     df.withColumn(outName, regexp_replace(col(colName), "T.*", ""))
 
-  /** P9 — date parse (`transform_news_job.py:108-110`). */
+  /** P9 — date parse (`transform_news_job.py:108-110`). `try_to_date`, not
+    * `to_date`: the reference runs ANSI-off Spark 3 where unparseable
+    * strings yield NULL; Spark 4's ANSI `to_date` would throw instead.
+    */
   def parseDate(df: DataFrame, colName: String, outName: String, fmt: String = "yyyy-MM-dd"): DataFrame =
-    df.withColumn(outName, to_date(col(colName), fmt))
+    df.withColumn(outName, try_to_date(col(colName), fmt))
 
   /** P10 — null-drop on a subset of columns, intersected with the columns
     * that actually exist (`transform_news_job.py:126-129`).
@@ -101,10 +104,31 @@ object CleanOps {
     df.withColumn(outName, col(left) - col(right))
 
   /** P13 — string sanitize: the reference UTF-8-encodes with errors="ignore"
-    * then strips (`extract_news_job.py:142-155`). In-flight equivalent:
-    * strip non-UTF8-representable chars (surrogates) and trim. Pure column
-    * expression — codegen-friendly, no UDF.
+    * then strips (`extract_news_job.py:142-155`), driver-side before
+    * `createDataFrame`. Same here: [[sanitizeString]] is the ingest-time
+    * Scala port (drops unpaired surrogates — they can't survive the JVM→
+    * UTF8String boundary anyway). The column op handles the in-flight part:
+    * trim + strip control/replacement characters. No UDF, codegen-friendly.
     */
   def sanitize(df: DataFrame, colName: String): DataFrame =
-    df.withColumn(colName, trim(regexp_replace(col(colName), "[\\p{Cs}\\p{Cn}]", "")))
+    df.withColumn(colName,
+      trim(regexp_replace(col(colName), "[\\p{Cntrl}�]", "")))
+
+  /** Driver-side twin of the reference's `encode("utf-8","ignore")`+strip:
+    * removes code units UTF-8 can't represent (unpaired surrogates), trims.
+    */
+  def sanitizeString(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (!Character.isSurrogate(c)) {
+        sb.append(c); i += 1
+      } else i += 1 // unpaired surrogate: drop, like errors="ignore"
+    }
+    sb.result().trim
+  }
 }

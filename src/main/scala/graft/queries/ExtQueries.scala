@@ -153,8 +153,10 @@ object ExtQueries {
     GQ("ann_topk_lsh", None,
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
+        // 4 planes: testdata embeddings are near-uniform, finer buckets
+        // collapse recall (see SimSearchSpec)
         SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numPlanes = 8, dim = 64)
+          k = 5, numPlanes = 4, dim = 64)
           .select(col("probe_id"), col("nbr_id"), col("cosine"),
             col("rank").cast("long").as("rank"))
           .orderBy("probe_id", "rank")

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+
+/** Dedup family: exact canonicalization, Jaccard ground truth, and the
+  * sketch operators' recall against it (SURVEY.md §2b).
+  */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"),       // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat tonight"),       // near dup of 1
+    (4L, "completely different words here about spark engines today"),
+    (5L, "spark engines process completely different words here daily"),
+  ).toDF("doc_id", "text")
+
+  test("exactCanonical groups identical texts under min id") {
+    val out = Dedup.exactCanonical(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "group_size")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out(1L) === (1L, 2L) && out(2L) === (1L, 2L))
+    assert(out(3L) === (3L, 1L))
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("ngramJaccardPairs finds exact and near dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 1.0, "identical docs have jaccard 1")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup caught")
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L && b != 5L },
+      "unrelated docs not paired at 0.4")
+  }
+
+  test("maxDocFreq cap drops hub shingles but keeps high-jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = Some(1000L))
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("minhashLshPairs: 100% recall vs exact jaccard on testdata documents") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.4,
+      numHashes = 128, bands = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verification must kill false positives")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95 (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs share fingerprints; pairs catch exact dups") {
+    val fps = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embeddingCosinePairs matches a hand-computed cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),   // cos = 1
+      (3L, Array(0.0f, 1.0f)),                            // orthogonal
+      (4L, Array(1.0f, 1.0f)),                            // cos = 1/sqrt(2)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.7)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 4L)) === 0.707107)
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

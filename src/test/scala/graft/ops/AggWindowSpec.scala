@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** A1–A5 aggregation, W1 window, J2 agg-join-back semantics — including the
+  * SURVEY.md §5 property checks (dedup idempotence, window-agg ≡ agg-join,
+  * lag-delta telescoping).
+  */
+class AggWindowSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ≥2 tickers × ≥3 dates, out-of-order rows (FIXTURES.md §A2)
+  private def quotes = Seq(
+    ("ITUB4.SA", "Banks", "2024-05-03", 29.0, 300L),
+    ("ITUB4.SA", "Banks", "2024-05-01", 27.0, 100L),
+    ("ITUB4.SA", "Banks", "2024-05-02", 28.0, 200L),
+    ("PETR4.SA", "Energy", "2024-05-02", 41.0, 20L),
+    ("PETR4.SA", "Energy", "2024-05-01", 40.0, 10L),
+  ).toDF("ticker", "sector", "date", "close", "volume")
+
+  test("W1 lagDelta handles out-of-order input per key") {
+    val out = WindowOps.lagDelta(quotes, Seq("ticker"), Seq($"date".asc), "close", "var")
+      .select("ticker", "date", "var").orderBy("ticker", "date").collect()
+    val itub = out.filter(_.getString(0) == "ITUB4.SA").map(r => Option(r.get(2)))
+    assert(itub.toSeq === Seq(None, Some(1.0), Some(1.0)))
+  }
+
+  test("W1 lag-delta telescoping: sum of deltas = last - first close per key") {
+    val deltas = WindowOps.lagDelta(quotes, Seq("ticker"), Seq($"date".asc), "close", "var")
+    val sums = deltas.groupBy("ticker").agg(sum("var").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(sums("ITUB4.SA") === 2.0 && sums("PETR4.SA") === 1.0)
+  }
+
+  test("A1+J2: window-agg form ≡ reference agg-then-join form") {
+    val viaWindow = JoinOps.withGroupAggregates(quotes, Seq("sector"),
+        Seq("media" -> avg($"close"), "total" -> sum($"volume")))
+      .select("ticker", "date", "media", "total")
+    val viaJoin = JoinOps.aggJoinBack(quotes, Seq("sector"),
+        Seq(avg($"close").as("media"), sum($"volume").as("total")))
+      .select("ticker", "date", "media", "total")
+    assert(viaWindow.orderBy("ticker", "date").collect().toSeq ===
+           viaJoin.orderBy("ticker", "date").collect().toSeq)
+  }
+
+  test("A5 dedupByKeyOrdered keeps the row_number=1 survivor deterministically") {
+    val dups = Seq(("l1", "t-late", "2024-05-02"), ("l1", "t-early", "2024-05-01"),
+      ("l2", "x", "2024-05-01")).toDF("link", "title", "d")
+    val out = AggOps.dedupByKeyOrdered(dups, Seq("link"), Seq($"d".asc, $"title".asc))
+      .orderBy("link").as[(String, String, String)].collect()
+    assert(out.toSeq === Seq(("l1", "t-early", "2024-05-01"), ("l2", "x", "2024-05-01")))
+  }
+
+  test("A4/A5 dedup idempotence (property, scalacheck-generated inputs)") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.alphaStr.map(_.take(3))))
+    (0 until 10).foreach { i =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(42L + i)).get
+      val df = xs.toDF("k", "v")
+      val once = AggOps.distinctRows(df)
+      assert(AggOps.distinctRows(once).count() === once.count())
+      val keyed = AggOps.dedupByKeyOrdered(df, Seq("k"), Seq($"v".asc))
+      assert(AggOps.dedupByKeyOrdered(keyed, Seq("k"), Seq($"v".asc)).count() === keyed.count())
+    }
+  }
+
+  test("HLL approx_count_distinct within rsd of exact on testdata") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val approx = AggOps.approxDistinct(li, Seq.empty, "l_partkey", rsd = 0.05)
+      .head().getLong(0).toDouble
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** P11 dynamic schema normalization: misnamed/missing columns per
+  * FIXTURES.md §A4 (`news_misnamed`).
+  */
+class SchemaOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("fuzzy-matches case/underscore variants, adds missing as typed null") {
+    val messy = Seq(("t1", "2024-05-01T00:00:00", "term1"))
+      .toDF("Title ", "Published_Time", "SEARCHTERM")
+    val out = SchemaOps.normalizeToStringSchema(messy,
+      Seq("title", "published_time", "search_term", "source"))
+    assert(out.columns.toSeq === Seq("title", "published_time", "search_term", "source"))
+    val r = out.head()
+    assert(r.getString(0) === "t1")
+    assert(r.getString(1) === "2024-05-01T00:00:00")
+    assert(r.getString(2) === "term1")
+    assert(r.get(3) === null, "missing expected column becomes typed null")
+    assert(out.schema("source").dataType === StringType)
+  }
+
+  test("each incoming column claimed once; first expected wins") {
+    val messy = Seq(("a", "b")).toDF("search_term", "searchterm")
+    val out = SchemaOps.normalizeToStringSchema(messy, Seq("search_term", "extra"))
+    assert(out.head().getString(0) === "a")
+  }
+
+  test("idempotent on already-canonical schema") {
+    val clean = Seq(("x", "y")).toDF("title", "link")
+    val out = SchemaOps.normalizeToStringSchema(clean, Seq("title", "link"))
+    assert(out.collect().map(_.toSeq).toSeq === Seq(Seq("x", "y")))
+  }
+}
