@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Partitioned parquet sources/sinks (SURVEY.md §2a S4, K1–K2).
+  *
+  * Reads go through the table ROOT plus partition-column predicates —
+  * Catalyst's file-index pruning then skips non-matching `dataproc=`/`setor=`
+  * directories, which is the scalable form of the reference's manual path
+  * construction (`transform_stocks_job.py:32`): same IO, but the pruning is
+  * visible to the optimizer and composes with further pushed filters.
+  */
+object ParquetIO {
+
+  /** S4 — read one (or any) Hive partition by predicate, pruning at the
+    * file index. `partitionFilters` e.g. Map("dataproc" -> "20240501").
+    */
+  def readPartitioned(spark: SparkSession, root: String,
+                      partitionFilters: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.option("basePath", root).parquet(root)
+    partitionFilters.foldLeft(base) { case (df, (k, v)) => df.filter(col(k) === v) }
+  }
+
+  /** K1/K2 — partitioned snappy-parquet append, mirroring the reference's
+    * writer chain (`extract_stocks_job.py:386-393`) including its explicit
+    * dictionary/bloom-filter opt-out on raw stocks.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitions: Seq[String],
+                       disableDictionary: Boolean = false): Unit = {
+    val w0 = df.write.mode("append").option("compression", "snappy")
+    val w = if (disableDictionary)
+      w0.option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled", "false")
+    else w0
+    w.partitionBy(partitions: _*).parquet(path)
+  }
+}
