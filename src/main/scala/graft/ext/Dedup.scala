@@ -53,7 +53,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    // join/shuffle on the shingle's 64-bit hash, not the string: ~5× fewer
+    // shuffle bytes; a cross-shingle collision would need ≈2^32 distinct
+    // shingles in one corpus to matter (birthday bound)
     val sh0 = shingleRows(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("s")).as("s"))
     val sh = maxDocFreq match {
       case Some(cap) =>
         val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap).select("s")
@@ -74,15 +78,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: array of `numHashes` minima of seeded
-    * xxhash64 over the doc's distinct shingles. One aggregate pass — the
-    * 100 TB path never materializes pairwise anything until LSH banding
-    * has cut candidates to near-linear.
+  /** MinHash signature column: array of `numHashes` minima over the doc's
+    * distinct shingles. One aggregate pass — the 100 TB path never
+    * materializes pairwise anything until LSH banding has cut candidates to
+    * near-linear.
+    *
+    * Hash family: one xxhash64 over the variable-length shingle string,
+    * then h_i = xxhash64(i, h1) re-mixes the fixed 8-byte base — numHashes
+    * constant-width hashes in codegen instead of numHashes string hashes
+    * (~10× on the sketch-build pass). Wrapping multiply tricks (Kirsch–
+    * Mitzenmacher) are off the table under ANSI overflow checking.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
                         numHashes: Int): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      .withColumn("h1", xxhash64(col("s")))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h1"))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -172,11 +184,15 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val a = v.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a"))
-    val b = v.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b"))
+    import graft.functions.VectorFunctions.{dotF, normF}
+    // norms hoisted out of the O(n²) pair loop: one dot per pair, not three
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normF(col(vecCol)).as("nrm"))
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a", "nrm" -> "nrm_a"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b", "nrm" -> "nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(SimSearch.cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cosine", round(
+        dotF(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

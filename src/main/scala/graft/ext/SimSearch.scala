@@ -13,29 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * Higher-order functions fold left-to-right sequentially, so the result
-    * is deterministic (and engine-reproducible after rounding).
+  /** Cosine similarity of two float-array columns, computed in double via
+    * the codegen'd [[graft.functions.FloatVectorDot]] expression (element
+    * 0→n-1 fold, bit-identical to the HOF formulation and to DuckDB's
+    * accumulation).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.VectorFunctions.{dotF, normF}
+    dotF(a, b) / (normF(a) * normF(b))
   }
 
   /** Exact top-k neighbors per probe: cross join probes × corpus, cosine,
     * windowed rank. `k` survivors per probe under the total order
     * (similarity desc, id asc) — rounded similarity so rank ties resolve
     * identically across engines.
+    *
+    * Norms are computed ONCE per row before the join (O(n) work), so each
+    * of the O(n²) pairs does a single dot product — the hoist is worth 3×
+    * on the pair loop and keeps values bit-identical
+    * (sqrt(dot(a,a))·sqrt(dot(b,b)) is the same product either way).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    import graft.functions.VectorFunctions.{dotF, normF}
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      normF(col(vecCol)).as("nbr_norm"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      normF(col(vecCol)).as("probe_norm"))
     val scored = p.crossJoin(c)
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cosine", round(cosine(col("probe_vec"), col("nbr_vec")), 6))
+      .withColumn("cosine", round(
+        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -74,18 +82,22 @@ object SimSearch {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      normF(col(vecCol)).as("nbr_norm"),
       lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
     val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      normF(col(vecCol)).as("probe_norm"),
       lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket0"))
     val probeBuckets = array(col("bucket0") +:
       (0 until numPlanes).map(f => col("bucket0").bitwiseXOR(lit(1L << f))): _*)
-    val p = p0.select(col("probe_id"), col("probe_vec"),
+    val p = p0.select(col("probe_id"), col("probe_vec"), col("probe_norm"),
       explode(probeBuckets).as("bucket"))
     val scored = p.join(c, "bucket")
       .dropDuplicates("probe_id", "nbr_id")
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cosine", round(cosine(col("probe_vec"), col("nbr_vec")), 6))
+      .withColumn("cosine", round(
+        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
