@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event-time operators
+  * (SURVEY.md §2b): tumbling/sliding windows, session windows, and custom
+  * per-key state via `mapGroupsWithState`.
+  *
+  * The reference has no streaming surface (its daily cron IS the stream,
+  * SURVEY.md §2a "Streaming: none"); these exist for the pipeline-extension
+  * surface and reuse the exact event schema of the batch `events` table, so
+  * a batch backfill and the live stream share transform code — the
+  * kappa-architecture posture that matters at 100 TB (same code, same
+  * semantics, watermark-bounded state).
+  */
+object StreamOps {
+
+  /** Events schema as read from the nanosecond-timestamp parquet: `ts` read
+    * as raw nanos (see `graft.Tables.events`), converted to micros here.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream over a directory of parquet drops — each new
+    * file becomes a micro-batch (the standard landing-zone pattern).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling (or sliding, when `slideSeconds` differs) windowed aggregate
+    * with a watermark bounding state: late events beyond `watermark` are
+    * dropped and closed windows are evicted — state stays O(open windows),
+    * not O(stream length).
+    */
+  def windowedCounts(events: DataFrame, widthSeconds: Long, slideSeconds: Long,
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), s"$widthSeconds seconds", s"$slideSeconds seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Session windows per user: the streaming-native form of
+    * `graft.ext.Sessionize.sessionize` — `session_window` merges events
+    * whose gaps are below `gapSeconds`, watermark evicts closed sessions.
+    */
+  def sessionCounts(events: DataFrame, gapSeconds: Long,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_s"),
+        unix_timestamp(col("w.end")).as("end_s"),
+        col("n_events"), col("value_sum"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStat(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Custom per-key running state (`mapGroupsWithState`): cumulative event
+    * count + value sum per user, emitted every micro-batch. The shape for
+    * state Spark's built-in aggregates can't express (reference point for
+    * fraud counters, per-user quotas, etc.).
+    */
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          val (n, s) = batch.foldLeft((prev.n_events, prev.value_sum)) {
+            case ((cnt, acc), e) => (cnt + 1, acc + e.value)
+          }
+          val next = UserStat(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any of the above to a named in-memory sink and block until the
+    * source is drained — the hermetic local harness (and the pattern for
+    * tests); production would swap `format("parquet").option("path", ...)`.
+    */
+  def runToMemory(df: Dataset[_], name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

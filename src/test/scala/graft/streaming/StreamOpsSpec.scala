@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+
+/** Streaming ops driven by the batch events parquet as a one-file stream
+  * (memory sink + processAllAvailable = synchronous micro-batch).
+  * Cross-checks streaming window results against the batch twins.
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // stage events.parquet alone in a directory (the landing-zone layout)
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("windowedCounts (streaming) ≡ batch tumbling per (window, type)") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream, 3600, 3600), "tumb", OutputMode.Complete())
+    val streamed = spark.table("tumb")
+      .select("window_start_s", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "3600 seconds"), $"event_type")
+      .count()
+      .select(org.apache.spark.sql.functions.unix_timestamp($"window.start").as("s"),
+        $"event_type", $"count")
+      .as[(Long, String, Long)].collect().toSet
+
+    // Complete mode re-emits every window each trigger (Append would hold
+    // back windows still inside the watermark on a finite stream)
+    assert(streamed === batch)
+  }
+
+  test("sessionCounts produces gap-merged sessions per user") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    StreamOps.runToMemory(
+      StreamOps.sessionCounts(stream, gapSeconds = 1800), "sess", OutputMode.Complete())
+    val rows = spark.table("sess")
+      .select("user_id", "start_s", "end_s", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, e, n) => assert(e >= s && n >= 1) }
+    // session count per user matches the batch sessionizer
+    val batchSessions = graft.ext.Sessionize
+      .sessionStats(Tables.events(spark, sfDir), "user_id", "ts", "value", 1800)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val streamSessions = rows.groupBy(_._1).map { case (u, rs) => u -> rs.length.toLong }
+    assert(streamSessions === batchSessions)
+  }
+
+  test("runningUserStats accumulates per-key state across a batch") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    StreamOps.runToMemory(
+      StreamOps.runningUserStats(spark, stream), "running", OutputMode.Update())
+    val got = spark.table("running")
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+}
