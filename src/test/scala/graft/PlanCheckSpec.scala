@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): the properties that matter at
+  * 100 TB must be visible in the plan, not assumed — filter pushdown to the
+  * parquet scan, column pruning, broadcast joins for dims, top-k via
+  * TakeOrderedAndProject (no global sort), partial aggregation, and
+  * whole-stage codegen coverage. A regression here is a performance bug
+  * even while results stay correct.
+  */
+class PlanCheckSpec extends AnyFunSuite with SparkSpec {
+
+  // collect() (not count(), which builds a separate QueryExecution) so THIS
+  // plan's AQE finalizes; keep only the Final Plan section — the Initial
+  // Plan echo would double-count operators
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("s4_pruned_scan: shipdate predicate reaches the parquet scan") {
+    val p = plan("s4_pruned_scan")
+    assert(p.contains("PushedFilters: ") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("s4_pruned_scan: only referenced columns are read (pruning)") {
+    val p = plan("s4_pruned_scan")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_extendedprice") && read.contains("l_quantity"),
+      s"column pruning failed: $read")
+  }
+
+  test("j1_dim_enrich_join: dimension joins are broadcast, fact side never shuffles") {
+    val p = plan("j1_dim_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join must not sort-merge:\n$p")
+  }
+
+  test("o1_topk: ORDER BY+LIMIT plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k rewrite missing:\n$p")
+  }
+
+  test("a1_groupby_agg: partial (map-side) aggregation before the exchange") {
+    val p = plan("a1_groupby_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("p12_arithmetic: scan+project stays inside whole-stage codegen") {
+    val p = plan("p12_arithmetic")
+    // codegen'd operators print with a *(stageId) prefix
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"projection fell off codegen:\n$p")
+  }
+
+  test("j2_agg_join_back: single shuffle (window), not agg+join double exchange") {
+    val p = plan("j2_agg_join_back")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected at most 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "window form must not join at all")
+  }
+
+  test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("float_vector_dot"), s"custom expression not used:\n$p")
+    assert(!p.toLowerCase.contains("zip_with"), "HOF path crept back in")
+  }
+}
