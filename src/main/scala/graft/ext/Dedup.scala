@@ -34,12 +34,15 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
   }
 
-  /** Distinct (id, shingle) rows — the shared inverted-index input for
-    * Jaccard / MinHash below.
+  /** Distinct (id, shingleHash) rows — the shared inverted-index input for
+    * Jaccard / MinHash below. Shingles are 64-bit hashes from the native
+    * one-pass [[graft.functions.ShingleHashes]] expression: set-similarity
+    * math needs shingle identity only, and hashed rows shuffle ~5× fewer
+    * bytes than shingle strings.
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextOps.distinctShingles(col(textCol), n)).as("s"))
+        explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)).as("s"))
 
   /** Exact n-gram Jaccard similarity join: all pairs (id_a < id_b) with
     * |A∩B| / |A∪B| ≥ `threshold` over distinct word `n`-gram shingle sets.
@@ -53,11 +56,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    // join/shuffle on the shingle's 64-bit hash, not the string: ~5× fewer
-    // shuffle bytes; a cross-shingle collision would need ≈2^32 distinct
-    // shingles in one corpus to matter (birthday bound)
     val sh0 = shingleRows(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("s")).as("s"))
     val sh = maxDocFreq match {
       case Some(cap) =>
         val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap).select("s")
@@ -83,18 +82,17 @@ object Dedup {
     * materializes pairwise anything until LSH banding has cut candidates to
     * near-linear.
     *
-    * Hash family: one xxhash64 over the variable-length shingle string,
-    * then h_i = xxhash64(i, h1) re-mixes the fixed 8-byte base — numHashes
-    * constant-width hashes in codegen instead of numHashes string hashes
-    * (~10× on the sketch-build pass). Wrapping multiply tricks (Kirsch–
-    * Mitzenmacher) are off the table under ANSI overflow checking.
+    * Hash family: the shingle's 64-bit base hash re-mixed per function,
+    * h_i = xxhash64(i, base) — numHashes constant-width hashes in codegen
+    * instead of numHashes string hashes (~10× on the sketch-build pass).
+    * Wrapping multiply tricks (Kirsch–Mitzenmacher) are off the table under
+    * ANSI overflow checking.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
                         numHashes: Int): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n)
-      .withColumn("h1", xxhash64(col("s")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h1"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -125,7 +123,7 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
 
     val sets = df.select(col(idCol).as("id"),
-      TextOps.distinctShingles(col(textCol), n).as("set"))
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
