@@ -313,6 +313,42 @@ object CoreQueries {
       Some("SELECT count(*) AS n_rows FROM lineitem"),
       (spark, dir) => Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))),
 
+    // ----- A3/E2/S5: the SQL entry path over a registered view ---------------
+    // The reference's Athena preview queries (queries.sql) and catalog scans
+    // run as spark.sql text; this exercises parse→analyze→optimize on the
+    // same engine surface.
+    GQ("a3_sql_entry",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+        spark.sql(
+          """SELECT o_orderpriority, count(*) AS n,
+            |       round(sum(o_totalprice), 2) AS total
+            |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      }),
+
+    // ----- K1 sink: partitioned write → read-back round trip -----------------
+    // Writes through the real partitioned-parquet sink, reads the directory
+    // back, aggregates per partition value — sink fidelity inside the oracle
+    // gate (partition column round-trips as its string directory value).
+    GQ("k1_write_roundtrip",
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-k1").toString
+        graft.io.ParquetIO.writePartitioned(
+          Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag"),
+          out, Seq("l_returnflag"))
+        graft.io.ParquetIO.readPartitioned(spark, out)
+          .groupBy($"l_returnflag".cast("string").as("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      }),
+
     // ----- A4: full-row distinct ---------------------------------------------
     GQ("a4_distinct",
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
