@@ -51,6 +51,65 @@ object SimSearch {
       .select("probe_id", "nbr_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: corpus is partitioned into `nlist`
+    * Voronoi cells around deterministic centroids (a seeded sample of the
+    * corpus itself — one tiny collect of `nlist` vectors, NOT the corpus);
+    * each probe searches only the `nprobe` nearest cells.
+    *
+    * Plan shape at scale: centroid assignment is a per-row argmax against a
+    * broadcast `nlist`-row literal array (no shuffle), cell lookup is a hash
+    * equi-join on `cell`, exact cosine + windowed rank on candidates. The
+    * cross join the brute-force path pays becomes a join carrying
+    * ≈ nprobe/nlist of the corpus per probe.
+    *
+    * Data-adaptive (cells follow density), unlike [[lshTopK]]'s fixed
+    * hyperplanes — the better scale path when embeddings cluster.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    require(nprobe >= 1 && nprobe <= nlist)
+
+    // deterministic centroids: the nlist corpus vectors with the smallest
+    // xxhash64(seed, id) — a seeded uniform sample, stable across runs
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("hk", xxhash64(lit(seed), col("id")))
+      .orderBy("hk").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
+
+    // nearest-centroid assignment as a literal-array argmax expression
+    def cellOf(vec: Column, take: Int): Column = {
+      val sims = centroids.map { case (cid, cv) =>
+        val cvLit = array(cv.map(x => lit(x)): _*).cast("array<float>")
+        struct((dotF(vec, cvLit) / (normF(vec) * normF(cvLit))).as("sim"),
+          lit(cid).as("cell"))
+      }
+      // sort desc by (sim, cell), take the top `take` cell ids
+      transform(slice(reverse(array_sort(array(sims: _*))), 1, take),
+        s => s.getField("cell"))
+    }
+
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      normF(col(vecCol)).as("nbr_norm"),
+      element_at(cellOf(col(vecCol), 1), 1).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      normF(col(vecCol)).as("probe_norm"),
+      explode(cellOf(col(vecCol), nprobe)).as("cell"))
+
+    val scored = p.join(c, "cell")
+      .dropDuplicates("probe_id", "nbr_id")
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cosine", round(
+        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nbr_id", "cosine", "rank")
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded), as literal arrays baked
     * into the plan — broadcast-free, no driver-side state at runtime.
     */

@@ -150,6 +150,16 @@ object ExtQueries {
           .orderBy("probe_id", "rank")
       }),
 
+    GQ("ann_topk_ivf", None,
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+          .select(col("probe_id"), col("nbr_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("probe_id", "rank")
+      }),
+
     GQ("ann_topk_lsh", None,
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
@@ -160,6 +170,30 @@ object ExtQueries {
           .select(col("probe_id"), col("nbr_id"), col("cosine"),
             col("rank").cast("long").as("rank"))
           .orderBy("probe_id", "rank")
+      }),
+
+    // ----- sentiment: broadcast lexicon join (EDBT'16 pattern, SURVEY §2b) ---
+    GQ("txt_sentiment",
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             |            FROM documents),
+             |lex(w, wt) AS (VALUES ('fast', 1), ('big', 1), ('slow', -1), ('small', -1)),
+             |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+             |       FROM tok JOIN lex USING (w) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(sc.score, 0) AS score
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val lex = Seq(("fast", 1L), ("big", 1L), ("slow", -1L), ("small", -1L))
+          .toDF("w", "wt")
+        val docs = Tables.documents(spark, dir)
+        val scores = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .join(broadcast(lex), "w")
+          .groupBy("doc_id").agg(sum(col("wt")).as("score"))
+        docs.select("doc_id").join(scores, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+          .orderBy("doc_id")
       }),
 
     // ----- sessionization / event-time windows -------------------------------

@@ -47,6 +47,23 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ivfTopK: data-adaptive cells beat fixed hyperplanes on recall here") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 10)
+    val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@5 collapsed: $recall")
+    // determinism: seeded centroid sample
+    val ivf2 = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(ivf === ivf2)
+  }
+
   test("lsh buckets are deterministic across invocations (seeded planes)") {
     val emb = Tables.embeddings(spark, sfDir).limit(50)
     val b1 = emb.select(SimSearch.lshBucket($"embedding", 8, 64).as("b")).as[Long].collect()
