@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatVectorDot, ShingleHashes}
+
+/** Session extension registering graft's native expressions for SQL use:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT float_vector_dot(a, b) FROM vectors")
+  * spark.sql("SELECT shingle_hashes(text, 3) FROM documents")
+  * }}}
+  *
+  * [[GraftExtensions.register]] does the same on an existing session (the
+  * path used by queries running under the driver's session, which graft
+  * does not construct).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_vector_dot",
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (es: Seq[Expression]) => FloatVectorDot(es(0), es(1))),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1)))),
+  )
+
+  /** Register on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

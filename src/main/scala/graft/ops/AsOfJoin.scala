@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the single right
+  * row with the same key and the greatest right-time ≤ left-time — the
+  * canonical training-data operation for joining events against
+  * slowly-updated reference data without leakage from the future.
+  *
+  * Spark lacks the operator; per the engine's preference order this is
+  * COMPOSED from built-ins (no custom physical node needed): tag and union
+  * both sides, one window pass per key ordered by (time, side) carrying
+  * `last(right attrs, ignoreNulls)` forward, then keep left rows. Exactly
+  * ONE shuffle on the key (the window exchange) — the same cost envelope as
+  * a single co-partitioned join at 100 TB, versus the naive
+  * join-then-filter-then-rank which shuffles the full pair blow-up of every
+  * key's history.
+  *
+  * Ties (right-time == left-time) match, mirroring ASOF JOIN `>=` semantics
+  * in DuckDB/Pandas. For a deterministic result the right side must be
+  * unique per (key, time) — pre-dedup with
+  * [[AggOps.dedupByKeyOrdered]] otherwise (same contract as DuckDB, whose
+  * ASOF picks an arbitrary row among equal times).
+  */
+object AsOfJoin {
+
+  /** @param left        fact side (kept in full)
+    * @param right       reference side (attached)
+    * @param leftKey     join key column name on `left`
+    * @param rightKey    join key column name on `right`
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param rightAttrs  right columns to carry onto left rows
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightAttrs: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    // one unified schema: left payload + nullable right attrs + (key, t, side)
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(col) ++
+        rightAttrs.map(a => lit(null).cast(right.schema(a).dataType).as(s"__r_$a")): _*)
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightAttrs.map(a => col(a).as(s"__r_$a")): _*)
+
+    // right rows sort BEFORE left rows at equal __t (side 0 < 1), so a
+    // same-timestamp right row is visible to the left row — ASOF >= ties
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = rightAttrs.foldLeft(l.unionByName(r)) { (df, a) =>
+      df.withColumn(s"__c_$a", last(col(s"__r_$a"), ignoreNulls = true).over(w))
+    }
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightAttrs.map(a => col(s"__c_$a").as(a)): _*)
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext._
+import graft.ops.AggOps
 
 /** Queries covering the LLM-data-pipeline extension surface (SURVEY.md §2b):
   * text analysis, dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -259,6 +260,33 @@ object ExtQueries {
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
         Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
+      }),
+
+    // ----- as-of (point-in-time) join ----------------------------------------
+    // Each event picks up the customer's most recent order at-or-before the
+    // event time (no future leakage). Right side deduped to one row per
+    // (custkey, orderdate) so both engines choose the same match.
+    GQ("asof_event_order",
+      Some("""WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |                     ORDER BY o_orderkey DESC) AS rn FROM orders),
+             |rr AS (SELECT * FROM r WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+             |FROM events e ASOF LEFT JOIN rr
+             |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
+             |ORDER BY e.event_id""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
+          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+        graft.ops.AsOfJoin.asOf(
+          Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+          orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightAttrs = Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
       }),
 
     // ----- moving window frame (§2b ranking/frames) --------------------------

@@ -1,0 +1,50 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf attaches latest right row at-or-before left time, per key") {
+    val quotes = Seq( // (key, time, px)
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 11:00:00"), 2.0),
+      ("B", ts("2024-01-01 10:30:00"), 9.0),
+    ).toDF("k", "t", "px")
+    val trades = Seq( // (key, time, qty)
+      ("A", ts("2024-01-01 09:59:00"), 10L), // before any quote -> null
+      ("A", ts("2024-01-01 10:00:00"), 11L), // tie -> matches 10:00 quote
+      ("A", ts("2024-01-01 10:59:59"), 12L), // -> 10:00 quote
+      ("A", ts("2024-01-01 12:00:00"), 13L), // -> 11:00 quote
+      ("B", ts("2024-01-01 11:00:00"), 14L), // -> B's quote
+      ("C", ts("2024-01-01 11:00:00"), 15L), // no key match -> null
+    ).toDF("k", "t", "qty")
+
+    val out = AsOfJoin.asOf(trades, quotes,
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      rightAttrs = Seq("px"))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+
+    assert(out(10L).isEmpty, "no quote yet")
+    assert(out(11L).contains(1.0), ">= tie matches")
+    assert(out(12L).contains(1.0))
+    assert(out(13L).contains(2.0))
+    assert(out(14L).contains(9.0))
+    assert(out(15L).isEmpty, "unknown key stays null")
+  }
+
+  test("asOf output keeps exactly the left rows") {
+    val left = Seq(("A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
+    val right = Seq(("A", ts("2023-12-31 00:00:00"), 5.0),
+      ("A", ts("2023-12-30 00:00:00"), 4.0)).toDF("k", "t", "w")
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", Seq("w"))
+    assert(out.count() === 1)
+    assert(out.select("w").as[Double].head() === 5.0, "latest prior wins")
+  }
+}
