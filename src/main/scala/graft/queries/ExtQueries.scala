@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext._
-import graft.ops.AggOps
+import graft.ops.{AggOps, Skew}
 
 /** Queries covering the LLM-data-pipeline extension surface (SURVEY.md §2b):
   * text analysis, dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -261,6 +261,38 @@ object ExtQueries {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
         Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
       }),
+
+    // ----- skew: salted two-phase aggregate ----------------------------------
+    // Oracle is the PLAIN group-by — the point is that the salted rewrite is
+    // row-identical while bounding per-task hot-key volume.
+    GQ("skew_salted_agg",
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) =>
+        Skew.saltedAggregate(Tables.events(spark, dir),
+          keys = Seq("event_type"), discriminator = col("event_id"), buckets = 16,
+          aggs = Seq(
+            ("n", (c: org.apache.spark.sql.Column) => count(c),
+                  (c: org.apache.spark.sql.Column) => sum(c)),
+            ("value_sum", (c: org.apache.spark.sql.Column) => sum(c),
+                          (c: org.apache.spark.sql.Column) => sum(c))),
+          valueCols = Seq("event_id", "value"))
+          .select(col("event_type"), col("n"),
+            round(col("value_sum"), 4).as("value_sum"))
+          .orderBy("event_type")),
+
+    // ----- text: term frequency (top bigrams corpus-wide) --------------------
+    GQ("txt_top_bigrams",
+      Some("""WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+             |         i -> ts[i] || ' ' || ts[i+1])) AS gram FROM tok)
+             |SELECT gram, count(*) AS n FROM bg GROUP BY gram
+             |ORDER BY n DESC, gram LIMIT 20""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram").asc).limit(20)),
 
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
