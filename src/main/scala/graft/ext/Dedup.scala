@@ -175,6 +175,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph → per-node canonical
+    * label (the component's minimum id). Iterative min-label propagation:
+    * each round joins labels across undirected edges and keeps the
+    * element-wise min; converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (dozens of docs), so a handful of distributed
+    * rounds, each a hash join + aggregate. `localCheckpoint` every round
+    * truncates lineage so plans don't grow with iterations.
+    *
+    * Output: (id, component) for every node appearing in `edges`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.withColumnsRenamed(Map("id" -> "v", "component" -> "vlbl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnsRenamed(Map("component" -> "old")), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: pair graph (exact Jaccard by default) →
+    * connected components → keep one canonical doc per component (the min
+    * id), untouched docs pass through. The "switch-to-this-library" surface
+    * for corpus cleaning.
+    */
+  def canonicalizeNearDups(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+  }
+
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.
     * Brute-force O(n²) pair join — ground truth / verification scale only;
     * the ANN path for 100 TB is [[SimSearch.lshTopK]]. Similarity is

@@ -68,6 +68,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("connectedComponents labels transitive chains with the min id") {
+    val edges = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(2L) === 2L && comps(5L) === 2L && comps(9L) === 2L,
+      "chain 2-5-9 collapses to min id 2")
+    assert(comps(20L) === 20L && comps(21L) === 20L)
+  }
+
+  test("canonicalizeNearDups keeps untouched docs as their own component") {
+    val out = Dedup.canonicalizeNearDups(docs, "doc_id", "text", 3, 0.4)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L,
+      "exact+near dup cluster collapses to doc 1")
+    assert(out(4L) === 4L, "singleton keeps own id")
+  }
+
   test("embeddingCosinePairs matches a hand-computed cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),   // cos = 1
