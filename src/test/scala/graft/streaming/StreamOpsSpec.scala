@@ -60,6 +60,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamSessions === batchSessions)
   }
 
+  test("multi-batch: per-file micro-batches accumulate; watermark drops late data") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // batch 1: on-time events at 10:00-10:30; batch 2: one event a full day
+    // EARLIER than batch 1's max — far beyond the 10-minute watermark
+    val dir = Files.createTempDirectory("graft-late")
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .to_timestamp(col("tss"))).drop("tss")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+
+    write("b1", Seq(
+      (1L, "2024-06-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-06-01 10:30:00", 1L, "click", 1.0, "{}")))
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val agg = StreamOps.windowedCounts(stream, 3600, 3600, watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_test").start()
+    q.processAllAvailable()
+
+    write("b2", Seq((3L, "2024-05-31 09:00:00", 1L, "click", 5.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("late_test")
+      .select("window_start_s", "n").as[(Long, Long)].collect().toMap
+    // the late 05-31 event must NOT appear: its window closed before the
+    // watermark (10:30 - 10min) when batch 2 arrived
+    val lateWindow = java.time.Instant.parse("2024-05-31T09:00:00Z").getEpochSecond / 3600 * 3600
+    assert(!rows.contains(lateWindow), s"late event leaked into $rows")
+  }
+
   test("runningUserStats accumulates per-key state across a batch") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     StreamOps.runToMemory(
