@@ -103,13 +103,16 @@ object Dedup {
     * sets (attached as arrays — per-pair intersection, no re-join through
     * the inverted index).
     *
-    * Output matches `ngramJaccardPairs` up to LSH recall; with 128/32
-    * hashes/bands the miss probability at j ≥ 0.4 is ≈ (1-0.4⁴)³² ≈ 0.57 —
-    * tune bands to the threshold (32 bands × r=4: s-curve midpoint
-    * ≈ (1/32)^(1/4) ≈ 0.42).
+    * Output matches `ngramJaccardPairs` up to LSH recall. Defaults 128/64
+    * (r=2 rows per band): miss probability at j ≥ 0.4 is
+    * (1-0.4²)⁶⁴ ≈ 1.4e-5 — near-perfect recall at the usual near-dup
+    * thresholds, at the cost of more candidate noise (all killed by the
+    * exact verify). Fewer bands (e.g. 32 × r=4, s-curve midpoint ≈ 0.42)
+    * trade recall at 0.4 for fewer candidates — only safe for thresholds
+    * well above 0.5.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                      threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                      threshold: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
@@ -185,7 +188,7 @@ object Dedup {
     *
     * Output: (id, component) for every node appearing in `edges`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
@@ -208,6 +211,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would return plausible-but-wrong labels (one real
+    // cluster split in two) — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 
@@ -238,8 +247,8 @@ object Dedup {
     val a = v.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a", "nrm" -> "nrm_a"))
     val b = v.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b", "nrm" -> "nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        dotF(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cosine", SimSearch.safeCosine(
+        dotF(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -20,7 +20,29 @@ object SimSearch {
     */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.VectorFunctions.{dotF, normF}
-    dotF(a, b) / (normF(a) * normF(b))
+    val (na, nb) = (normF(a), normF(b))
+    when(na =!= 0.0 && nb =!= 0.0, dotF(a, b) / (na * nb))
+  }
+
+  /** NULL for zero-norm (degenerate) vectors instead of ANSI
+    * DIVIDE_BY_ZERO: padding/failed-encoder rows are routine in corpus
+    * pipelines and must not abort the job. NULL similarity is excluded by
+    * threshold filters and ranks after every real value. Rounded to 6
+    * decimals for cross-engine rank/threshold reproducibility.
+    */
+  private[ext] def safeCosine(dot: Column, na: Column, nb: Column): Column =
+    when(na =!= 0.0 && nb =!= 0.0, round(dot / (na * nb), 6))
+
+  /** Shared candidate-ranking tail: per-probe row_number over
+    * (cosine desc, nbr_id) — one definition so exact and ANN paths can
+    * never diverge on tie-breaks or rounding.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nbr_id", "cosine", "rank")
   }
 
   /** Exact top-k neighbors per probe: cross join probes × corpus, cosine,
@@ -42,13 +64,9 @@ object SimSearch {
       normF(col(vecCol)).as("probe_norm"))
     val scored = p.crossJoin(c)
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cosine", round(
-        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nbr_id", "cosine", "rank")
+      .withColumn("cosine", safeCosine(
+        dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k: corpus is partitioned into `nlist`
@@ -79,12 +97,17 @@ object SimSearch {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
 
-    // nearest-centroid assignment as a literal-array argmax expression
+    // nearest-centroid assignment as a literal-array argmax expression; the
+    // probe's own norm scales every cell's score equally so it drops out of
+    // the argmax, and centroid norms are plain Scala doubles inlined as
+    // literals (a zero-norm centroid scores -2.0 — below any real cosine —
+    // instead of tripping ANSI divide-by-zero)
     def cellOf(vec: Column, take: Int): Column = {
       val sims = centroids.map { case (cid, cv) =>
         val cvLit = array(cv.map(x => lit(x)): _*).cast("array<float>")
-        struct((dotF(vec, cvLit) / (normF(vec) * normF(cvLit))).as("sim"),
-          lit(cid).as("cell"))
+        val cvNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+        val sim = if (cvNorm == 0.0) lit(-2.0) else dotF(vec, cvLit) / lit(cvNorm)
+        struct(sim.as("sim"), lit(cid).as("cell"))
       }
       // sort desc by (sim, cell), take the top `take` cell ids
       transform(slice(reverse(array_sort(array(sims: _*))), 1, take),
@@ -101,13 +124,9 @@ object SimSearch {
     val scored = p.join(c, "cell")
       .dropDuplicates("probe_id", "nbr_id")
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cosine", round(
-        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nbr_id", "cosine", "rank")
+      .withColumn("cosine", safeCosine(
+        dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 random hyperplanes (seeded), as literal arrays baked
@@ -155,12 +174,8 @@ object SimSearch {
     val scored = p.join(c, "bucket")
       .dropDuplicates("probe_id", "nbr_id")
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cosine", round(
-        dotF(col("probe_vec"), col("nbr_vec")) / (col("probe_norm") * col("nbr_norm")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nbr_id", "cosine", "rank")
+      .withColumn("cosine", safeCosine(
+        dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))
+    rankTopK(scored, k)
   }
 }

@@ -45,8 +45,11 @@ object TextOps {
       .withColumn("n_tokens", size(toks))
       .withColumn("avg_token_len",
         (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
+      // guarded: ANSI mode throws DIVIDE_BY_ZERO on empty documents, which
+      // are exactly what quality filtering exists to catch
       .withColumn("punct_ratio",
-        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t))
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t)))
   }
 
   /** Stopword-ratio score against a lexicon: fraction of tokens that are

@@ -22,13 +22,16 @@ object ParquetIO {
     partitionFilters.foldLeft(base) { case (df, (k, v)) => df.filter(col(k) === v) }
   }
 
-  /** K1/K2 — partitioned snappy-parquet append, mirroring the reference's
+  /** K1/K2 — partitioned snappy-parquet write, mirroring the reference's
     * writer chain (`extract_stocks_job.py:386-393`) including its explicit
-    * dictionary/bloom-filter opt-out on raw stocks.
+    * dictionary/bloom-filter opt-out on raw stocks. Append by default (the
+    * reference's mode); `overwrite` for idempotent scratch outputs.
     */
   def writePartitioned(df: DataFrame, path: String, partitions: Seq[String],
-                       disableDictionary: Boolean = false): Unit = {
-    val w0 = df.write.mode("append").option("compression", "snappy")
+                       disableDictionary: Boolean = false,
+                       overwrite: Boolean = false): Unit = {
+    val w0 = df.write.mode(if (overwrite) "overwrite" else "append")
+      .option("compression", "snappy")
     val w = if (disableDictionary)
       w0.option("parquet.enable.dictionary", "false")
         .option("parquet.bloom.filter.enabled", "false")

@@ -40,19 +40,24 @@ object AsOfJoin {
            rightAttrs: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
 
-    // one unified schema: left payload + nullable right attrs + (key, t, side)
+    // one unified schema: left payload + ONE nullable struct of right attrs
+    // + (key, t, side). A single struct (not per-attr columns) is carried
+    // forward so all attributes always come from the SAME matched right row
+    // — per-attr last(ignoreNulls) would skip a legitimately-NULL attribute
+    // on the matched row and stitch values from different rows.
+    val rStructDt = right.select(struct(rightAttrs.map(col): _*)).schema.head.dataType
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(col) ++
-        rightAttrs.map(a => lit(null).cast(right.schema(a).dataType).as(s"__r_$a")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rStructDt).as("__r"): _*)
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightAttrs.map(a => col(a).as(s"__r_$a")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightAttrs.map(col): _*).as("__r"): _*)
 
     // right rows sort BEFORE left rows at equal __t (side 0 < 1), so a
     // same-timestamp right row is visible to the left row — ASOF >= ties
@@ -60,12 +65,11 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = rightAttrs.foldLeft(l.unionByName(r)) { (df, a) =>
-      df.withColumn(s"__c_$a", last(col(s"__r_$a"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightAttrs.map(a => col(s"__c_$a").as(a)): _*)
+        rightAttrs.map(a => col("__c").getField(a).as(a)): _*)
   }
 }

@@ -52,6 +52,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, usingCols: Seq[String],
                  discriminator: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer are NOT salt-sound: replicated right rows with
+    // non-occurring salts would surface as spurious unmatched rows
+    val sound = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(sound.contains(joinType.toLowerCase),
+      s"saltedJoin supports $sound, not '$joinType' (right/full outer would " +
+        "emit one unmatched row per salt replica)")
     val l = left.withColumn("__salt",
       pmod(xxhash64(discriminator), lit(buckets.toLong)))
     val r = right.withColumn("__salt",

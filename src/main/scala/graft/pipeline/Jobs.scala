@@ -93,10 +93,10 @@ object Jobs {
       "mediaFechamento" -> avg($"precoFechamento"),
       "totalVolume" -> sum($"volumeNegociacao")))
 
-    val withVar = CleanOps.dropColumns(
-      WindowOps.lagDelta(withAggs, Seq("codigoAcao"), Seq($"data".asc),
-        "precoFechamento", "variacaoFechamento"),
-      "fechamentoAnterior")
+    // lagDelta computes-and-drops the reference's fechamentoAnterior helper
+    // column internally (the P7 drop at transform_stocks_job.py:198)
+    val withVar = WindowOps.lagDelta(withAggs, Seq("codigoAcao"), Seq($"data".asc),
+      "precoFechamento", "variacaoFechamento")
 
     ParquetIO.writePartitioned(
       CleanOps.withProcessDate(withVar, cfg.processDate),

@@ -338,11 +338,12 @@ object CoreQueries {
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-k1").toString
+        // fixed path + overwrite: a fresh temp dir per invocation would leak
+        // a lineitem copy every bench/verify run
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_roundtrip"
         graft.io.ParquetIO.writePartitioned(
           Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag"),
-          out, Seq("l_returnflag"))
+          out, Seq("l_returnflag"), overwrite = true)
         graft.io.ParquetIO.readPartitioned(spark, out)
           .groupBy($"l_returnflag".cast("string").as("l_returnflag"))
           .agg(count(lit(1)).as("n"))

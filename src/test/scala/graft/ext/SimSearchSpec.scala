@@ -15,6 +15,24 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got - expect) < 1e-12)
   }
 
+  test("zero-norm vectors yield NULL cosine instead of ANSI divide-by-zero") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    // would throw SparkArithmeticException without the guard
+    val out = SimSearch.bruteForceTopK(df, df, "vec_id", "embedding", 2)
+      .select("probe_id", "nbr_id", "cosine").collect()
+    assert(out.nonEmpty)
+    val zeroPairs = out.filter(r => r.getLong(0) == 1L || r.getLong(1) == 1L)
+    assert(zeroPairs.forall(_.isNullAt(2)), "degenerate pairs score NULL")
+    val pairs = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a == 1L || b == 1L },
+      "NULL cosine excluded by threshold filter")
+  }
+
   test("bruteForceTopK returns k ranked neighbors per probe, self excluded") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = SimSearch.bruteForceTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 5)

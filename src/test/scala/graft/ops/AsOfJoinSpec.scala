@@ -39,6 +39,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(15L).isEmpty, "unknown key stays null")
   }
 
+  test("asOf takes ALL attrs from the matched row — a NULL attr stays NULL") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(1.0), Some(100L)),
+      ("A", ts("2024-01-01 11:00:00"), None, Some(200L)), // px unknown here
+    ).toDF("k", "t", "px", "sz")
+    val trades = Seq(("A", ts("2024-01-01 11:30:00"), 1L)).toDF("k", "t", "qty")
+    val r = AsOfJoin.asOf(trades, quotes, "k", "k", "t", "t", Seq("px", "sz")).head()
+    assert(r.getAs[Any]("px") === null,
+      "matched row's NULL px must not be back-filled from the older row")
+    assert(r.getAs[Long]("sz") === 200L, "and sz comes from the same matched row")
+  }
+
   test("asOf output keeps exactly the left rows") {
     val left = Seq(("A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
     val right = Seq(("A", ts("2023-12-31 00:00:00"), 5.0),

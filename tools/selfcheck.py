@@ -26,6 +26,13 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that crashed in Verify writes NO dump dir — surface it instead
+    # of silently skipping (an all-pass gate over a missing result is worse
+    # than a failure)
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL {name}: oracle present but no parquet dump (query crashed in Verify?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
