@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Partitioned parquet sources/sinks (SURVEY.md §2a S4, K1–K2).
@@ -38,4 +38,22 @@ object ParquetIO {
     else w0
     w.partitionBy(partitions: _*).parquet(path)
   }
+
+  /** Bucketed catalog table: rows hash-clustered into `buckets` files by
+    * `bucketCols`, sorted within each bucket.
+    *
+    * The 100 TB co-location primitive: two tables bucketed the same way on
+    * the join key join with ZERO exchange — each task zips bucket i with
+    * bucket i (verified by `PlanCheckSpec`: no Exchange in the plan). The
+    * shuffle is paid once at write time instead of on every join, which is
+    * the right trade for fact tables joined repeatedly on the same key.
+    * Bucket pruning also serves point lookups on the bucket key.
+    */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+                    bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(s"`$db`.`$table`")
 }
