@@ -39,6 +39,25 @@ object ParquetIO {
     w.partitionBy(partitions: _*).parquet(path)
   }
 
+  /** Size-controlled partitioned write — the small-files guard.
+    *
+    * A naive `df.write.partitionBy(p)` emits one file per (task ×
+    * partition-value): with T tasks and P partition values that is up to
+    * T×P files — the classic metadata/NameNode killer at 100 TB. Hash-
+    * repartitioning on the partition columns first routes each partition
+    * value to ONE task (one file per value), and `maxRecordsPerFile` splits
+    * oversized values back into bounded files. Result: max(1, rows/maxRec)
+    * files per partition value, independent of upstream parallelism.
+    */
+  def writeSized(df: DataFrame, path: String, partitions: Seq[String],
+                 maxRecordsPerFile: Long): Unit =
+    df.repartition(partitions.map(col): _*)
+      .write.mode("append")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partitions: _*)
+      .parquet(path)
+
   /** Bucketed catalog table: rows hash-clustered into `buckets` files by
     * `bucketCols`, sorted within each bucket.
     *

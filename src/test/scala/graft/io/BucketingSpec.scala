@@ -9,6 +9,22 @@ import graft.{SparkSpec, Tables}
   */
 class BucketingSpec extends AnyFunSuite with SparkSpec {
 
+  test("writeSized bounds files per partition value regardless of task count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sized").toString
+    // 32 upstream partitions × 3 flag values would emit up to 96 files naive
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag").repartition(32)
+    ParquetIO.writeSized(li, dir, Seq("l_returnflag"), maxRecordsPerFile = 100000)
+    val filesPerValue = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerValue.nonEmpty)
+    filesPerValue.foreach { case (part, n) =>
+      assert(n === 1, s"$part has $n files; expected exactly 1 (fits maxRecordsPerFile)")
+    }
+    assert(spark.read.parquet(dir).count() === li.count(), "no rows lost")
+  }
+
   test("bucketed-bucketed equi-join has zero shuffles and matches plain join") {
     spark.sql("CREATE DATABASE IF NOT EXISTS bkt_db")
     // clear any stale table AND its managed location (a crashed earlier run
