@@ -100,13 +100,16 @@ object SimSearch {
     // nearest-centroid assignment as a literal-array argmax expression; the
     // probe's own norm scales every cell's score equally so it drops out of
     // the argmax, and centroid norms are plain Scala doubles inlined as
-    // literals (a zero-norm centroid scores -2.0 — below any real cosine —
-    // instead of tripping ANSI divide-by-zero)
+    // literals. A zero-norm centroid scores -Infinity (cell scores are
+    // dot/|c| = |v|·cos, UNBOUNDED below for unnormalized vectors, so a
+    // finite sentinel could outrank real cells) instead of tripping ANSI
+    // divide-by-zero.
     def cellOf(vec: Column, take: Int): Column = {
       val sims = centroids.map { case (cid, cv) =>
         val cvLit = array(cv.map(x => lit(x)): _*).cast("array<float>")
         val cvNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-        val sim = if (cvNorm == 0.0) lit(-2.0) else dotF(vec, cvLit) / lit(cvNorm)
+        val sim = if (cvNorm == 0.0) lit(Double.NegativeInfinity)
+          else dotF(vec, cvLit) / lit(cvNorm)
         struct(sim.as("sim"), lit(cid).as("cell"))
       }
       // sort desc by (sim, cell), take the top `take` cell ids

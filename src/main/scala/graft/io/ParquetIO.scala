@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id, xxhash64}
 
 /** Partitioned parquet sources/sinks (SURVEY.md §2a S4, K1–K2).
   *
@@ -22,6 +22,20 @@ object ParquetIO {
     partitionFilters.foldLeft(base) { case (df, (k, v)) => df.filter(col(k) === v) }
   }
 
+  /** Shared writer chain so the sibling sinks can't silently diverge on
+    * mode/compression/writer options.
+    */
+  private def writer(df: DataFrame, disableDictionary: Boolean, overwrite: Boolean,
+                     maxRecordsPerFile: Option[Long]) = {
+    val w0 = df.write.mode(if (overwrite) "overwrite" else "append")
+      .option("compression", "snappy")
+    val w1 = if (disableDictionary)
+      w0.option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled", "false")
+    else w0
+    maxRecordsPerFile.fold(w1)(m => w1.option("maxRecordsPerFile", m.toString))
+  }
+
   /** K1/K2 — partitioned snappy-parquet write, mirroring the reference's
     * writer chain (`extract_stocks_job.py:386-393`) including its explicit
     * dictionary/bloom-filter opt-out on raw stocks. Append by default (the
@@ -29,41 +43,42 @@ object ParquetIO {
     */
   def writePartitioned(df: DataFrame, path: String, partitions: Seq[String],
                        disableDictionary: Boolean = false,
-                       overwrite: Boolean = false): Unit = {
-    val w0 = df.write.mode(if (overwrite) "overwrite" else "append")
-      .option("compression", "snappy")
-    val w = if (disableDictionary)
-      w0.option("parquet.enable.dictionary", "false")
-        .option("parquet.bloom.filter.enabled", "false")
-    else w0
-    w.partitionBy(partitions: _*).parquet(path)
-  }
+                       overwrite: Boolean = false): Unit =
+    writer(df, disableDictionary, overwrite, None)
+      .partitionBy(partitions: _*).parquet(path)
 
   /** Size-controlled partitioned write — the small-files guard.
     *
     * A naive `df.write.partitionBy(p)` emits one file per (task ×
     * partition-value): with T tasks and P partition values that is up to
-    * T×P files — the classic metadata/NameNode killer at 100 TB. Hash-
-    * repartitioning on the partition columns first routes each partition
-    * value to ONE task (one file per value), and `maxRecordsPerFile` splits
-    * oversized values back into bounded files. Result: max(1, rows/maxRec)
-    * files per partition value, independent of upstream parallelism.
+    * T×P files — the classic metadata/NameNode killer at 100 TB.
+    * Repartitioning on (partition columns + a salt of
+    * `tasksPerPartition` buckets) routes each partition value to a bounded
+    * number of tasks, and `maxRecordsPerFile` splits oversized outputs.
+    * Result: ≤ tasksPerPartition × ceil(rows/maxRec) files per value,
+    * independent of upstream parallelism.
+    *
+    * `tasksPerPartition` trades file count for write parallelism: 1 gives
+    * exactly one writer per value (fewest files, but a 40%-hot value
+    * funnels through one core); size it to ≈ hot-value rows /
+    * maxRecordsPerFile so each output file gets its own task.
     */
   def writeSized(df: DataFrame, path: String, partitions: Seq[String],
-                 maxRecordsPerFile: Long): Unit =
-    df.repartition(partitions.map(col): _*)
-      .write.mode("append")
-      .option("compression", "snappy")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+                 maxRecordsPerFile: Long, tasksPerPartition: Int = 1): Unit = {
+    val salted = df.withColumn("__wsalt",
+      pmod(xxhash64(spark_partition_id()), lit(tasksPerPartition.toLong)))
+    writer(salted.repartition((partitions :+ "__wsalt").map(col): _*).drop("__wsalt"),
+      disableDictionary = false, overwrite = false, Some(maxRecordsPerFile))
       .partitionBy(partitions: _*)
       .parquet(path)
+  }
 
   /** Bucketed catalog table: rows hash-clustered into `buckets` files by
     * `bucketCols`, sorted within each bucket.
     *
     * The 100 TB co-location primitive: two tables bucketed the same way on
     * the join key join with ZERO exchange — each task zips bucket i with
-    * bucket i (verified by `PlanCheckSpec`: no Exchange in the plan). The
+    * bucket i (verified by `BucketingSpec`: no Exchange in the plan). The
     * shuffle is paid once at write time instead of on every join, which is
     * the right trade for fact tables joined repeatedly on the same key.
     * Bucket pruning also serves point lookups on the bucket key.

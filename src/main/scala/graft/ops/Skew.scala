@@ -53,12 +53,13 @@ object Skew {
                  discriminator: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     // right/full outer are NOT salt-sound: replicated right rows with
-    // non-occurring salts would surface as spurious unmatched rows
-    val sound = Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti")
-    require(sound.contains(joinType.toLowerCase),
-      s"saltedJoin supports $sound, not '$joinType' (right/full outer would " +
-        "emit one unmatched row per salt replica)")
+    // non-occurring salts would surface as spurious unmatched rows.
+    // Normalize the way Spark's JoinType does (lowercase, strip _) so every
+    // alias Spark accepts is accepted here too.
+    val sound = Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+    require(sound.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti joins, not '$joinType' " +
+        "(right/full outer would emit one unmatched row per salt replica)")
     val l = left.withColumn("__salt",
       pmod(xxhash64(discriminator), lit(buckets.toLong)))
     val r = right.withColumn("__salt",

@@ -338,9 +338,11 @@ object CoreQueries {
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
-        // fixed path + overwrite: a fresh temp dir per invocation would leak
-        // a lineitem copy every bench/verify run
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_roundtrip"
+        // per-process path + overwrite: bounded to one leaked copy per JVM
+        // (a fresh dir per invocation would accumulate every bench/verify
+        // run; a fixed shared path would race concurrent runs and break
+        // across users on a shared host)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_roundtrip_${ProcessHandle.current().pid()}"
         graft.io.ParquetIO.writePartitioned(
           Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag"),
           out, Seq("l_returnflag"), overwrite = true)
