@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed-work CPU probe (single-thread long-arithmetic loop): ~1.3 s on
+    * this container unthrottled, 2.3 s+ under host-level contention
+    * (shared-tenancy throttling inflates wall-clock up to 3× while guest
+    * load looks idle). Emitted in the bench JSON so totals are
+    * interpretable across rounds.
+    */
+  private def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 400000000L) { acc += i ^ (acc >>> 7); i += 1 }
+    if (acc == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val probe = cpuProbeSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,13 +34,20 @@ object Bench {
     // same first query every round and per-query numbers compare across runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failure must be VISIBLE, never a fast fake timing: record the
+      // error message per query and poison the total
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, err) =>
+      jsonStr(k) + ":" + (if (err.isEmpty) v.toString else jsonStr("ERROR " + err.get.take(200)))
+    }.mkString("{", ",", "}")
+    val nErrors = results.count(_._3.nonEmpty)
+    val total = if (nErrors > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"cpu_probe_sec":$probe,"queries":$qs,"sf":${jsonStr(sfDir)}}""")
     spark.stop()
+    if (nErrors > 0) sys.exit(1)
   }
 }

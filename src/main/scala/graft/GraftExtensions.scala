@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, ShingleHashes}
+import graft.functions.{FloatVectorDot, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -13,6 +13,7 @@ import graft.functions.{FloatVectorDot, ShingleHashes}
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   * spark.sql("SELECT float_vector_dot(a, b) FROM vectors")
   * spark.sql("SELECT shingle_hashes(text, 3) FROM documents")
+  * spark.sql("SELECT minhash_sketch(shingle_hashes(text, 3), 128) FROM documents")
   * }}}
   *
   * [[GraftExtensions.register]] does the same on an existing session (the
@@ -38,6 +39,15 @@ object GraftExtensions {
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1)))),
+    ("shingle_strings",
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (es: Seq[Expression]) => ShingleStrings(es(0), intLit(es(1)))),
+    ("minhash_sketch",
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (es: Seq[Expression]) => MinHashSketch(es(0), intLit(es(1)))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
   )
 
   /** Register on an already-built session. */

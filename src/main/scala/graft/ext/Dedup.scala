@@ -34,16 +34,6 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
   }
 
-  /** Distinct (id, shingleHash) rows — the shared inverted-index input for
-    * Jaccard / MinHash below. Shingles are 64-bit hashes from the native
-    * one-pass [[graft.functions.ShingleHashes]] expression: set-similarity
-    * math needs shingle identity only, and hashed rows shuffle ~5× fewer
-    * bytes than shingle strings.
-    */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)).as("s"))
-
   /** Exact n-gram Jaccard similarity join: all pairs (id_a < id_b) with
     * |A∩B| / |A∪B| ≥ `threshold` over distinct word `n`-gram shingle sets.
     *
@@ -56,21 +46,29 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh0 = shingleRows(df, idCol, textCol, n)
+    // set size is a property of the per-doc shingle ARRAY — computing it
+    // before the explode and carrying it through the index join (8 bytes per
+    // exploded row) saves the separate sizes aggregate plus two join-backs
+    // (three shuffles) of the naive formulation.
+    val sh0 = df
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
+      .select(col("id"), size(col("set")).cast("long").as("sz"),
+        explode(col("set")).as("s"))
+    // `sz` stays the FULL set size even under the cap: capped runs drop hub
+    // shingles from candidate generation and intersection counts only, so
+    // jaccard is underestimated — the capped result is a subset of the exact
+    // pairs at the same threshold (never a false positive).
     val sh = maxDocFreq match {
       case Some(cap) =>
         val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap).select("s")
         sh0.join(broadcast(hubs), Seq("s"), "left_anti")
       case None => sh0
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.withColumnsRenamed(Map("id" -> "id_a"))
-    val b = sh.withColumnsRenamed(Map("id" -> "id_b"))
-    val common = a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+    val a = sh.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a"))
+    val b = sh.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b"))
+    a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -78,24 +76,25 @@ object Dedup {
   }
 
   /** MinHash signature column: array of `numHashes` minima over the doc's
-    * distinct shingles. One aggregate pass — the 100 TB path never
-    * materializes pairwise anything until LSH banding has cut candidates to
-    * near-linear.
+    * distinct shingles. A sketch is a pure per-document function, so this is
+    * a SCAN-side projection via the native
+    * [[graft.functions.SketchFunctions.minhashSketch]] expression — no
+    * explode, no shuffle, constant memory per row. (The former formulation
+    * aggregated 128 separate `min(xxhash64(i, s))` columns over the exploded
+    * shingle relation: a shuffle plus a 128-wide aggregation buffer per doc,
+    * the slowest query of the round-1 bench.)
     *
-    * Hash family: the shingle's 64-bit base hash re-mixed per function,
-    * h_i = xxhash64(i, base) — numHashes constant-width hashes in codegen
-    * instead of numHashes string hashes (~10× on the sketch-build pass).
-    * Wrapping multiply tricks (Kirsch–Mitzenmacher) are off the table under
-    * ANSI overflow checking.
+    * Hash family is unchanged and bit-identical: h_i = xxhash64(i, base)
+    * over the shingle's 64-bit base hash, same seed chaining as the SQL
+    * function. Wrapping multiply tricks (Kirsch–Mitzenmacher) are off the
+    * table under ANSI overflow checking.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
-                        numHashes: Int): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                        numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhashSketch(
+          graft.functions.ShingleHashes.shingleHashes(col(textCol), n), numHashes).as("sig"))
+      .filter(col("sig").isNotNull) // docs with < n tokens have no signature
 
   /** MinHash + LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), bucket-join on (band index, band hash) to get
@@ -116,9 +115,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // band hash = xxhash64 over the band's sig elements directly
+    // (element_at is codegen'd; the former slice().cast("string") built a
+    // "[1, 2, …]" string per band per doc — pure allocation)
     val banded = sigs.select(col("id"), posexplode(
       array((0 until bands).map(bnd =>
-        xxhash64(slice(col("sig"), bnd * rows + 1, rows).cast("string"))): _*)
+        xxhash64((1 to rows).map(r => element_at(col("sig"), bnd * rows + r)): _*)): _*)
     ).as(Seq("band", "bh")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -138,22 +140,15 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each hash
     * votes ±1 on each of 64 bit positions, fingerprint bit j = sign of the
-    * vote sum. One explode + one 64-column aggregate — constant state per
-    * doc, linear scan at scale.
+    * vote sum. A scan-side projection via the native
+    * [[graft.functions.SketchFunctions.simhash64]] expression — no explode,
+    * no shuffle, constant state per doc (the former 64-column vote aggregate
+    * shuffled every token).
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
-    }
-    val agged = tok.groupBy("id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    agged.select(col("id"), fp.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull) // NULL text yields no fingerprint row
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
     * pigeonhole banding on four 16-bit chunks (any pair within hamming 3
@@ -188,13 +183,37 @@ object Dedup {
     *
     * Output: (id, component) for every node appearing in `edges`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          driverEdgeLimit: Long = 1L << 22): DataFrame = {
     val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
+    // Near-dup pair graphs are tiny relative to their corpus (edges exist
+    // only between near-identical docs), so the common case fits on the
+    // driver by orders of magnitude: union-find over one collect of the
+    // checkpointed edge list (bounded at `driverEdgeLimit` rows ≈ 64 MB)
+    // replaces ~2 distributed actions per propagation round. Graphs above
+    // the bound take the distributed min-label loop below — same labels.
+    // (gated on integral ids — the distributed loop below is generic over
+    // any ordered id type, the driver path collects to Long)
+    val integralIds = und.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val edgeCount = und.count() / 2
+    if (integralIds && edgeCount <= driverEdgeLimit)
+      return unionFindDriver(und, edges.sparkSession)
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // labels only ever decrease element-wise, so the exact (decimal, no
+    // overflow) label sum is strictly decreasing until the fixpoint —
+    // convergence is one cheap scan of the checkpointed labels instead of a
+    // join-and-count action per round
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -205,10 +224,10 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnsRenamed(Map("component" -> "old")), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     // silent truncation would return plausible-but-wrong labels (one real
@@ -220,10 +239,38 @@ object Dedup {
     labels
   }
 
-  /** End-to-end near-dup removal: pair graph (exact Jaccard by default) →
-    * connected components → keep one canonical doc per component (the min
-    * id), untouched docs pass through. The "switch-to-this-library" surface
-    * for corpus cleaning.
+  /** Driver-side union-find with path compression over a collected
+    * (already size-gated) undirected edge list; labels = component min id,
+    * identical to the distributed loop's fixpoint.
+    */
+  private def unionFindDriver(und: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val es = und.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val rows = parent.keys.toSeq.map(id => id -> find(id))
+    val dt = und.schema("u").dataType // give back the caller's id type
+    rows.toDF("id", "component")
+      .select(col("id").cast(dt).as("id"), col("component").cast(dt).as("component"))
+  }
+
+  /** Near-dup clustering: pair graph (exact Jaccard) → connected
+    * components → ANNOTATES every row with its `component` (the cluster's
+    * min id; untouched docs are their own component). No rows are dropped —
+    * use [[dropNearDups]] for actual removal.
     */
   def canonicalizeNearDups(df: DataFrame, idCol: String, textCol: String,
                            n: Int, threshold: Double): DataFrame = {
@@ -232,6 +279,16 @@ object Dedup {
     df.join(comps.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
   }
+
+  /** End-to-end near-dup REMOVAL: keep exactly one doc per
+    * [[canonicalizeNearDups]] component (the min id), untouched docs pass
+    * through. The "switch-to-this-library" surface for corpus cleaning.
+    */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame =
+    canonicalizeNearDups(df, idCol, textCol, n, threshold)
+      .filter(col("component") === col(idCol))
+      .drop("component")
 
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.
     * Brute-force O(n²) pair join — ground truth / verification scale only;

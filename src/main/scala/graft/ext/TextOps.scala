@@ -22,15 +22,13 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Contiguous word n-grams ("shingles"), space-joined. Empty array when
-    * the document has fewer than `n` tokens.
+    * the document has fewer than `n` tokens (or NULL text). Native one-pass
+    * kernel — see [[graft.functions.ShingleStrings]] for why not the
+    * interpreted `transform`/`slice`/`concat_ws` HOF chain.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    coalesce(graft.functions.ShingleStrings.shingleStrings(tokens(text), n),
+      array().cast("array<string>"))
 
   def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 

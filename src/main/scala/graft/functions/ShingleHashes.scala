@@ -91,3 +91,58 @@ object ShingleHashes {
   def shingleHashes(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
 }
+
+/** String-emitting sibling of [[ShingleHashes]]: all contiguous word
+  * `n`-grams of a token array, space-joined, in order, duplicates kept.
+  *
+  * Exists for the term-frequency path (`txt_top_bigrams`), which needs the
+  * shingle TEXT, not just identity. The declarative form —
+  * `transform(sequence(1, size-n+1), i => concat_ws(" ", slice(ts, i, n)))`
+  * — is interpreted (HOF) and allocates a sliced array per shingle; this
+  * expression emits each window with one `UTF8String.concatWs`, no
+  * intermediate arrays. Output is byte-identical to the HOF form (tokens
+  * joined by a single space), so oracle hashes are unaffected.
+  *
+  * Takes the token ARRAY (from [[graft.ext.TextOps.tokens]]) rather than raw
+  * text so tokenization semantics live in exactly one place.
+  */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  /** All space-joined word n-gram shingles of a token-array column. */
+  def shingleStrings(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(tokens), n))
+}

@@ -43,7 +43,13 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // a silent min() truncation would yield a plausible-but-wrong dot for a
+    // malformed embedding column; DuckDB's list_cosine_similarity errors on
+    // mismatched lengths, so error parity keeps divergence impossible
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,15 +60,27 @@ case class FloatVectorDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: with non-nullable children nullSafeCodeGen emits this
+      // block unbraced, so fixed names would collide (duplicate declaration
+      // → Janino failure → silent interpreted fallback) when the expression
+      // appears more than once in one codegen scope
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

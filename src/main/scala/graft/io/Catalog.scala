@@ -10,9 +10,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Catalog {
 
+  // All DDL is assembled by string interpolation, so embedded quote
+  // characters must be escaped or a name/path containing one breaks (or
+  // redirects) the generated SQL.
+  /** Quoted identifier: backticks doubled. */
+  private def qi(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  /** Quoted string literal: single quotes doubled. */
+  private def qs(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
   /** D1 — CREATE DATABASE IF NOT EXISTS (`extract_news_job.py:324`). */
   def ensureDatabase(spark: SparkSession, db: String): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${qi(db)}")
 
   /** D2 — partitioned external parquet table at an explicit location
     * (`transform_stocks_job.py:66-84`). `schema` covers DATA columns only;
@@ -26,35 +34,35 @@ object Catalog {
   def createExternalTable(spark: SparkSession, db: String, table: String,
                           schema: StructType, partitions: Seq[(String, String)],
                           location: String): Unit = {
-    val cols = (schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}") ++
-      partitions.map { case (n, t) => s"`$n` $t" }).mkString(", ")
-    val parts = partitions.map { case (n, _) => s"`$n`" }.mkString(", ")
+    val cols = (schema.fields.map(f => s"${qi(f.name)} ${f.dataType.sql}") ++
+      partitions.map { case (n, t) => s"${qi(n)} $t" }).mkString(", ")
+    val parts = partitions.map { case (n, _) => qi(n) }.mkString(", ")
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS `$db`.`$table` ($cols)
+      s"""CREATE TABLE IF NOT EXISTS ${qi(db)}.${qi(table)} ($cols)
          |USING parquet
          |PARTITIONED BY ($parts)
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION ${qs(location)}""".stripMargin)
   }
 
   /** D4 — DROP TABLE IF EXISTS (`extract_news_job.py:326`). */
   def dropTable(spark: SparkSession, db: String, table: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS ${qi(db)}.${qi(table)}")
 
   /** D5 — existence probe; `spark.catalog.tableExists` instead of the
     * reference's DESCRIBE-in-try/except (`transform_stocks_job.py:37-52`).
     */
   def tableExists(spark: SparkSession, db: String, table: String): Boolean =
-    spark.catalog.tableExists(s"`$db`.`$table`")
+    spark.catalog.tableExists(s"${qi(db)}.${qi(table)}")
 
   /** D6 — MSCK REPAIR TABLE: discover Hive-layout partition directories
     * written outside the catalog (`extract_stocks_job.py:318-349`).
     */
   def repairTable(spark: SparkSession, db: String, table: String): Unit =
-    spark.sql(s"MSCK REPAIR TABLE `$db`.`$table`")
+    spark.sql(s"MSCK REPAIR TABLE ${qi(db)}.${qi(table)}")
 
   /** D7 — SHOW PARTITIONS (`extract_stocks_job.py:330-338`). */
   def showPartitions(spark: SparkSession, db: String, table: String): Seq[String] =
-    spark.sql(s"SHOW PARTITIONS `$db`.`$table`")
+    spark.sql(s"SHOW PARTITIONS ${qi(db)}.${qi(table)}")
       .collect().map(_.getString(0)).toSeq
 
   /** D8 — idempotent ADD PARTITION with explicit location, the reference's
@@ -62,19 +70,19 @@ object Catalog {
     */
   def addPartition(spark: SparkSession, db: String, table: String,
                    spec: Map[String, String], location: String): Unit = {
-    val specSql = spec.map { case (k, v) => s"`$k`='$v'" }.mkString(", ")
+    val specSql = spec.map { case (k, v) => s"${qi(k)}=${qs(v)}" }.mkString(", ")
     spark.sql(
-      s"""ALTER TABLE `$db`.`$table`
-         |ADD IF NOT EXISTS PARTITION ($specSql) LOCATION '$location'""".stripMargin)
+      s"""ALTER TABLE ${qi(db)}.${qi(table)}
+         |ADD IF NOT EXISTS PARTITION ($specSql) LOCATION ${qs(location)}""".stripMargin)
   }
 
   /** K3 — catalog-mediated partitioned write (`transform_news_job.py:158-164`
     * wrote through the Glue catalog): append into a registered table.
     */
   def appendToTable(df: DataFrame, db: String, table: String): Unit =
-    df.write.mode("append").format("parquet").insertInto(s"`$db`.`$table`")
+    df.write.mode("append").format("parquet").insertInto(s"${qi(db)}.${qi(table)}")
 
   /** S5 — catalog table scan (`transform_news_job.py:320-323`). */
   def readTable(spark: SparkSession, db: String, table: String): DataFrame =
-    spark.table(s"`$db`.`$table`")
+    spark.table(s"${qi(db)}.${qi(table)}")
 }

@@ -40,6 +40,14 @@ object AsOfJoin {
            rightAttrs: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
 
+    // SQL ASOF equality semantics: NULL = NULL is NO match, and a NULL-time
+    // reference row is never "the most recent". Window.partitionBy would
+    // group NULL keys together and happily match them — pre-dropping
+    // unmatchable right rows restores the SQL contract. (NULL-key/time LEFT
+    // rows stay, and get no match: their partition has no right rows, and a
+    // NULL left time sorts first, before any carried value.)
+    val matchableRight = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+
     // one unified schema: left payload + ONE nullable struct of right attrs
     // + (key, t, side). A single struct (not per-attr columns) is carried
     // forward so all attributes always come from the SAME matched right row
@@ -52,7 +60,7 @@ object AsOfJoin {
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
         leftCols.map(col) :+
         lit(null).cast(rStructDt).as("__r"): _*)
-    val r = right
+    val r = matchableRight
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++

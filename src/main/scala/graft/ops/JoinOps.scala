@@ -38,9 +38,15 @@ object JoinOps {
   /** J2 (literal form) — the reference's exact shape: aggregate then
     * left-join back on the keys. Kept for fidelity tests; prefer
     * `withGroupAggregates` in pipelines.
+    *
+    * No broadcast hint: the aggregated side's cardinality is the GROUP-BY
+    * key's, which a library caller may make arbitrarily high — a forced
+    * broadcast would OOM the driver. AQE sees the aggregate's actual output
+    * size at runtime and picks a broadcast join by itself whenever the side
+    * is genuinely small (asserted in AggWindowSpec).
     */
   def aggJoinBack(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
     val agged = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    df.join(broadcast(agged), keys, "left")
+    df.join(agged, keys, "left")
   }
 }

@@ -48,6 +48,16 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
            viaJoin.orderBy("ticker", "date").collect().toSeq)
   }
 
+  test("J2 aggJoinBack: AQE broadcasts a small aggregated side by itself") {
+    // no static broadcast() hint (a high-cardinality groupBy would OOM the
+    // driver if forced); AQE must still pick BHJ for sector-sized keys
+    val out = JoinOps.aggJoinBack(quotes, Seq("sector"), Seq(avg($"close").as("media")))
+    out.collect() // run so AQE finalizes the physical plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected AQE to choose a broadcast join, got:\n$finalPlan")
+  }
+
   test("A5 dedupByKeyOrdered keeps the row_number=1 survivor deterministically") {
     val dups = Seq(("l1", "t-late", "2024-05-02"), ("l1", "t-early", "2024-05-01"),
       ("l2", "x", "2024-05-01")).toDF("link", "title", "d")
