@@ -8,15 +8,21 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * reference's `normalize_column_names` (`transform_news_job.py:42-84`):
   *
   *  1. lowercase + strip every incoming column name;
-  *  2. fuzzy-match each *expected* column against the incoming ones, treating
-  *     underscores as optional (`Published_Time` ≡ `publishedtime`);
+  *  2. match each *expected* column against the incoming ones: exact
+  *     (underscores optional: `Published_Time` ≡ `publishedtime`) first,
+  *     else the reference's SUBSTRING-CONTAINMENT rule
+  *     (`transform_news_job.py:66-71`): the de-underscored expected name
+  *     contained in the de-underscored incoming name, first match in the
+  *     incoming schema's order — so `published_time_utc` normalizes to
+  *     `published_time`;
   *  3. rename matches to the canonical expected name;
   *  4. add missing expected columns as typed NULL literals.
   *
-  * Resolution is deterministic: expected names are processed in declaration
-  * order and each incoming column can be claimed once (first match wins, in
-  * the incoming schema's column order) — same arbitration the reference's
-  * sequential dict loop produces.
+  * Resolution is deterministic: all exact matches resolve before any
+  * containment match (so a fuzzy claim can never steal a later expected
+  * column's exact hit — the one ordering the reference's sequential loop
+  * leaves ambiguous), each pass walks expected names in declaration order,
+  * and each incoming column is claimable once.
   */
 object SchemaOps {
 
@@ -28,10 +34,17 @@ object SchemaOps {
     // withColumnsRenamed would collide if two raw names canon-match the same
     // expected name; claiming each raw column at most once avoids that.
     val claimed = scala.collection.mutable.Set.empty[String]
-    val resolved: Seq[(String, Option[String])] = expected.map { case (name, _) =>
+    val exact: Seq[(String, Option[String])] = expected.map { case (name, _) =>
       val hit = incoming.find(c => !claimed.contains(c) && canon(c) == canon(name))
       hit.foreach(claimed += _)
       name -> hit
+    }
+    val resolved: Seq[(String, Option[String])] = exact.map {
+      case (name, None) =>
+        val hit = incoming.find(c => !claimed.contains(c) && canon(c).contains(canon(name)))
+        hit.foreach(claimed += _)
+        name -> hit
+      case hit => hit
     }
 
     val renames = resolved.collect { case (want, Some(have)) if have != want => have -> want }.toMap

@@ -228,6 +228,27 @@ object CoreQueries {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // P11b — the reference's substring-containment fallback
+    // (transform_news_job.py:66-71): `published_time_utc`-style suffixed
+    // names normalize onto the expected column; `l_returnflag` exercises the
+    // exact path in the same run so both passes are gated together.
+    GQ("p11b_schema_fuzzy",
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag,
+             |       CAST(NULL AS VARCHAR) AS l_comment
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) => {
+        val messy = Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+          .withColumnsRenamed(Map(
+            "l_orderkey" -> "L_Order_Key_ID", "l_linenumber" -> "l_linenumber_seq",
+            "l_shipdate" -> "L_Ship_Date_UTC", "l_returnflag" -> "l_return_flag"))
+        SchemaOps.normalizeColumns(messy, Seq(
+          "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
+          "l_shipdate" -> DateType, "l_returnflag" -> StringType,
+          "l_comment" -> StringType))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
     // ----- P12: arithmetic projection ----------------------------------------
     // Single-expression row arithmetic — bit-identical across engines.
     GQ("p12_arithmetic",

@@ -106,6 +106,17 @@ object ExtQueries {
           n = 3, threshold = 0.4)
           .orderBy("id_a", "id_b")),
 
+    // The 100 TB path for the inverted-index join: hub shingles (doc freq ≥
+    // cap) are dropped from candidate generation, bounding the O(Σdf²)
+    // blowup. Full set sizes are kept, so jaccard is underestimated — the
+    // result is a SUBSET of the exact pairs at the same threshold (asserted
+    // in DedupSpec); rows-only here because the subset is cap-dependent.
+    GQ("dedup_ngram_jaccard_capped", None,
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4, maxDocFreq = Some(50L))
+          .orderBy("id_a", "id_b")),
+
     // Sketch family — rows-only (hash families not reproducible in SQL);
     // recall vs the exact operators asserted in DedupSpec.
     GQ("dedup_minhash_lsh", None,
@@ -147,6 +158,34 @@ object ExtQueries {
         Dedup.canonicalizeNearDups(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4)
           .select("doc_id", "component")
+          .orderBy("doc_id")),
+
+    // Actual near-dup REMOVAL surface: one survivor (min id) per component.
+    GQ("dedup_drop_near",
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |          FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |          WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4),
+             |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |        UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (SELECT u, v FROM und
+             |                UNION
+             |                SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u),
+             |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u)
+             |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+             |WHERE coalesce(c.lbl, d.doc_id) = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (spark, dir) =>
+        Dedup.dropNearDups(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+          .select("doc_id")
           .orderBy("doc_id")),
 
     GQ("dedup_embedding_cosine",
@@ -268,6 +307,37 @@ object ExtQueries {
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum")))
           .select("window_start_s", "n", "value_sum")
           .orderBy("window_start_s")),
+
+    // ----- streaming under the gate ------------------------------------------
+    // A REAL micro-batch run: the events table is landed as 3 parquet drops,
+    // streamed back one file per trigger (3 micro-batches through the
+    // incremental-execution engine + state store), windowed-aggregated in
+    // Complete mode into a memory sink; the sink's final contents are the
+    // gated result. Complete mode keeps every window's state, so the final
+    // table equals the batch aggregate regardless of file arrival order —
+    // which is exactly what the oracle asserts.
+    GQ("stream_tumbling_counts",
+      Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS window_start_s,
+             |       event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY window_start_s, event_type
+             |ORDER BY window_start_s, event_type""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
+          .repartitionByRange(3, col("event_id"))
+          .write.mode("overwrite").parquet(landing)
+        val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+        StreamOps.runToMemory(
+          StreamOps.windowedCounts(stream, widthSeconds = 3600, slideSeconds = 3600),
+          "stream_tumbling_counts_sink", OutputMode.Complete())
+        spark.table("stream_tumbling_counts_sink")
+          .select(col("window_start_s"), col("event_type"), col("n"),
+            round(col("value_sum"), 4).as("value_sum"))
+          .orderBy("window_start_s", "event_type")
+      }),
 
     // ----- multimodal plumbing ----------------------------------------------
     // Payload = UTF-8 bytes of documents.text (no codec libs in-container);

@@ -28,12 +28,16 @@ object StreamOps {
 
   /** File-based event stream over a directory of parquet drops — each new
     * file becomes a micro-batch (the standard landing-zone pattern).
+    * `maxFilesPerTrigger` caps files per micro-batch (Some(1) = one batch
+    * per file — the multi-batch harness shape).
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val reader = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -47,6 +47,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("capped jaccard is a subset of exact pairs, never overestimating") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.4,
+      maxDocFreq = Some(50L))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(capped.keySet.subsetOf(exact.keySet),
+      "dropping hub shingles must only remove pairs (full sizes kept)")
+    capped.foreach { case (k, j) =>
+      assert(j <= exact(k) + 1e-12, s"capped jaccard overestimates for $k")
+    }
+    assert(capped.nonEmpty, "planted near-dups should survive a df>=50 cap")
+  }
+
+  test("dropNearDups keeps exactly one survivor per component") {
+    val out = Dedup.dropNearDups(docs, "doc_id", "text", 3, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L, 5L), "cluster {1,2,3} collapses to min id 1")
+  }
+
   test("minhashLshPairs: 100% recall vs exact jaccard on testdata documents") {
     val d = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.4)

@@ -25,6 +25,29 @@ class SchemaOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.schema("source").dataType === StringType)
   }
 
+  test("substring containment fallback: published_time_utc -> published_time") {
+    // the reference's rule (transform_news_job.py:66-71): de-underscored
+    // expected name CONTAINED in the de-underscored incoming name
+    val messy = Seq(("2024-05-01T00:00:00Z", "t1"))
+      .toDF("Published_Time_UTC", "title_text")
+    val out = SchemaOps.normalizeToStringSchema(messy,
+      Seq("title", "published_time"))
+    assert(out.columns.toSeq === Seq("title", "published_time"))
+    val r = out.head()
+    assert(r.getString(0) === "t1", "title matched by containment in title_text")
+    assert(r.getString(1) === "2024-05-01T00:00:00Z")
+  }
+
+  test("exact matches resolve before any containment claim") {
+    // a fuzzy-eligible earlier expected must not steal a later expected's
+    // exact hit: 'title' could contain-match 'subtitle', but 'subtitle' is
+    // someone's exact match
+    val messy = Seq(("sub", "t1")).toDF("subtitle", "title")
+    val out = SchemaOps.normalizeToStringSchema(messy, Seq("title", "subtitle"))
+    val r = out.head()
+    assert(r.getString(0) === "t1" && r.getString(1) === "sub")
+  }
+
   test("each incoming column claimed once; first expected wins") {
     val messy = Seq(("a", "b")).toDF("search_term", "searchterm")
     val out = SchemaOps.normalizeToStringSchema(messy, Seq("search_term", "extra"))
