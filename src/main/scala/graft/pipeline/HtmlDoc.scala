@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal HTML tree parser — just enough DOM for the news-crawl selector
+  * port ([[NewsCrawl]]): tag tree, attributes, class tokens, stripped text.
+  *
+  * Exists because this container has no HTML library (jsoup is not on the
+  * classpath and nothing may be added); the subset implemented mirrors what
+  * BeautifulSoup's `html.parser` provides to `extract_news_job.py`:
+  * case-insensitive tag names, void elements, comments/doctype skipping,
+  * raw `<script>`/`<style>` content, quoted attributes, and unclosed-tag
+  * recovery (pop to the nearest matching open tag, else ignore).
+  *
+  * Not a general-purpose parser: no entity decoding (selector logic never
+  * inspects entity text), no CDATA, no foreign content. Driver-side only —
+  * ingestion parses a few hundred KB per crawl, never executor data.
+  */
+final class HtmlNode(val tag: String,
+                     val attrs: Map[String, String],
+                     val parent: Option[HtmlNode]) {
+  private[pipeline] val childNodes = ArrayBuffer.empty[HtmlNode]
+  private[pipeline] val textParts = ArrayBuffer.empty[(Int, String)] // (pos among children, text)
+
+  def children: Seq[HtmlNode] = childNodes.toSeq
+
+  /** Pre-order document-order descendants (self excluded). */
+  def descendants: Iterator[HtmlNode] =
+    childNodes.iterator.flatMap(c => Iterator.single(c) ++ c.descendants)
+
+  def findAll(p: HtmlNode => Boolean): Seq[HtmlNode] = descendants.filter(p).toSeq
+  def findFirst(p: HtmlNode => Boolean): Option[HtmlNode] = {
+    val it = descendants.filter(p)
+    if (it.hasNext) Some(it.next()) else None
+  }
+
+  def attr(name: String): Option[String] = attrs.get(name.toLowerCase)
+  def hasAttr(name: String): Boolean = attrs.contains(name.toLowerCase)
+  def hasClass(c: String): Boolean =
+    attr("class").exists(_.split("\\s+").contains(c))
+
+  /** All descendant text, each text node trimmed, concatenated — the
+    * behavior of bs4's `get_text(strip=True)` with the default separator.
+    */
+  def text: String = {
+    val sb = new StringBuilder
+    def walk(n: HtmlNode): Unit = {
+      // interleave text parts and child nodes in document order
+      var ti = 0
+      val parts = n.textParts
+      for (ci <- 0 to n.childNodes.size) {
+        while (ti < parts.size && parts(ti)._1 == ci) {
+          sb.append(parts(ti)._2.trim); ti += 1
+        }
+        if (ci < n.childNodes.size) walk(n.childNodes(ci))
+      }
+    }
+    walk(this)
+    sb.toString
+  }
+}
+
+object HtmlDoc {
+
+  private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
+    "input", "link", "meta", "param", "source", "track", "wbr")
+  private val RawText = Set("script", "style")
+
+  private val AttrRe =
+    """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
+
+  /** Parse an HTML fragment/document; returns a synthetic root node. */
+  def parse(html: String): HtmlNode = {
+    val root = new HtmlNode("#root", Map.empty, None)
+    var cur = root
+    var i = 0
+    val n = html.length
+
+    def addText(upTo: Int): Unit = {
+      if (upTo > i) {
+        val t = html.substring(i, upTo)
+        if (t.exists(!_.isWhitespace)) cur.textParts += ((cur.childNodes.size, t))
+      }
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { addText(n); i = n }
+      else {
+        addText(lt)
+        i = lt
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && html.charAt(i + 1) == '/') {
+          val end = html.indexOf('>', i)
+          val name = html.substring(i + 2, if (end < 0) n else end).trim.toLowerCase
+          // recovery: close up to the nearest matching open tag, else ignore
+          var probe: Option[HtmlNode] = Some(cur)
+          while (probe.exists(p => p.tag != name && p.tag != "#root")) probe = probe.get.parent
+          probe.filter(_.tag == name).foreach(m => cur = m.parent.getOrElse(root))
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && html.charAt(i + 1).isLetter) {
+          // find tag end respecting quoted attribute values
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val c = html.charAt(j)
+            if (quote == 0 && (c == '"' || c == '\'')) quote = c
+            else if (quote != 0 && c == quote) quote = 0
+            j += 1
+          }
+          val inner = html.substring(i + 1, math.min(j, n))
+          val selfClosed = inner.endsWith("/")
+          val body = if (selfClosed) inner.dropRight(1) else inner
+          val nameEnd = body.indexWhere(c => c.isWhitespace)
+          val (name, attrStr) =
+            if (nameEnd < 0) (body.trim.toLowerCase, "")
+            else (body.substring(0, nameEnd).toLowerCase, body.substring(nameEnd))
+          val attrs = AttrRe.findAllMatchIn(attrStr).map { m =>
+            val v = Option(m.group(2)).orElse(Option(m.group(3)))
+              .orElse(Option(m.group(4))).getOrElse("")
+            m.group(1).toLowerCase -> v
+          }.toMap
+          val node = new HtmlNode(name, attrs, Some(cur))
+          cur.childNodes += node
+          i = if (j < n) j + 1 else n
+          if (RawText.contains(name)) {
+            // raw content: skip to the matching close tag, keep no text
+            val close = html.toLowerCase.indexOf(s"</$name", i)
+            val end = if (close < 0) n else html.indexOf('>', close)
+            i = if (close < 0) n else (if (end < 0) n else end + 1)
+          } else if (!selfClosed && !Void.contains(name)) {
+            cur = node
+          }
+        } else {
+          // stray '<' — treat as text
+          cur.textParts += ((cur.childNodes.size, "<"))
+          i += 1
+        }
+      }
+    }
+    root
+  }
+}

@@ -8,8 +8,10 @@ import graft.ops.CleanOps
   *
   * The reference pulls yfinance OHLCV and crawls Google News on the DRIVER,
   * then parallelizes. These traits keep that boundary injectable: tests and
-  * the hermetic container use fixture sources; production would implement
-  * the same trait with an HTTP client (sttp / java.net.http + jsoup).
+  * the hermetic container use fixture sources; [[HttpNewsSource]] (selector
+  * port in [[NewsCrawl]]/[[HtmlDoc]]) and [[HttpQuoteSource]] (v8 chart
+  * JSON) are the HTTP implementations, with the transport itself injected
+  * so the parse paths stay offline-testable.
   *
   * 100 TB posture: driver-side ingestion is only acceptable for the
   * reference's ≤10k rows/day. At scale the implementation should become a
