@@ -373,6 +373,39 @@ object CoreQueries {
           .orderBy("l_returnflag")
       }),
 
+    // K3 — catalog-mediated write: external partitioned table registered in
+    // the catalog, rows appended THROUGH the table (insertInto), scanned
+    // back via the catalog (S5). Fresh per-process location + drop/recreate
+    // so repeated runs in one JVM don't double-append.
+    GQ("k3_catalog_write",
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (spark, dir) => {
+        import graft.io.Catalog
+        val db = "graft_k3_db"
+        val table = "orders_by_status"
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_k3_${ProcessHandle.current().pid()}"
+        Catalog.ensureDatabase(spark, db)
+        Catalog.dropTable(spark, db, table)
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+        Catalog.createExternalTable(spark, db, table,
+          StructType(Seq(StructField("o_orderkey", LongType),
+            StructField("o_totalprice", DoubleType))),
+          partitions = Seq("o_orderstatus" -> "STRING"), location = loc)
+        Catalog.appendToTable(
+          Tables.orders(spark, dir).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+          db, table)
+        Catalog.readTable(spark, db, table)
+          .groupBy(col("o_orderstatus").cast("string").as("o_orderstatus"))
+          // decimal sum: money totals at 1e9 magnitude would flunk the hash
+          // gate on double re-association; decimal is exact on both engines
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      }),
+
     // ----- A4: full-row distinct ---------------------------------------------
     GQ("a4_distinct",
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -421,6 +421,36 @@ object ExtQueries {
           .orderBy("event_id")
       }),
 
+    // ----- range join (point-in-interval, bucket-decomposed) -----------------
+    // Each lineitem ship date finds every order (custkey < 50) whose 7-day
+    // post-order window contains it. DuckDB plans the inequality join with
+    // IEJoin; graft's bucket decomposition gets the same rows with two hash
+    // shuffles — the 100 TB shape.
+    GQ("range_point_in_interval",
+      Some("""WITH iv AS (SELECT o_orderkey,
+             |              datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+             |            FROM orders WHERE o_custkey < 50)
+             |SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey
+             |FROM lineitem l JOIN iv
+             |  ON datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) >= iv.lo
+             | AND datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) < iv.lo + 7
+             |WHERE l.l_partkey < 500
+             |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val points = Tables.lineitem(spark, dir)
+          .filter(col("l_partkey") < 500)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            unix_date(to_date(col("l_shipdate"))).cast("long").as("p"))
+        val intervals = Tables.orders(spark, dir)
+          .filter(col("o_custkey") < 50)
+          .select(col("o_orderkey"),
+            unix_date(to_date(col("o_orderdate"))).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 7)
+        graft.ops.RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", width = 7)
+          .select("l_orderkey", "l_linenumber", "o_orderkey")
+          .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+      }),
+
     // ----- moving window frame (§2b ranking/frames) --------------------------
     GQ("w2_moving_avg",
       Some("""SELECT o_custkey, o_orderkey,
