@@ -303,10 +303,14 @@ object Dedup {
       normF(col(vecCol)).as("nrm"))
     val a = v.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a", "nrm" -> "nrm_a"))
     val b = v.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b", "nrm" -> "nrm_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", SimSearch.safeCosine(
-        dotF(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")))
-      .filter(col("cosine") >= threshold)
+    val cosine = SimSearch.safeCosine(
+      dotF(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b"))
+    // the threshold is part of the JOIN condition: the nested-loop join then
+    // only constructs output rows for the (rare) matching pairs instead of
+    // materializing all O(n²) rows and filtering after — the recompute of
+    // `cosine` in the projection touches matches only
+    a.join(b, col("id_a") < col("id_b") && cosine >= threshold)
+      .withColumn("cosine", cosine)
       .select("id_a", "id_b", "cosine")
   }
 }
