@@ -28,6 +28,10 @@ object Multimodal {
   /** A media row: id + opaque payload. */
   case class MediaBlob(mediaId: Long, payload: Array[Byte])
 
+  /** Resize output: new dimensions + resized payload. */
+  case class ResizedMedia(mediaId: Long, width: Int, height: Int,
+                          nBytes: Long, payload: Array[Byte])
+
   /** STUB codec — deterministic fakes in place of a real decoder.
     * Every value is a pure function of the payload bytes, so tests and
     * oracle queries are reproducible.
@@ -40,6 +44,19 @@ object Multimodal {
         width = (n % 640).toInt + 1, height = (n % 480).toInt + 1,
         nFrames = (n % 24).toInt + 1)
     }
+    /** Fake resize: aspect-preserving clamp of the fake dimensions into
+      * (maxW, maxH), payload truncated by the area ratio — deterministic,
+      * monotone, never upscales (scale capped at 1).
+      */
+    def resize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedMedia = {
+      val m = decodeMeta(id, bytes)
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      val w = math.max(1, math.floor(m.width * scale).toInt)
+      val h = math.max(1, math.floor(m.height * scale).toInt)
+      val keep = math.max(1, math.floor(bytes.length * scale * scale).toInt)
+      ResizedMedia(id, w, h, keep.toLong, bytes.take(keep))
+    }
+
     /** Fake feature extractor: `dim` rolling byte sums, L1-normalized. */
     def extractFeatures(id: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
       val acc = new Array[Float](dim)
@@ -79,6 +96,16 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaBlob].mapPartitions { it =>
       it.map(b => FakeCodec.extractFeatures(b.mediaId, b.payload, dim))
+    }
+  }
+
+  /** Resize every blob into a bounding box, batched per partition like
+    * [[decodeMeta]] (real impl: one scaler context per partition).
+    */
+  def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.map(b => FakeCodec.resize(b.mediaId, b.payload, maxW, maxH))
     }
   }
 

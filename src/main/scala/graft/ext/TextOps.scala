@@ -89,6 +89,29 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "和"),
   )
 
+  /** PII scrub patterns — deliberately RE2-safe (no backrefs, no
+    * lookaround) so Java regex and DuckDB's RE2 agree byte-for-byte; the
+    * oracle gate depends on that agreement.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d[\\d()\\- ]{6,}\\d"
+
+  /** PII redaction for training corpora: emails then phone-number spans
+    * replaced with stable tags. Pure per-row regexp_replace — codegen'd,
+    * no shuffle, linear at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  /** First http(s) URL in the document ('' when none) — the scalar probe
+    * for URL-based dedup/filtering. `regexp_extract_all` is the list form;
+    * the scalar keeps oracle comparison engine-safe.
+    */
+  def firstUrl(text: Column): Column =
+    regexp_extract(text, "https?://[^ \\t\\n]+", 0)
+
   /** Document fingerprint: digest of the whitespace-normalized, lowercased
     * text. Whitespace runs collapse to single spaces so trivial reflows map
     * to the same fingerprint (the rolling-hash idea, realized with a

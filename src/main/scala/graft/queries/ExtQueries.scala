@@ -242,6 +242,35 @@ object ExtQueries {
           .orderBy("probe_id", "rank")
       }),
 
+    // ----- PII redaction + URL extraction ------------------------------------
+    // The corpus has no planted PII, so both engines deterministically
+    // synthesize identical contact strings into the text, then the redaction
+    // and URL probe run over that. Patterns are RE2-safe (Java regex and
+    // DuckDB agree — that agreement IS what the gate checks).
+    GQ("txt_redact_pii",
+      Some(s"""SELECT doc_id,
+              |  regexp_replace(
+              |    regexp_replace(text || ' contato: user' || doc_id ||
+              |      '@mail.example.com tel +55 11 9999-' || doc_id ||
+              |      ' site https://ex.example/' || doc_id,
+              |      '${TextOps.EmailPattern}', '[EMAIL]', 'g'),
+              |    '${TextOps.PhonePattern}', '[PHONE]', 'g') AS redacted,
+              |  regexp_extract(text || ' contato: user' || doc_id ||
+              |      '@mail.example.com tel +55 11 9999-' || doc_id ||
+              |      ' site https://ex.example/' || doc_id,
+              |      'https?://[^ \t\n]+') AS url
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        val synth = concat(col("text"), lit(" contato: user"), col("doc_id"),
+          lit("@mail.example.com tel +55 11 9999-"), col("doc_id"),
+          lit(" site https://ex.example/"), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            TextOps.redactPii(synth).as("redacted"),
+            TextOps.firstUrl(synth).as("url"))
+          .orderBy("doc_id")
+      }),
+
     // ----- sentiment: broadcast lexicon join (EDBT'16 pattern, SURVEY §2b) ---
     GQ("txt_sentiment",
       Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -327,7 +356,7 @@ object ExtQueries {
         val landing = java.nio.file.Files.createTempDirectory("graft_stream_").toString
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
-          .repartitionByRange(3, col("event_id"))
+          .repartition(3, col("event_id")) // hash split: no range-sort shuffle
           .write.mode("overwrite").parquet(landing)
         val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
         StreamOps.runToMemory(
@@ -380,6 +409,34 @@ object ExtQueries {
           .select(col("event_type"), col("n"),
             round(col("value_sum"), 4).as("value_sum"))
           .orderBy("event_type")),
+
+    // ----- skew: salted join -------------------------------------------------
+    // Oracle is the PLAIN equi-join — the salted rewrite must be
+    // row-identical while spreading each hot event_type key over 16 tasks.
+    GQ("skew_salted_join",
+      Some("""WITH t AS (SELECT event_type, count(*) AS type_n
+             |           FROM events GROUP BY event_type)
+             |SELECT e.event_id, e.event_type, t.type_n
+             |FROM events e JOIN t USING (event_type)
+             |ORDER BY e.event_id""".stripMargin),
+      (spark, dir) => {
+        val events = Tables.events(spark, dir)
+        val typeStats = events.groupBy("event_type")
+          .agg(count(lit(1)).as("type_n"))
+        Skew.saltedJoin(events.select("event_id", "event_type"), typeStats,
+          usingCols = Seq("event_type"), discriminator = col("event_id"), buckets = 16)
+          .select("event_id", "event_type", "type_n")
+          .orderBy("event_id")
+      }),
+
+    // ----- multimodal resize (rows-only; spec asserts the contract) ----------
+    GQ("mm_resize", None,
+      (spark, dir) => {
+        val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
+        Multimodal.resize(spark, media, maxW = 64, maxH = 64)
+          .select("mediaId", "width", "height", "nBytes")
+          .orderBy("mediaId")
+      }),
 
     // ----- text: term frequency (top bigrams corpus-wide) --------------------
     GQ("txt_top_bigrams",

@@ -28,6 +28,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("resize clamps into the box, preserves aspect, never upscales") {
+    val metas = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.mediaId -> m).toMap
+    val out = Multimodal.resize(spark, media, maxW = 64, maxH = 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val m = metas(r.mediaId)
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
+      assert(r.width <= m.width && r.height <= m.height, "no upscaling")
+      assert(r.nBytes <= m.nBytes && r.payload.length.toLong === r.nBytes)
+      // aspect preserved within floor rounding
+      val scale = math.min(1.0, math.min(64.0 / m.width, 64.0 / m.height))
+      assert(r.width === math.max(1, math.floor(m.width * scale).toInt))
+      assert(r.height === math.max(1, math.floor(m.height * scale).toInt))
+    }
+    val again = Multimodal.resize(spark, media, 64, 64).collect()
+      .map(r => r.mediaId -> ((r.width, r.height, r.nBytes))).toMap
+    out.foreach(r => assert(again(r.mediaId) === ((r.width, r.height, r.nBytes)),
+      "deterministic"))
+  }
+
   test("sampleFrames emits stride-spaced frame indices within bounds") {
     val metas = Multimodal.decodeMeta(spark, media).collect()
       .map(m => m.mediaId -> m.nFrames).toMap
