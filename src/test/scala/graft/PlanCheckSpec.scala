@@ -71,4 +71,27 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("float_vector_dot"), s"custom expression not used:\n$p")
     assert(!p.toLowerCase.contains("zip_with"), "HOF path crept back in")
   }
+
+  test("range_point_in_interval: bucketed equi-join, no nested-loop cartesian") {
+    val p = plan("range_point_in_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("__bucket") || p.contains("hashpartitioning"),
+      s"expected a bucket equi-join:\n$p")
+  }
+
+  test("dedup_minhash_lsh: sketch builds scan-side — no explode-aggregate fan") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("minhash_sketch"), s"native sketch expression not in plan:\n$p")
+    // the old formulation aggregated 128 min() columns; its signature was a
+    // shuffle whose aggregate expressions mention xxhash64 directly
+    assert(!p.contains("partial_min(xxhash64"),
+      s"128-column aggregate formulation crept back:\n$p")
+  }
+
+  test("txt_top_bigrams: native shingle kernel, no interpreted HOF transform") {
+    val p = plan("txt_top_bigrams")
+    assert(p.contains("shingle_strings"), s"native kernel not in plan:\n$p")
+    assert(!p.contains("transform(sequence"), "HOF chain crept back in")
+  }
 }
