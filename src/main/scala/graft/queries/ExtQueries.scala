@@ -353,16 +353,26 @@ object ExtQueries {
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
-        val landing = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+        // per-process path + overwrite: one leaked landing copy per JVM
+        // (same rationale as k1_write_roundtrip)
+        val landing = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
-          .repartition(3, col("event_id")) // hash split: no range-sort shuffle
+          .repartition(2, col("event_id")) // hash split: no range-sort shuffle
           .write.mode("overwrite").parquet(landing)
-        val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
-        StreamOps.runToMemory(
-          StreamOps.windowedCounts(stream, widthSeconds = 3600, slideSeconds = 3600),
-          "stream_tumbling_counts_sink", OutputMode.Complete())
-        spark.table("stream_tumbling_counts_sink")
+        // state-store partitions sized to the stream (shuffle.partitions is
+        // frozen into the state store at query start; 32 would mean 32 state
+        // tasks per micro-batch for a 10k-row stream) — restored after
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(
+            StreamOps.windowedCounts(stream, widthSeconds = 3600, slideSeconds = 3600),
+            "stream_tumbling_counts_sink", OutputMode.Complete())
+          spark.table("stream_tumbling_counts_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out
           .select(col("window_start_s"), col("event_type"), col("n"),
             round(col("value_sum"), 4).as("value_sum"))
           .orderBy("window_start_s", "event_type")
