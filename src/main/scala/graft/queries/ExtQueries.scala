@@ -378,6 +378,36 @@ object ExtQueries {
           .orderBy("window_start_s", "event_type")
       }),
 
+    // mapGroupsWithState under the gate: per-user running totals emitted
+    // every micro-batch in Update mode; a user's n_events strictly increases
+    // across its emissions, so the final state is the per-user row with the
+    // max n_events — which must equal the plain batch GROUP BY.
+    GQ("stream_user_stats",
+      Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet")
+          .repartition(2, col("event_id"))
+          .write.mode("overwrite").parquet(landing)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(StreamOps.runningUserStats(spark, stream),
+            "stream_user_stats_sink", OutputMode.Update())
+          spark.table("stream_user_stats_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id"),
+          Seq(col("n_events").desc))
+          .select(col("user_id"), col("n_events"),
+            round(col("value_sum"), 4).as("value_sum"))
+          .orderBy("user_id")
+      }),
+
     // ----- multimodal plumbing ----------------------------------------------
     // Payload = UTF-8 bytes of documents.text (no codec libs in-container);
     // FakeCodec metadata is a pure function of byte length, reproduced in SQL.
