@@ -132,23 +132,29 @@ object SimSearch {
     rankTopK(scored, k)
   }
 
-  /** Deterministic ±1 random hyperplanes (seeded), as literal arrays baked
-    * into the plan — broadcast-free, no driver-side state at runtime.
+  /** Deterministic ±1 random hyperplanes (seeded), as literal float arrays
+    * baked into the plan — broadcast-free, no driver-side state at runtime.
     */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(array(Seq.fill(dim)(lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*))
+    Seq.fill(numPlanes)(
+      array(Seq.fill(dim)(lit(if (rng.nextBoolean()) 1.0f else -1.0f)): _*)
+        .cast("array<float>"))
   }
 
   /** Sign-random-projection bucket key: `numPlanes`-bit signature of the
-    * vector (bit p = sign of dot(vec, plane_p)).
+    * vector (bit p = sign of dot(vec, plane_p)). Projections run through the
+    * codegen'd [[graft.functions.FloatVectorDot]] — ±1 weights are exact in
+    * float and the left-to-right double fold matches the former HOF
+    * formulation bit-for-bit, so bucket keys (and recall specs) are
+    * unchanged.
     */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    import graft.functions.VectorFunctions.dotF
     planes(numPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
-      val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotF(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** ANN top-k via LSH bucketing with multi-probe: corpus vectors hash to
     * one `numPlanes`-bit bucket; each probe additionally visits the
