@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines (SURVEY.md §2b
+  * extension surface): every row lands in exactly one named split, decided
+  * by a digest of its key — stable across runs, engines, partitionings, and
+  * cluster sizes, which `randomSplit` is not (it reseeds per partition).
+  *
+  * Mechanism: the first 8 hex chars of `md5(key)` are uniform over
+  * [0, 16^8); cumulative fraction thresholds are rendered as zero-padded
+  * hex strings and compared LEXICOGRAPHICALLY — pure string comparison, so
+  * any engine with md5 reproduces the assignment byte-for-byte (the gate
+  * relies on this).
+  */
+object Splits {
+
+  /** Hex threshold for a cumulative fraction, zero-padded to 8 chars. */
+  private def hexThreshold(cum: Double): String = {
+    val v = math.min((cum * 4294967296.0).toLong, 4294967295L) // 16^8 - 1
+    f"$v%08x"
+  }
+
+  /** Assignment column: named splits with the given fractions (must sum to
+    * ~1; the last split absorbs rounding). `salt` decorrelates independent
+    * splits of the same keys.
+    */
+  def splitColumn(key: Column, fractions: Seq[(String, Double)], salt: String = ""): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val h = substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last branch is the otherwise-arm: rounding can't orphan rows
+    fractions.init.zip(cums.init).reverse.foldLeft(
+      lit(fractions.last._1): Column) {
+      case (acc, ((name, _), cum)) => when(h < hexThreshold(cum), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** DataFrame form: adds `splitCol` with the assignment. */
+  def byHash(df: DataFrame, keyCol: String, fractions: Seq[(String, Double)],
+             splitCol: String = "split", salt: String = ""): DataFrame =
+    df.withColumn(splitCol, splitColumn(col(keyCol), fractions, salt))
+
+  /** The DuckDB-equivalent CASE expression for oracle SQL (same thresholds,
+    * same digest) — kept next to the implementation so they cannot drift.
+    */
+  def oracleCase(keyExpr: String, fractions: Seq[(String, Double)], salt: String = ""): String = {
+    val h = s"substr(md5($keyExpr || '$salt'), 1, 8)"
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val whens = fractions.init.zip(cums.init).map { case ((name, _), cum) =>
+      s"WHEN $h < '${hexThreshold(cum)}' THEN '$name'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
+  }
+}

@@ -21,6 +21,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-unit pattern: letter runs | digit runs | non-space
+    * punctuation runs — the RE2-safe skeleton of GPT-2's pre-tokenizer
+    * (which needs lookahead, unavailable in RE2, so the oracle-comparable
+    * approximation drops it). Counting these units tracks BPE token counts
+    * far better than whitespace words on code/punctuated text.
+    */
+  val BpeishPattern = "[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÿ\\s]+"
+
+  /** Sub-word unit count under [[BpeishPattern]]. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Contiguous word n-grams ("shingles"), space-joined. Empty array when
     * the document has fewer than `n` tokens (or NULL text). Native one-pass
     * kernel — see [[graft.functions.ShingleStrings]] for why not the

@@ -32,6 +32,31 @@ object ExtQueries {
           .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
           .orderBy("doc_id")),
 
+    GQ("txt_token_count_bpe",
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS n_units
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            TextOps.bpeishTokenCount(col("text")).cast("long").as("n_units"))
+          .orderBy("doc_id")),
+
+    // Deterministic train/val/test split: md5-thresholded, engine-portable;
+    // the oracle CASE is generated from the SAME thresholds (Splits.oracleCase)
+    // so implementation and gate cannot drift.
+    GQ("split_by_hash", {
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      Some(s"""SELECT doc_id,
+              |  ${Splits.oracleCase("CAST(doc_id AS VARCHAR)", fr)} AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (spark, dir) =>
+        Splits.byHash(Tables.documents(spark, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split")
+          .orderBy("doc_id")),
+
     GQ("txt_quality",
       Some(s"""SELECT doc_id,
               |  CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -353,13 +378,7 @@ object ExtQueries {
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
-        // per-process path + overwrite: one leaked landing copy per JVM
-        // (same rationale as k1_write_roundtrip)
-        val landing = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
-          .repartition(2, col("event_id")) // hash split: no range-sort shuffle
-          .write.mode("overwrite").parquet(landing)
+        val landing = StreamOps.eventsLanding(spark, dir)
         // state-store partitions sized to the stream (shuffle.partitions is
         // frozen into the state store at query start; 32 would mean 32 state
         // tasks per micro-batch for a 10k-row stream) — restored after
@@ -388,11 +407,7 @@ object ExtQueries {
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
-        val landing = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .repartition(2, col("event_id"))
-          .write.mode("overwrite").parquet(landing)
+        val landing = StreamOps.eventsLanding(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
           spark.conf.set("spark.sql.shuffle.partitions", "4")

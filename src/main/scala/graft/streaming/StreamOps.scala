@@ -96,6 +96,23 @@ object StreamOps {
       }
   }
 
+  /** Build (once per JVM per source dir) a multi-file parquet landing zone
+    * from the batch events table, for replaying it as a file-drop stream.
+    * Hash-split into `files` drops; per-process path + overwrite so repeated
+    * runs neither accumulate dirs nor double-append.
+    */
+  private val landings = scala.collection.concurrent.TrieMap.empty[String, String]
+  def eventsLanding(spark: SparkSession, dir: String, files: Int = 2): String =
+    landings.getOrElseUpdate(s"$dir#$files", {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+        s"${ProcessHandle.current().pid()}_${(dir + files).hashCode.toHexString}"
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
+        .repartition(files, org.apache.spark.sql.functions.col("event_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Run any of the above to a named in-memory sink and block until the
     * source is drained — the hermetic local harness (and the pattern for
     * tests); production would swap `format("parquet").option("path", ...)`.

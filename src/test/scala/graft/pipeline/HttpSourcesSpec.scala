@@ -70,6 +70,25 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(arts.map(_.title) === Seq("RealTitle"))
   }
 
+  test("HtmlDoc terminates and never throws on adversarial fragments") {
+    val nasty = Seq(
+      "", "<", "<>", "</", "<//>", "<a", "<a href=", "<a href='unterminated",
+      "<a href=\"x>y\">t</a>", "<!---->", "<!-- unterminated", "<script>",
+      "<script>unterminated", "<b><i></b></i>", "</nothing>", "<1notatag>",
+      "text < notatag > text", "<p/><p/><p/>", "<a data-n-tid>bare attr</a>",
+      "<ARTICLE><H3>CAPS</H3></ARTICLE>", "<div class>empty class</div>",
+      ("<div>" * 500) + "deep" + ("</div>" * 500))
+    nasty.foreach { html =>
+      val root = HtmlDoc.parse(html) // must not hang or throw
+      root.descendants.size // force traversal
+      root.text
+    }
+    // case-insensitivity: bs4 html.parser lowercases tag names
+    val caps = HtmlDoc.parse("<ARTICLE><H3>Caps Title</H3></ARTICLE>")
+    assert(NewsCrawl.selectArticles(caps).size === 1)
+    assert(NewsCrawl.title(NewsCrawl.selectArticles(caps).head) === "Caps Title")
+  }
+
   test("HttpNewsSource: terms per company, sanitize, failures skip the term") {
     val served = scala.collection.mutable.ArrayBuffer.empty[String]
     val fetch: String => String = url => {
