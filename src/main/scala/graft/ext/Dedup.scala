@@ -184,14 +184,15 @@ object Dedup {
     * Output: (id, component) for every node appearing in `edges`.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-                          driverEdgeLimit: Long = 1L << 22): DataFrame = {
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
     // Near-dup pair graphs are tiny relative to their corpus (edges exist
     // only between near-identical docs), so the common case fits on the
-    // driver by orders of magnitude: union-find over one collect of the
-    // checkpointed edge list (bounded at `driverEdgeLimit` rows ≈ 64 MB)
+    // driver by orders of magnitude: union-find over one single-direction
+    // collect of the checkpointed edge list (1M edges ≈ 75 MB of boxed
+    // tuples — real driver-heap cost, hence the conservative default)
     // replaces ~2 distributed actions per propagation round. Graphs above
     // the bound take the distributed min-label loop below — same labels.
     // (gated on integral ids — the distributed loop below is generic over
@@ -206,14 +207,19 @@ object Dedup {
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
-    // labels only ever decrease element-wise, so the exact (decimal, no
-    // overflow) label sum is strictly decreasing until the fixpoint —
-    // convergence is one cheap scan of the checkpointed labels instead of a
-    // join-and-count action per round
+    // Convergence check: for integral ids, labels only ever decrease
+    // element-wise, so the exact (decimal, no overflow) label sum strictly
+    // decreases until the fixpoint — one cheap scan of the checkpointed
+    // labels. Non-integral ids (the loop is generic over any ordered type;
+    // decimal cast would throw under ANSI or NULL-out otherwise) fall back
+    // to the type-generic join-and-count change detector.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    def changedCount(next: DataFrame, prev: DataFrame): Long =
+      next.join(prev.withColumnsRenamed(Map("component" -> "old")), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+    var prevSum = if (integralIds) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -224,10 +230,14 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      if (integralIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = changedCount(next, labels) == 0
+      }
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       iter += 1
     }
     // silent truncation would return plausible-but-wrong labels (one real
@@ -241,12 +251,15 @@ object Dedup {
 
   /** Driver-side union-find with path compression over a collected
     * (already size-gated) undirected edge list; labels = component min id,
-    * identical to the distributed loop's fixpoint.
+    * identical to the distributed loop's fixpoint. Collects ONE direction
+    * (u <= v — union is direction-agnostic; <= keeps self-loop nodes in the
+    * output) from the checkpointed doubled list, halving driver heap.
     */
   private def unionFindDriver(und: DataFrame,
                               spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = und.select(col("u").cast("long"), col("v").cast("long"))
+    val es = und.filter(col("u") <= col("v"))
+      .select(col("u").cast("long"), col("v").cast("long"))
       .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

@@ -53,7 +53,11 @@ object Multimodal {
       val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
       val w = math.max(1, math.floor(m.width * scale).toInt)
       val h = math.max(1, math.floor(m.height * scale).toInt)
-      val keep = math.max(1, math.floor(bytes.length * scale * scale).toInt)
+      // empty payloads keep 0 bytes — max(1,...) would break the
+      // nBytes == payload.length invariant on a 0-byte take
+      val keep =
+        if (bytes.isEmpty) 0
+        else math.max(1, math.floor(bytes.length * scale * scale).toInt)
       ResizedMedia(id, w, h, keep.toLong, bytes.take(keep))
     }
 

@@ -75,6 +75,20 @@ object HtmlDoc {
     var cur = root
     var i = 0
     val n = html.length
+    // ASCII-only lowercase copy for case-insensitive raw-text close-tag
+    // search: length-stable (String.toLowerCase is not — U+0130 grows, and
+    // a Turkish default locale changes I entirely) so indexes map 1:1 back
+    // into `html`; built once, not per script tag
+    lazy val asciiLower: String = {
+      val cs = new Array[Char](n)
+      var k = 0
+      while (k < n) {
+        val c = html.charAt(k)
+        cs(k) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        k += 1
+      }
+      new String(cs)
+    }
 
     def addText(upTo: Int): Unit = {
       if (upTo > i) {
@@ -130,7 +144,7 @@ object HtmlDoc {
           i = if (j < n) j + 1 else n
           if (RawText.contains(name)) {
             // raw content: skip to the matching close tag, keep no text
-            val close = html.toLowerCase.indexOf(s"</$name", i)
+            val close = asciiLower.indexOf(s"</$name", i)
             val end = if (close < 0) n else html.indexOf('>', close)
             i = if (close < 0) n else (if (end < 0) n else end + 1)
           } else if (!selfClosed && !Void.contains(name)) {

@@ -101,7 +101,6 @@ final class HttpNewsSource(fetch: String => String,
 final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
 
   private val mapper = new ObjectMapper()
-  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
 
   private val schema = StructType(Seq(
     StructField("Date", StringType), StructField("Ticker", StringType),
@@ -109,9 +108,15 @@ final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
     StructField("Low", DoubleType), StructField("Open", DoubleType),
     StructField("Volume", LongType)))
 
-  def chartUrl(ticker: String): String =
-    s"https://query1.finance.yahoo.com/v8/finance/chart/$ticker" +
+  def chartUrl(ticker: String): String = {
+    // index tickers like ^BVSP contain URI-illegal chars; unencoded they
+    // make URI.create throw, which the per-ticker catch would silently
+    // swallow as "no data"
+    val t = java.net.URLEncoder.encode(ticker, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
+    s"https://query1.finance.yahoo.com/v8/finance/chart/$t" +
       "?range=1d&interval=1m&includePrePost=true"
+  }
 
   def fetchQuotes(spark: SparkSession, tickers: Seq[String]): DataFrame = {
     val rows = tickers.flatMap { t =>
@@ -139,6 +144,13 @@ final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
       if (i < xs.size && xs(i).isNumber) xs(i).asDouble() else null
     def lng(xs: IndexedSeq[JsonNode], i: Int): Any =
       if (i < xs.size && xs(i).isNumber) xs(i).asLong() else null
+    // trading date in the EXCHANGE's timezone (reference parity: yfinance
+    // returns exchange-local datetimes) — an evening pre/post bar crossing
+    // 00:00 UTC must not land on the next calendar day
+    val zone = try java.time.ZoneId.of(
+        r0.path("meta").path("exchangeTimezoneName").asText("UTC"))
+      catch { case scala.util.control.NonFatal(_) => ZoneOffset.UTC }
+    val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(zone)
     timestamps.elements().asScala.toIndexedSeq.zipWithIndex.map { case (ts, i) =>
       val date = dateFmt.format(Instant.ofEpochSecond(ts.asLong()))
       Row(date, ticker, dbl(close, i), dbl(high, i), dbl(low, i), dbl(open, i), lng(vol, i))

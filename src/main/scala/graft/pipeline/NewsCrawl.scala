@@ -54,13 +54,17 @@ object NewsCrawl {
       .map(_.text).getOrElse("")
 
   /** Link: first `<a href>`; `./x` and other relative hrefs resolve against
-    * news.google.com (`extract_news_job.py:83-103`).
+    * news.google.com (`extract_news_job.py:83-103`). Deliberate fix over
+    * the reference: a bare-relative href ("articles/x", no leading slash)
+    * gets the missing "/" — the reference concatenates and emits
+    * "news.google.comarticles/x".
     */
   def link(article: HtmlNode): String =
     article.findFirst(_.tag == "a").flatMap(_.attr("href")).filter(_.nonEmpty) match {
       case Some(href) if href.startsWith("./") => Domain + href.substring(1)
-      case Some(href) if !href.startsWith("http") => Domain + href
-      case Some(href) => href
+      case Some(href) if href.startsWith("http") => href
+      case Some(href) if href.startsWith("/") => Domain + href
+      case Some(href) => Domain + "/" + href
       case None => ""
     }
 

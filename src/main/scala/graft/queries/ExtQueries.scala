@@ -363,8 +363,8 @@ object ExtQueries {
           .orderBy("window_start_s")),
 
     // ----- streaming under the gate ------------------------------------------
-    // A REAL micro-batch run: the events table is landed as 3 parquet drops,
-    // streamed back one file per trigger (3 micro-batches through the
+    // A REAL micro-batch run: the events table is landed as 2 parquet drops,
+    // streamed back one file per trigger (2 micro-batches through the
     // incremental-execution engine + state store), windowed-aggregated in
     // Complete mode into a memory sink; the sink's final contents are the
     // gated result. Complete mode keeps every window's state, so the final

@@ -89,6 +89,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("connectedComponents is generic: string ids take the distributed loop") {
+    // non-integral ids skip the driver union-find; the distributed path's
+    // convergence detector must be type-generic (a decimal-sum check would
+    // throw under ANSI here)
+    val edges = Seq(("b", "e"), ("e", "i"), ("x", "y")).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(comps("b") === "b" && comps("e") === "b" && comps("i") === "b")
+    assert(comps("x") === "x" && comps("y") === "x")
+  }
+
+  test("connectedComponents keeps self-loop nodes in the labeling") {
+    val edges = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(comps(7L) === 7L, "self-loop node must not vanish from the output")
+    assert(comps(2L) === 1L)
+  }
+
   test("connectedComponents labels transitive chains with the min id") {
     val edges = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(edges)

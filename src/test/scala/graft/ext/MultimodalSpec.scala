@@ -47,6 +47,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.mediaId -> ((r.width, r.height, r.nBytes))).toMap
     out.foreach(r => assert(again(r.mediaId) === ((r.width, r.height, r.nBytes)),
       "deterministic"))
+    // empty payload: nBytes == payload.length must hold at zero too
+    import spark.implicits._
+    val empty = Multimodal.asMediaTable(Seq((9L, "")).toDF("id", "t"), "id", "t")
+    val r0 = Multimodal.resize(spark, empty, 64, 64).head()
+    assert(r0.nBytes === 0L && r0.payload.length === 0)
   }
 
   test("sampleFrames emits stride-spaced frame indices within bounds") {

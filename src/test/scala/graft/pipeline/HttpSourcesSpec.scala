@@ -40,6 +40,9 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(arts(1).title === "Sem h3, com h4")
     assert(arts(1).link === "https://news.google.com/articles/xyz",
       "non-http href resolves against the domain")
+    val bare = NewsCrawl.parseArticles("""<article><a href="articles/bare">t</a></article>""")
+    assert(bare.head.link === "https://news.google.com/articles/bare",
+      "bare-relative href gets the missing separator")
     assert(arts(1).source === "InfoMoney", "span[data-n-tid] fallback")
     assert(arts(1).publishedTime === "")
     assert(arts(2).title === "")
