@@ -49,6 +49,23 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       Seq(count(lit(1)).as("n"))).count() === 0)
   }
 
+  test("round-2 operators survive empty inputs") {
+    assert(Dedup.dropNearDups(emptyDocs, "doc_id", "text", 3, 0.4).count() === 0)
+    assert(ext.Splits.byHash(emptyDocs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).count() === 0)
+    assert(emptyDocs.select(ext.TextOps.redactPii(col("text")),
+      ext.TextOps.firstUrl(col("text")),
+      ext.TextOps.bpeishTokenCount(col("text"))).count() === 0)
+    val noPoints = Seq.empty[Long].toDF("p")
+    val noIntervals = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(ops.RangeJoin.pointInInterval(noPoints, noIntervals,
+      "p", "lo", "hi", width = 4).count() === 0)
+    assert(ops.RangeJoin.pointInInterval(
+      Seq(5L).toDF("p"), noIntervals, "p", "lo", "hi", width = 4).count() === 0)
+    assert(ext.Multimodal.resize(spark,
+      ext.Multimodal.asMediaTable(emptyDocs, "doc_id", "text"), 64, 64).count() === 0)
+  }
+
   test("similarity search survives empty corpus and empty probes") {
     val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SimSearch.bruteForceTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
