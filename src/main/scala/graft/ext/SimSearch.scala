@@ -97,25 +97,17 @@ object SimSearch {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
 
-    // nearest-centroid assignment as a literal-array argmax expression; the
-    // probe's own norm scales every cell's score equally so it drops out of
-    // the argmax, and centroid norms are plain Scala doubles inlined as
-    // literals. A zero-norm centroid scores -Infinity (cell scores are
-    // dot/|c| = |v|·cos, UNBOUNDED below for unnormalized vectors, so a
-    // finite sentinel could outrank real cells) instead of tripping ANSI
-    // divide-by-zero.
-    def cellOf(vec: Column, take: Int): Column = {
-      val sims = centroids.map { case (cid, cv) =>
-        val cvLit = array(cv.map(x => lit(x)): _*).cast("array<float>")
-        val cvNorm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-        val sim = if (cvNorm == 0.0) lit(Double.NegativeInfinity)
-          else dotF(vec, cvLit) / lit(cvNorm)
-        struct(sim.as("sim"), lit(cid).as("cell"))
-      }
-      // sort desc by (sim, cell), take the top `take` cell ids
-      transform(slice(reverse(array_sort(array(sims: _*))), 1, take),
-        s => s.getField("cell"))
-    }
+    // nearest-centroid assignment via the [[graft.functions.CellAssign]]
+    // expression: the centroid matrix rides as expression state (a literal
+    // per-centroid array formulation stops being plannable past toy nlist —
+    // see the expression's scaladoc). The probe's own norm scales every
+    // cell's score equally so it drops out of the argmax; zero-norm
+    // centroids score -Infinity (cell scores are dot/|c| = |v|·cos,
+    // UNBOUNDED below for unnormalized vectors, so a finite sentinel could
+    // outrank real cells) instead of tripping ANSI divide-by-zero.
+    val centroidMatrix: Array[Array[Float]] = centroids.map(_._2)
+    def cellOf(vec: Column, take: Int): Column =
+      graft.functions.CellAssign.cells(vec, centroidMatrix, take)
 
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
       normF(col(vecCol)).as("nbr_norm"),
