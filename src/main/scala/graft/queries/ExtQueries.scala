@@ -21,6 +21,21 @@ object ExtQueries {
   // DuckDB-side token array, identical to TextOps.tokens semantics.
   private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB CASE reproducing TextOps.languageId's fold arbitration (scores
+    * in declaration order, earliest language wins ties) — shared by
+    * txt_langid and corpus_clean so the two gates cannot drift.
+    */
+  private def duckLangCase: String = {
+    val score = TextOps.defaultLexicons.map { case (lang, ws) =>
+      lang -> s"len(list_filter($duckTokens, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    }.toMap
+    s"""CASE WHEN ${score("en")} >= greatest(${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'en'
+       |     WHEN ${score("es")} >= greatest(${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'es'
+       |     WHEN ${score("de")} >= greatest(${score("fr")}, ${score("zh")}) THEN 'de'
+       |     WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
+  }
+
   def all: Seq[GQ] = Seq(
 
     // ----- text analysis -----------------------------------------------------
@@ -72,20 +87,10 @@ object ExtQueries {
             col("avg_token_len"), col("punct_ratio"))
           .orderBy("doc_id")),
 
-    GQ("txt_langid", {
-      // scores in declaration order; earliest language wins ties (same
-      // arbitration as TextOps.languageId's fold)
-      val score = TextOps.defaultLexicons.map { case (lang, ws) =>
-        lang -> s"len(list_filter($duckTokens, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
-      }.toMap
+    GQ("txt_langid",
       Some(s"""SELECT doc_id,
-              |  CASE WHEN ${score("en")} >= greatest(${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'en'
-              |       WHEN ${score("es")} >= greatest(${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'es'
-              |       WHEN ${score("de")} >= greatest(${score("fr")}, ${score("zh")}) THEN 'de'
-              |       WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
-              |       ELSE 'zh' END AS lang_pred
-              |FROM documents ORDER BY doc_id""".stripMargin)
-    },
+              |  $duckLangCase AS lang_pred
+              |FROM documents ORDER BY doc_id""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"),
@@ -266,6 +271,46 @@ object ExtQueries {
             col("rank").cast("long").as("rank"))
           .orderBy("probe_id", "rank")
       }),
+
+    // ----- end-to-end corpus cleaning ----------------------------------------
+    // The composed pipeline (quality gate -> language keep-list -> near-dup
+    // removal) gated as a whole: per-row predicates shrink the corpus before
+    // the pair join, and near-dup components are computed among SURVIVORS.
+    GQ("corpus_clean",
+      Some(s"""WITH RECURSIVE q AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE len($duckTokens) >= 30
+              |    AND length(text) > 0
+              |    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |        / length(text) <= 0.2
+              |    AND ($duckLangCase) IN ('en', 'es')
+              |),
+              |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM q),
+              |sh AS (SELECT DISTINCT doc_id,
+              |         unnest(list_transform(generate_series(1, len(ts)-2),
+              |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+              |       FROM tok),
+              |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+              |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT id_a, id_b
+              |          FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+              |          WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4),
+              |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |reach(u, v) AS (SELECT u, v FROM und
+              |                UNION
+              |                SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u),
+              |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u)
+              |SELECT q.doc_id FROM q LEFT JOIN comp c ON q.doc_id = c.u
+              |WHERE coalesce(c.lbl, q.doc_id) = q.doc_id
+              |ORDER BY q.doc_id""".stripMargin),
+      (spark, dir) =>
+        CorpusClean.run(Tables.documents(spark, dir), "doc_id", "text",
+          minTokens = 30, maxPunct = 0.2, langs = Seq("en", "es"),
+          n = 3, threshold = 0.4)
+          .select("doc_id")
+          .orderBy("doc_id")),
 
     // ----- PII redaction + URL extraction ------------------------------------
     // The corpus has no planted PII, so both engines deterministically
