@@ -28,9 +28,8 @@ object CorpusClean {
     val t = col(textCol)
     val kept = df
       .filter(TextOps.tokenCount(t) >= minTokens)
-      .filter(length(t) > 0 &&
-        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
-          / length(t) <= maxPunct)
+      // punctRatio is NULL for empty text, and NULL <= maxPunct filters out
+      .filter(TextOps.punctRatio(t) <= maxPunct)
       .filter(TextOps.languageId(t, TextOps.defaultLexicons).isin(langs: _*))
     Dedup.dropNearDups(kept, idCol, textCol, n, threshold)
   }

@@ -106,8 +106,11 @@ object SimSearch {
     // UNBOUNDED below for unnormalized vectors, so a finite sentinel could
     // outrank real cells) instead of tripping ANSI divide-by-zero.
     val centroidMatrix: Array[Array[Float]] = centroids.map(_._2)
+    // a corpus smaller than nlist yields fewer centroids than nprobe —
+    // probe every available cell rather than reject the request
     def cellOf(vec: Column, take: Int): Column =
-      graft.functions.CellAssign.cells(vec, centroidMatrix, take)
+      graft.functions.CellAssign.cells(vec, centroidMatrix,
+        math.min(take, centroidMatrix.length))
 
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
       normF(col(vecCol)).as("nbr_norm"),

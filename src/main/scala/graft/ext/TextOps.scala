@@ -44,6 +44,16 @@ object TextOps {
 
   def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
+  /** Punctuation-character ratio, NULL for empty text (the ANSI
+    * DIVIDE_BY_ZERO guard). One definition shared by [[qualityMetrics]] and
+    * [[CorpusClean]] so the two gates cannot de-sync on the character
+    * class.
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+        / length(text))
+
   /** Simple quality metrics: char/token counts, mean token length, and the
     * ratio of punctuation chars. All integer-derived single divisions —
     * bit-exact across engines for oracle comparison.
@@ -55,11 +65,7 @@ object TextOps {
       .withColumn("n_tokens", size(toks))
       .withColumn("avg_token_len",
         (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
-      // guarded: ANSI mode throws DIVIDE_BY_ZERO on empty documents, which
-      // are exactly what quality filtering exists to catch
-      .withColumn("punct_ratio",
-        when(length(t) > 0,
-          (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t)))
+      .withColumn("punct_ratio", punctRatio(t))
   }
 
   /** Stopword-ratio score against a lexicon: fraction of tokens that are

@@ -46,20 +46,23 @@ case class CellAssign(child: Expression, centroids: Array[Array[Float]], take: I
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nlist = centroids.length
+    if (v.numElements() != centroids(0).length) // all centroids share the corpus dim
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs ${centroids(0).length})")
     val sims = new Array[Double](nlist)
     var cid = 0
     while (cid < nlist) {
       val c = centroids(cid)
-      if (v.numElements() != c.length)
-        throw new IllegalArgumentException(
-          s"$prettyName: dimension mismatch (${v.numElements()} vs ${c.length})")
       var acc = 0.0
       var i = 0
       while (i < c.length) { acc += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
       sims(cid) = if (norms(cid) == 0.0) Double.NegativeInfinity else acc / norms(cid)
       cid += 1
     }
-    // top-`take` by (sim desc, cid desc) via selection — take is tiny
+    // top-`take` by (sim desc, cid desc) via selection — take is tiny.
+    // Double.compare, not >, so a NaN score (corrupt embedding) ranks above
+    // every finite sim — the order Spark's sort gave the old array_sort
+    // formulation.
     val out = new Array[Int](take)
     val used = new Array[Boolean](nlist)
     var k = 0
@@ -67,8 +70,10 @@ case class CellAssign(child: Expression, centroids: Array[Array[Float]], take: I
       var best = -1
       var cid2 = 0
       while (cid2 < nlist) {
-        if (!used(cid2) && (best < 0 || sims(cid2) > sims(best) ||
-            (sims(cid2) == sims(best) && cid2 > best))) best = cid2
+        if (!used(cid2) && (best < 0 || {
+          val cmp = java.lang.Double.compare(sims(cid2), sims(best))
+          cmp > 0 || (cmp == 0 && cid2 > best)
+        })) best = cid2
         cid2 += 1
       }
       used(best) = true

@@ -34,8 +34,9 @@ final class HtmlNode(val tag: String,
     if (it.hasNext) Some(it.next()) else None
   }
 
-  def attr(name: String): Option[String] = attrs.get(name.toLowerCase)
-  def hasAttr(name: String): Boolean = attrs.contains(name.toLowerCase)
+  def attr(name: String): Option[String] = attrs.get(name.toLowerCase(java.util.Locale.ROOT))
+  def hasAttr(name: String): Boolean =
+    attrs.contains(name.toLowerCase(java.util.Locale.ROOT))
   def hasClass(c: String): Boolean =
     attr("class").exists(_.split("\\s+").contains(c))
 
@@ -65,6 +66,12 @@ object HtmlDoc {
   private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
     "input", "link", "meta", "param", "source", "track", "wbr")
   private val RawText = Set("script", "style")
+
+  /** Locale-safe lowercase for tag/attribute names: a Turkish default
+    * locale turns "SCRIPT" into "scr\u0131pt" under String.toLowerCase,
+    * which would skip the raw-text branch entirely.
+    */
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
   private val AttrRe =
     """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
@@ -111,7 +118,7 @@ object HtmlDoc {
           i = if (end < 0) n else end + 1
         } else if (i + 1 < n && html.charAt(i + 1) == '/') {
           val end = html.indexOf('>', i)
-          val name = html.substring(i + 2, if (end < 0) n else end).trim.toLowerCase
+          val name = lc(html.substring(i + 2, if (end < 0) n else end).trim)
           // recovery: close up to the nearest matching open tag, else ignore
           var probe: Option[HtmlNode] = Some(cur)
           while (probe.exists(p => p.tag != name && p.tag != "#root")) probe = probe.get.parent
@@ -132,12 +139,12 @@ object HtmlDoc {
           val body = if (selfClosed) inner.dropRight(1) else inner
           val nameEnd = body.indexWhere(c => c.isWhitespace)
           val (name, attrStr) =
-            if (nameEnd < 0) (body.trim.toLowerCase, "")
-            else (body.substring(0, nameEnd).toLowerCase, body.substring(nameEnd))
+            if (nameEnd < 0) (lc(body.trim), "")
+            else (lc(body.substring(0, nameEnd)), body.substring(nameEnd))
           val attrs = AttrRe.findAllMatchIn(attrStr).map { m =>
             val v = Option(m.group(2)).orElse(Option(m.group(3)))
               .orElse(Option(m.group(4))).getOrElse("")
-            m.group(1).toLowerCase -> v
+            lc(m.group(1)) -> v
           }.toMap
           val node = new HtmlNode(name, attrs, Some(cur))
           cur.childNodes += node

@@ -112,9 +112,7 @@ final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
     // index tickers like ^BVSP contain URI-illegal chars; unencoded they
     // make URI.create throw, which the per-ticker catch would silently
     // swallow as "no data"
-    val t = java.net.URLEncoder.encode(ticker, java.nio.charset.StandardCharsets.UTF_8)
-      .replace("+", "%20")
-    s"https://query1.finance.yahoo.com/v8/finance/chart/$t" +
+    s"https://query1.finance.yahoo.com/v8/finance/chart/${NewsCrawl.percentEncode(ticker)}" +
       "?range=1d&interval=1m&includePrePost=true"
   }
 

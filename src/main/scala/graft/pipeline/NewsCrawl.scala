@@ -19,11 +19,14 @@ object NewsCrawl {
   /** Search URL with the reference's locale pinning
     * (`extract_news_job.py:170-171`).
     */
-  def searchUrl(term: String): String = {
-    // percent-encoding à la Python's urllib quote(): %20, not form "+"
-    val q = URLEncoder.encode(term, StandardCharsets.UTF_8).replace("+", "%20")
-    s"$Domain/search?q=$q&hl=pt-BR&gl=BR&ceid=BR:pt-419"
-  }
+  /** Percent-encoding à la Python's urllib quote(): %20, not form "+".
+    * Shared by every URL builder in the ingestion layer.
+    */
+  def percentEncode(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  def searchUrl(term: String): String =
+    s"$Domain/search?q=${percentEncode(term)}&hl=pt-BR&gl=BR&ceid=BR:pt-419"
 
   /** Per-company search terms (`extract_news_job.py:225-230`). */
   def searchTermsFor(company: String, ticker: String): Seq[String] = Seq(

@@ -82,6 +82,19 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     assert(ivf === ivf2)
   }
 
+  test("ivfTopK degrades gracefully when the corpus is smaller than nprobe") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    // 3 corpus rows < nlist=16, nprobe=4 > available centroids: must probe
+    // all cells rather than reject the request
+    val out = SimSearch.ivfTopK(tiny, tiny.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, nlist = 16, nprobe = 4)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L))
+  }
+
   test("lsh buckets are deterministic across invocations (seeded planes)") {
     val emb = Tables.embeddings(spark, sfDir).limit(50)
     val b1 = emb.select(SimSearch.lshBucket($"embedding", 8, 64).as("b")).as[Long].collect()
