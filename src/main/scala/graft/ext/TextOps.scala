@@ -69,12 +69,13 @@ object TextOps {
   }
 
   /** Stopword-ratio score against a lexicon: fraction of tokens that are
-    * lexicon members. Lexicon is broadcast as an array literal — no join.
+    * lexicon members. Membership via the native
+    * [[graft.functions.LexiconHits]] kernel (hash probe per token, not an
+    * interpreted per-token array scan) — no join, no shuffle.
     */
   def lexiconRatio(text: Column, lexicon: Seq[String]): Column = {
-    val lex = array(lexicon.map(lit): _*)
     val ts = tokens(text)
-    size(filter(ts, t => array_contains(lex, t))).cast("double") / size(ts)
+    graft.functions.LexiconHits.hits(ts, lexicon).cast("double") / size(ts)
   }
 
   /** Language-ID n-gram/stopword heuristic: score each candidate language by
@@ -86,8 +87,7 @@ object TextOps {
   def languageId(text: Column, lexicons: Seq[(String, Seq[String])]): Column = {
     val ts = tokens(text)
     val scores = lexicons.map { case (lang, words) =>
-      val lex = array(words.map(lit): _*)
-      lang -> size(filter(ts, t => array_contains(lex, t)))
+      lang -> graft.functions.LexiconHits.hits(ts, words)
     }
     // fold right-to-left so earlier languages win ties
     scores.reverse.tail.foldLeft(

@@ -73,6 +73,18 @@ class SketchFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(dup === Seq("x y", "y x", "x y"))
   }
 
+  test("lexicon_hits == size(filter(tokens, array_contains)) HOF form") {
+    val lex = Seq("the", "and", "of")
+    val lexArr = array(lex.map(lit): _*)
+    val ts = TextOps.tokens($"text")
+    val out = docs.select(
+        LexiconHits.hits(ts, lex).as("native"),
+        size(filter(ts, t => array_contains(lexArr, t))).as("hof"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+    assert(out.exists(_._1 > 0), "fixture exercises actual hits")
+  }
+
   test("float_vector_dot errors on dimension mismatch (DuckDB error parity)") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val e = intercept[Exception] {
