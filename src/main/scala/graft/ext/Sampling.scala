@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training pipelines (SURVEY.md §2b extension
+  * surface). Like [[Splits]], determinism is the point: `df.sample()` is
+  * partitioning-dependent, so a rerun or a repartition changes the sample;
+  * here the sample is a pure function of the data.
+  */
+object Sampling {
+
+  /** Up to `perStratum` rows per stratum, chosen by md5-order of the key
+    * (uniform, engine-portable) with the key itself as the tie-break —
+    * the deterministic form of stratified subsampling. One shuffle on the
+    * stratum key; stratum skew is bounded by the same AQE skew handling as
+    * any window.
+    */
+  def stratifiedByHash(df: DataFrame, strataCol: String, keyCol: String,
+                       perStratum: Int): DataFrame = {
+    require(perStratum >= 1)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+}

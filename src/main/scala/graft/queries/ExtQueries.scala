@@ -72,6 +72,38 @@ object ExtQueries {
           .select("doc_id", "split")
           .orderBy("doc_id")),
 
+    // Deterministic stratified sample: up to 5 docs per source language,
+    // md5-ordered — rerun- and partitioning-stable, unlike df.sample().
+    GQ("sample_per_group",
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin),
+      (spark, dir) =>
+        Sampling.stratifiedByHash(Tables.documents(spark, dir), "lang", "doc_id", 5)
+          .select("doc_id", "lang")
+          .orderBy("lang", "doc_id")),
+
+    // Exact token-count quantiles (linear interpolation both engines);
+    // scalar columns rather than an array so the hash compare stays simple.
+    GQ("txt_length_quantiles",
+      Some(s"""WITH t AS (SELECT len($duckTokens) AS n FROM documents)
+              |SELECT round(quantile_cont(n, 0.25), 6) AS p25,
+              |       round(quantile_cont(n, 0.5), 6) AS p50,
+              |       round(quantile_cont(n, 0.75), 6) AS p75,
+              |       round(quantile_cont(n, 0.95), 6) AS p95
+              |FROM t""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(TextOps.tokenCount(col("text")).as("n"))
+          .agg(
+            round(expr("percentile(n, 0.25)"), 6).as("p25"),
+            round(expr("percentile(n, 0.5)"), 6).as("p50"),
+            round(expr("percentile(n, 0.75)"), 6).as("p75"),
+            round(expr("percentile(n, 0.95)"), 6).as("p95"))),
+
     GQ("txt_quality",
       Some(s"""SELECT doc_id,
               |  CAST(length(text) AS BIGINT) AS n_chars_m,
