@@ -144,6 +144,33 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(fixture.columns.toSeq === df.columns.toSeq)
   }
 
+  test("HTTP sources plug into the extract jobs end-to-end") {
+    val zones = java.nio.file.Files.createTempDirectory("graft-http-e2e").toString
+    val cfg = Jobs.Config(
+      rawStocks = s"$zones/raw/stocks", rawNews = s"$zones/raw/news",
+      refinedStocks = s"$zones/refined/stocks", refinedNews = s"$zones/refined/news",
+      stockDb = "h_stock_db", newsDb = "h_news_db", processDate = "20240501")
+
+    val newsHtml =
+      """<article><h3>Uma noticia</h3><a href="./read/9"></a>
+        |<time datetime="2024-05-01T00:00:00Z"></time>
+        |<div data-n-tid="9">Fonte</div></article>""".stripMargin
+    Jobs.extractNews(spark,
+      new HttpNewsSource(_ => newsHtml, pauseMs = 0, now = () => "2024-05-01T00:00:00"),
+      cfg)
+    val rawNews = graft.io.Catalog.readTable(spark, "h_news_db", "news_raw")
+    assert(rawNews.count() === Model.stockDim.size * 4,
+      "one parsed article per (company x search term)")
+    assert(rawNews.select("sector").distinct().count() > 1, "sector lookup applied")
+
+    Jobs.extractStocks(spark, new HttpQuoteSource(_ => chartJson), cfg)
+    val rawStocks = graft.io.Catalog.readTable(spark, "h_stock_db", "stock_prices_best_row")
+    // fixture serves the same 3-bar chart (symbol ITUB4.SA) for every ticker
+    assert(rawStocks.count() === Model.stockDim.size * 3)
+    assert(rawStocks.filter(org.apache.spark.sql.functions.col("sector") === "Banks")
+      .count() > 0, "dim enrichment joined through")
+  }
+
   test("HttpQuoteSource: malformed/empty payloads yield zero rows, no throw") {
     val src = new HttpQuoteSource(_ => """{"chart":{"result":[],"error":"boom"}}""")
     assert(src.fetchQuotes(spark, Seq("X")).count() === 0)
