@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64}
+import graft.functions.{FloatVectorDot, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -48,7 +48,19 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    ("lexicon_hits",
+      new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
+      (es: Seq[Expression]) => LexiconHits(es(0), arrayLit(es(1)))),
   )
+
+  /** Evaluate a foldable array-of-strings argument (e.g. `array('a','b')`). */
+  private def arrayLit(e: Expression): Array[String] = {
+    require(e.foldable, "lexicon argument must be a literal array")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString)
+  }
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

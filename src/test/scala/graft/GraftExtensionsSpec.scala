@@ -18,6 +18,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val n = spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
       .head().getInt(0)
     assert(n === 2, "two distinct 3-gram shingles in a 4-token doc")
+
+    val hits = spark.sql(
+      "SELECT lexicon_hits(split('the cat and the dog', ' '), array('the', 'and')) AS h")
+      .head().getInt(0)
+    assert(hits === 3, "two 'the' + one 'and'")
   }
 
   test("SQL results match the Column API forms") {
