@@ -2,11 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Fixed-work CPU probe (single-thread long-arithmetic loop): ~1.3 s on
-    * this container unthrottled, 2.3 s+ under host-level contention
-    * (shared-tenancy throttling inflates wall-clock up to 3× while guest
-    * load looks idle). Emitted in the bench JSON so totals are
-    * interpretable across rounds.
+  /** Fixed-work CPU probe (single-thread long-arithmetic loop): ~0.4 s on
+    * this container unthrottled (observed 0.37-0.46; ~0.7 s+ under direct
+    * throttling). NOTE: the probe is single-threaded — host contention can
+    * inflate 32-thread query wall-clock 3x while the probe still reads
+    * near-nominal; an inflated warmup_sec is the better contention tell.
     */
   private def cpuProbeSec(): Double = {
     val t0 = System.nanoTime()

@@ -50,16 +50,25 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("lexicon_hits",
       new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
-      (es: Seq[Expression]) => LexiconHits(es(0), arrayLit(es(1)))),
+      (es: Seq[Expression]) => { requireArity("lexicon_hits", es, 2); LexiconHits(es(0), arrayLit(es(1))) }),
   )
 
-  /** Evaluate a foldable array-of-strings argument (e.g. `array('a','b')`). */
-  private def arrayLit(e: Expression): Array[String] = {
-    require(e.foldable, "lexicon argument must be a literal array")
-    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${es.length}")
+
+  /** Evaluate a foldable array-of-strings argument (e.g. `array('a','b')`)
+    * to a clean error rather than an internal NPE on malformed input.
+    */
+  private def arrayLit(e: Expression): Seq[String] = {
+    require(e.foldable, "lexicon argument must be a literal array of strings")
+    val v = e.eval(null)
+    require(v != null, "lexicon argument must not be NULL")
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType)
-      .map(_.toString)
+    require(!arr.contains(null), "lexicon entries must not be NULL")
+    arr.toSeq.map(_.toString)
   }
 
   /** Register on an already-built session. */

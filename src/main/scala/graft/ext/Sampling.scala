@@ -16,6 +16,11 @@ object Sampling {
     * the deterministic form of stratified subsampling. One shuffle on the
     * stratum key; stratum skew is bounded by the same AQE skew handling as
     * any window.
+    *
+    * CONTRACT: `keyCol` must be unique within each stratum. Rows sharing
+    * (stratum, key) have identical sort keys, so which one ranks first is
+    * partition-arrival order — exactly the instability this operator
+    * exists to prevent. Dedup on the key first (A4/A5) if unsure.
     */
   def stratifiedByHash(df: DataFrame, strataCol: String, keyCol: String,
                        perStratum: Int): DataFrame = {

@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly the HOF's (same membership semantics, null tokens don't match),
   * so the language-ID CASE arbitration and its oracle are unaffected.
   */
-case class LexiconHits(child: Expression, lexicon: Array[String])
+// lexicon is a Seq (not Array) so case-class equality is structural and
+// Catalyst CSE can deduplicate identical scorers across query branches
+case class LexiconHits(child: Expression, lexicon: Seq[String])
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -56,5 +58,5 @@ case class LexiconHits(child: Expression, lexicon: Array[String])
 object LexiconHits {
   /** Count of token-array elements that appear in `lexicon`. */
   def hits(tokens: Column, lexicon: Seq[String]): Column =
-    GraftBridge.column(LexiconHits(GraftBridge.expression(tokens), lexicon.toArray))
+    GraftBridge.column(LexiconHits(GraftBridge.expression(tokens), lexicon))
 }

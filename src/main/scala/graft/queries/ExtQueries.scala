@@ -129,6 +129,23 @@ object ExtQueries {
             TextOps.languageId(col("text"), TextOps.defaultLexicons).as("lang_pred"))
           .orderBy("doc_id")),
 
+    // Stopword-ratio quality signal — gates the LexiconHits kernel through
+    // an oracle (integer-exact division, rounded identically both sides).
+    GQ("txt_stopword_ratio", {
+      val en = TextOps.defaultLexicons.head._2
+      Some(s"""SELECT doc_id,
+              |  round(CAST(len(list_filter($duckTokens,
+              |    t -> t IN (${en.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |    / len($duckTokens), 6) AS stop_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            round(TextOps.lexiconRatio(col("text"), TextOps.defaultLexicons.head._2), 6)
+              .as("stop_ratio"))
+          .orderBy("doc_id")),
+
     GQ("txt_fingerprint",
       Some("""SELECT doc_id,
              |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
