@@ -58,12 +58,17 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // Keep the line SHORT and put the headline numbers at the END: the
+    // driver stores only the tail of stdout, and round 2's line outgrew it —
+    // the leading value/errors/probe fields were truncated away. 3-decimal
+    // per-query values + totals last means the summary always survives.
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v, err) =>
-      jsonStr(k) + ":" + (if (err.isEmpty) v.toString else jsonStr("ERROR " + err.get.take(200)))
+      jsonStr(k) + ":" + (if (err.isEmpty) r3(v) else jsonStr("ERROR " + err.get.take(120)))
     }.mkString("{", ",", "}")
     val nErrors = results.count(_._3.nonEmpty)
     val total = if (nErrors > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErrors,"cpu_probe_sec":$probe,"warmup_sec":$warmupSec,"queries":$qs,"sf":${jsonStr(sfDir)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"value":${r3(total)}}""")
     spark.stop()
     if (nErrors > 0) sys.exit(1)
   }

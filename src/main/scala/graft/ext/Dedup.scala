@@ -61,7 +61,11 @@ object Dedup {
     // pairs at the same threshold (never a false positive).
     val sh = maxDocFreq match {
       case Some(cap) =>
-        val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap).select("s")
+        // materialized once: both sides of the self-join below reference this
+        // subtree, and without the checkpoint the full df-aggregate over the
+        // exploded shingle relation would run twice (once per side)
+        val hubs = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") >= cap)
+          .select("s").localCheckpoint()
         sh0.join(broadcast(hubs), Seq("s"), "left_anti")
       case None => sh0
     }

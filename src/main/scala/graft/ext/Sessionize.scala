@@ -50,6 +50,26 @@ object Sessionize {
       .withColumn("end_s", expr("end_us div 1000000"))
       .drop("start_us", "end_us")
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` generator
+    * (the same operator the streaming engine uses for session state):
+    * `groupBy(user, session_window(ts, gap))`. Session boundaries match
+    * [[sessionize]] exactly (merge while the silence is <= gap, INCLUSIVE at
+    * the boundary — verified in SessionizeTextSpec); the difference is shape:
+    * a session's window is [first event, last event + gap), so `end_s` is
+    * `last_event_second + gapSeconds`, unlike [[sessionStats]] whose `end_s`
+    * is the last event itself. One shuffle on (user, merged window); window
+    * merging happens inside the aggregate — no lag/running-sum pass.
+    */
+  def nativeSessionStats(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+                         gapSeconds: Long): DataFrame =
+    df.groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("value_sum"))
+      .withColumn("start_s", unix_timestamp(col("w.start")))
+      .withColumn("end_s", unix_timestamp(col("w.end")))
+      .drop("w")
+
   /** Tumbling event-time window aggregate: `window(ts, width)` + groupBy.
     * Window starts are epoch-aligned, emitted as epoch seconds.
     */

@@ -130,6 +130,46 @@ object TextOps {
   def firstUrl(text: Column): Column =
     regexp_extract(text, "https?://[^ \\t\\n]+", 0)
 
+  /** Fraction of repeated word n-grams in the document:
+    * `1 - distinct(n-grams) / total(n-grams)`, NULL when the doc has fewer
+    * than `n` tokens. The Gopher/MassiveText repetition signal (Rae et al.
+    * 2021, §A1.1): high values flag boilerplate and degenerate generations.
+    * Pure per-row column expression — no shuffle, linear at 100 TB.
+    */
+  def repeatedNgramFrac(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
+  /** Per-document top-`k` terms by TF-IDF (smooth-free idf = ln(N/df)).
+    *
+    * Shape at scale: one shuffle to (doc, term) counts, one term-keyed
+    * aggregate for document frequency (computed from the tf relation, which
+    * is already deduped — never re-shuffles the raw token stream), corpus
+    * size joined in as a broadcast scalar, and a per-doc window for the
+    * top-k. Ranking uses the ROUNDED score (6 dp) so a 1-ulp `ln`
+    * difference between engines cannot flip the order.
+    *
+    * Output: (doc_id, term, tfidf, rank), rank 1-based.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+
   /** Document fingerprint: digest of the whitespace-normalized, lowercased
     * text. Whitespace runs collapse to single spaces so trivial reflows map
     * to the same fingerprint (the rolling-hash idea, realized with a

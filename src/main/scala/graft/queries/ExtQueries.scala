@@ -600,6 +600,68 @@ object ExtQueries {
           .groupBy("gram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram").asc).limit(20)),
 
+    // ----- text: repeated-n-gram repetition signal (Gopher §A1.1) ------------
+    // NULL (not 0) when the doc has fewer than n tokens — both engines agree.
+    GQ("txt_repeated_ngrams",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |g AS (SELECT doc_id,
+             |        list_transform(generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]) AS g2,
+             |        list_transform(generate_series(1, len(ts)-2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g3
+             |      FROM tok)
+             |SELECT doc_id,
+             |  CASE WHEN len(g2) > 0 THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
+             |  CASE WHEN len(g3) > 0 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac
+             |FROM g ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            round(TextOps.repeatedNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"),
+            round(TextOps.repeatedNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"))
+          .orderBy("doc_id")),
+
+    // ----- text: per-doc top-3 terms by TF-IDF -------------------------------
+    // Ranking is on the ROUNDED score in BOTH engines, so a 1-ulp ln()
+    // difference cannot flip the window order.
+    GQ("txt_tfidf_top_terms",
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, term,
+             |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             |       FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tfidf, rn AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                               ORDER BY tfidf DESC, term) AS rn FROM sc)
+             |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
+      (spark, dir) =>
+        TextOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+          .select(col("doc_id"), col("term"), col("tfidf"), col("rank").cast("long").as("rank"))
+          .orderBy("doc_id", "rank")),
+
+    // ----- native session_window (batch form of the streaming operator) ------
+    // Session boundaries are the same '> gap' islands as sessionize_stats
+    // (Spark merges INCLUSIVELY at an exactly-gap-sized silence — pinned by
+    // SessionizeTextSpec); what differs is the window shape: end_s is
+    // last_event + gap (the window bound), not the last event itself.
+    GQ("sw_native_session",
+      Some("""WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+             |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |                              THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY user_id ORDER BY us
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq FROM l)
+             |SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum,
+             |       min(us) // 1000000 AS start_s,
+             |       max(us) // 1000000 + 1800 AS end_s
+             |FROM s GROUP BY user_id, seq
+             |ORDER BY user_id, start_s""".stripMargin),
+      (spark, dir) =>
+        Sessionize.nativeSessionStats(Tables.events(spark, dir), "user_id", "ts", "value",
+          gapSeconds = 1800)
+          .select("user_id", "n_events", "value_sum", "start_s", "end_s")
+          .orderBy("user_id", "start_s")),
+
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
     // event time (no future leakage). Right side deduped to one row per

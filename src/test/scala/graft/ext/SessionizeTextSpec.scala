@@ -50,6 +50,59 @@ class SessionizeTextSpec extends AnyFunSuite with SparkSpec {
     assert(slid.values.sum === 6L, "width/slide = 2 windows per event")
   }
 
+  test("nativeSessionStats: inclusive gap merge matches lag form; end = last + gap") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // exactly gap later -> MERGED (inclusive)
+      (1L, ts("2024-01-01 11:00:01"), 5.0), // 1s past the gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 3.0),
+      (2L, ts("2024-01-01 10:29:59"), 4.0), // inside the gap -> same session
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.nativeSessionStats(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .select("user_id", "n_events", "start_s", "end_s")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 2L)),
+      "exactly-gap-later event merges (inclusive); past-gap starts a new session")
+    // window end is last event + gap, NOT the last event
+    assert(out(0)._4 - out(0)._3 === 1800L + 1800L)
+    assert(out(2)._4 - out(2)._3 === 1799L + 1800L)
+
+    // session boundaries agree with the lag-based form (both '> gap')
+    val lagForm = Sessionize.sessionStats(ev, "user_id", "ts", "value", 1800)
+      .filter($"user_id" === 1L).count()
+    assert(lagForm === 2L, "lag form finds the same two user-1 sessions")
+  }
+
+  test("repeatedNgramFrac: duplicate shingles measured, short docs NULL") {
+    val out = Seq(
+      ("a b a b a b", 1),   // 2-grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct
+      ("x y z", 2),         // no repeats -> 0.0
+      ("one", 3),           // < 2 tokens -> NULL
+    ).toDF("text", "k")
+      .select($"k", TextOps.repeatedNgramFrac($"text", 2).as("f"))
+      .collect().sortBy(_.getInt(0))
+    assert(math.abs(out(0).getDouble(1) - 0.6) < 1e-9) // 1 - 2/5
+    assert(out(1).getDouble(1) === 0.0)
+    assert(out(2).isNullAt(1))
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score 0, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare2 other"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(r => (r._2, r._3)) }
+    // 'common' appears in all 3 docs: idf = ln(1) = 0 -> never outranks a rare term
+    assert(out(1L).head._1 === "rare1")
+    assert(out(1L).head._2 === math.rint(math.log(3.0) * 1e6) / 1e6)
+    // doc 2: rare2 (df=2) wins over common (0); tie-break alphabetical after
+    assert(out(2L).map(_._1).toSeq === Seq("rare2", "common"))
+    assert(out(3L).map(_._1).toSeq === Seq("other", "rare2"))
+  }
+
   test("TextOps: shingles, langid tie-break, fingerprint normalization") {
     val sh = Seq("a b c d").toDF("text")
       .select(TextOps.shingles($"text", 3).as("s")).as[Seq[String]].head()
