@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: print the formatted physical plan of one or more
+  * registry queries without executing them.
+  *
+  * Usage: runMain graft.Explain <queryName>[,<queryName>...] [sfDir]
+  *
+  * This is the feedback loop the 100 TB posture demands: after a query is
+  * correct, read its plan — pushed filters, exchange count, reused
+  * exchanges, whole-stage codegen spans — and iterate until it's the plan
+  * you'd want on a 1000-executor cluster.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(sys.error("usage: Explain <queryName>[,<name>...] [sfDir]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      println(s"===== $name =====")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

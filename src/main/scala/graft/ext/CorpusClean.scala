@@ -31,6 +31,13 @@ object CorpusClean {
       // punctRatio is NULL for empty text, and NULL <= maxPunct filters out
       .filter(TextOps.punctRatio(t) <= maxPunct)
       .filter(TextOps.languageId(t, TextOps.defaultLexicons).isin(langs: _*))
+      // materialize the (much smaller) surviving corpus once: the near-dup
+      // stage consumes it three times (both sides of the pair self-join +
+      // the survivor join), and each re-read would re-run the full
+      // quality/language scoring scan. At production scale this is the
+      // stage boundary you'd write to a table; localCheckpoint is the
+      // single-job equivalent.
+      .localCheckpoint()
     Dedup.dropNearDups(kept, idCol, textCol, n, threshold)
   }
 }

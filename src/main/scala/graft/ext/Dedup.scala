@@ -118,7 +118,18 @@ object Dedup {
                       threshold: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // ONE shingle pass: signatures, banding, and the exact verify all derive
+    // from this materialized (id, shingle-hash set) relation — without it the
+    // kernel re-runs over the full corpus three times (sig build + each side
+    // of the candidate verify join). At production scale this is the shingle
+    // table you'd persist alongside the corpus; localCheckpoint is the
+    // single-job equivalent.
+    val sets = df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
+      .localCheckpoint()
+    val sigs = sets.select(col("id"),
+        graft.functions.SketchFunctions.minhashSketch(col("set"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull) // docs with < n tokens have no signature
     // band hash = xxhash64 over the band's sig elements directly
     // (element_at is codegen'd; the former slice().cast("string") built a
     // "[1, 2, …]" string per band per doc — pure allocation)
@@ -131,8 +142,6 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
 
-    val sets = df.select(col(idCol).as("id"),
-      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
