@@ -170,6 +170,47 @@ object TextOps {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Chunk documents into fixed-width token windows with stride — the
+    * context-window slicer of a training-data pipeline. Chunk k covers
+    * tokens [1 + k*stride, 1 + k*stride + width); the tail chunk may be
+    * short; a chunk starts at every stride step while its start is within
+    * the document. Pure generator + codegen'd `slice` per row — no shuffle,
+    * output rows ≈ len/stride per doc, linear at 100 TB.
+    *
+    * Output: (doc_id, chunk_idx, chunk, n_tokens), chunk_idx 0-based.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(1), size(col("ts")), lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("ts"), col("start"), lit(width))).as("chunk"),
+        size(slice(col("ts"), col("start"), lit(width))).cast("long").as("n_tokens"))
+  }
+
+  /** Fraction of the document's characters covered by its most frequent
+    * word 2..n-gram (count × gram length / total chars) — the other half of
+    * the Gopher/MassiveText repetition battery ([[repeatedNgramFrac]] is the
+    * duplicate-fraction half). Ties broken to the lexicographically smallest
+    * gram so the winner is deterministic cross-engine. NULL when the doc has
+    * no n-grams. One (doc, gram) aggregate + a per-doc top-1 window.
+    */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy("doc_id", "n_chars", "gram").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        round((col("c") * length(col("gram"))).cast("double") / col("n_chars"), 6)
+          .as("top_gram_char_frac"))
+    df.select(col(idCol).as("doc_id")).join(top, Seq("doc_id"), "left")
+  }
+
   /** Document fingerprint: digest of the whitespace-normalized, lowercased
     * text. Whitespace runs collapse to single spaces so trivial reflows map
     * to the same fingerprint (the rolling-hash idea, realized with a

@@ -662,6 +662,49 @@ object ExtQueries {
           .select("user_id", "n_events", "value_sum", "start_s", "end_s")
           .orderBy("user_id", "start_s")),
 
+    // ----- text: context-window chunking (width 32, stride 16) ---------------
+    GQ("txt_chunk_windows",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |st AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 16)) AS start FROM tok)
+             |SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+             |       array_to_string(list_slice(ts, start, start + 31), ' ') AS chunk,
+             |       CAST(len(list_slice(ts, start, start + 31)) AS BIGINT) AS n_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+      (spark, dir) =>
+        TextOps.chunkWindows(Tables.documents(spark, dir), "doc_id", "text",
+          width = 32, stride = 16)
+          .orderBy("doc_id", "chunk_idx")),
+
+    // ----- text: top-2-gram character coverage (Gopher repetition battery) ---
+    GQ("txt_top_ngram_frac",
+      Some("""WITH tok AS (SELECT doc_id, length(text) AS n_chars,
+             |               regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |g AS (SELECT doc_id, n_chars,
+             |        unnest(list_transform(generate_series(1, len(ts)-1),
+             |          i -> ts[i] || ' ' || ts[i+1])) AS gram
+             |      FROM tok),
+             |c AS (SELECT doc_id, n_chars, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+             |r AS (SELECT doc_id, round(CAST(c * length(gram) AS DOUBLE) / n_chars, 6) AS top_gram_char_frac,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+             |      FROM c)
+             |SELECT d.doc_id, r.top_gram_char_frac
+             |FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.doc_id = r.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (spark, dir) =>
+        TextOps.topNgramCharFrac(Tables.documents(spark, dir), "doc_id", "text", n = 2)
+          .orderBy("doc_id")),
+
+    // ----- embeddings: L2 norm (gates the normF kernel directly) -------------
+    GQ("emb_l2_norm",
+      Some("""SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (spark, dir) =>
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            round(graft.functions.VectorFunctions.normF(col("embedding")), 6).as("l2"))
+          .orderBy("vec_id")),
+
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
     // event time (no future leakage). Right side deduped to one row per

@@ -103,6 +103,29 @@ class SessionizeTextSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).map(_._1).toSeq === Seq("other", "rare2"))
   }
 
+  test("chunkWindows: stride overlap, short tail, chunk reassembly") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val out = TextOps.chunkWindows(docs, "doc_id", "text", width = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    // starts at tokens 1, 4, 7 -> windows [t0..t3], [t3..t6], [t6]
+    assert(out.map(_._3).toSeq === Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6"))
+    assert(out.map(_._4).toSeq === Seq(4L, 4L, 1L), "tail chunk is short, not dropped")
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L), "chunk_idx is 0-based and dense")
+  }
+
+  test("topNgramCharFrac: coverage math, deterministic ties, short docs NULL") {
+    val docs = Seq(
+      (1L, "ab ab ab"),  // 2-grams: 'ab ab' x2; frac = 2*5/8
+      (2L, "ba ab ba"),  // 'ba ab' and 'ab ba' both once -> lexicographic winner 'ab ba'
+      (3L, "one"),       // no 2-grams -> NULL
+    ).toDF("doc_id", "text")
+    val out = TextOps.topNgramCharFrac(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) === 2 * 5 / 8.0)
+    assert(out(2L) === 1 * 5 / 8.0)
+    assert(out(3L) === null)
+  }
+
   test("TextOps: shingles, langid tie-break, fingerprint normalization") {
     val sh = Seq("a b c d").toDF("text")
       .select(TextOps.shingles($"text", 3).as("s")).as[Seq[String]].head()
