@@ -91,18 +91,13 @@ final class HttpNewsSource(fetch: String => String,
   }
 }
 
-/** S2 — quote ingestion against the public Yahoo Finance v8 chart endpoint
-  * (the API yfinance's `download()` wraps; `extract_stocks_job.py:86-93`
-  * calls it with period=1d, interval=1m, prepost=True). One request per
-  * ticker; each JSON response parses to long-form OHLCV rows matching
-  * [[FixtureQuoteSource]]'s schema. NaN/null points stay NULL — the P1
-  * NaN→NULL cast downstream sees identical input either way.
+/** Yahoo-v8 chart endpoint: URL shape + JSON→long-form-row parsing, shared
+  * by the driver-side [[HttpQuoteSource]] and the executor-side
+  * DataSourceV2 reader ([[graft.sources.QuoteDataSource]]).
   */
-final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
+object ChartJson {
 
-  private val mapper = new ObjectMapper()
-
-  private val schema = StructType(Seq(
+  val schema: StructType = StructType(Seq(
     StructField("Date", StringType), StructField("Ticker", StringType),
     StructField("Close", DoubleType), StructField("High", DoubleType),
     StructField("Low", DoubleType), StructField("Open", DoubleType),
@@ -116,16 +111,9 @@ final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
       "?range=1d&interval=1m&includePrePost=true"
   }
 
-  def fetchQuotes(spark: SparkSession, tickers: Seq[String]): DataFrame = {
-    val rows = tickers.flatMap { t =>
-      try parseChart(fetch(chartUrl(t)))
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
-  }
-
   /** Parse one v8 chart JSON document into long-form rows. */
-  def parseChart(json: String): Seq[Row] = {
+  def parse(json: String): Seq[Row] = {
+    val mapper = new ObjectMapper()
     val result = mapper.readTree(json).path("chart").path("result")
     if (!result.isArray || result.isEmpty) return Seq.empty
     val r0 = result.get(0)
@@ -154,4 +142,31 @@ final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
       Row(date, ticker, dbl(close, i), dbl(high, i), dbl(low, i), dbl(open, i), lng(vol, i))
     }
   }
+}
+
+/** S2 — quote ingestion against the public Yahoo Finance v8 chart endpoint
+  * (the API yfinance's `download()` wraps; `extract_stocks_job.py:86-93`
+  * calls it with period=1d, interval=1m, prepost=True). One request per
+  * ticker; each JSON response parses to long-form OHLCV rows matching
+  * [[FixtureQuoteSource]]'s schema. NaN/null points stay NULL — the P1
+  * NaN→NULL cast downstream sees identical input either way.
+  *
+  * DRIVER-side fetch loop (reference parity, fine at ≤10k rows/day); the
+  * executor-side 100 TB shape of the same source is
+  * [[graft.sources.QuoteDataSource]] (`spark.read.format("graft-quotes")`).
+  */
+final class HttpQuoteSource(fetch: String => String) extends QuoteSource {
+
+  def chartUrl(ticker: String): String = ChartJson.chartUrl(ticker)
+
+  def fetchQuotes(spark: SparkSession, tickers: Seq[String]): DataFrame = {
+    val rows = tickers.flatMap { t =>
+      try parseChart(fetch(chartUrl(t)))
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), ChartJson.schema)
+  }
+
+  /** Parse one v8 chart JSON document into long-form rows. */
+  def parseChart(json: String): Seq[Row] = ChartJson.parse(json)
 }

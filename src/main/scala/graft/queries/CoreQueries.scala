@@ -61,6 +61,36 @@ object CoreQueries {
         ).toDF("sector", "ticker", "company").orderBy("ticker")
       }),
 
+    // ----- S2 at the 100 TB shape: DataSourceV2 quote scan -------------------
+    // One input partition per ticker, fetched + parsed on EXECUTORS (the
+    // DSv2 replacement for the reference's driver-side yfinance loop,
+    // SURVEY §3 E3). Hermetic transport serves deterministic v8 chart JSON;
+    // the oracle VALUES are generated from the SAME row definition
+    // (SyntheticTransport.rowsFor) so JSON, parser, and gate cannot drift.
+    GQ("s2_dsv2_quotes", {
+      val rows = Seq("SYN1", "SYN2", "SYN3")
+        .flatMap(graft.sources.SyntheticTransport.rowsFor)
+      def n(o: Option[Double]) = o.fold("NULL")(_.toString)
+      val values = rows.map { case (d, t, close, vol) =>
+        s"('$d','$t',${n(close)},${n(close.map(_ + 0.5))},${n(close.map(_ - 0.5))}," +
+          s"${n(close)},${vol.get})"
+      }.mkString(",\n")
+      Some(s"""SELECT "Date", "Ticker",
+              |  CAST("Close" AS DOUBLE) AS "Close", CAST("High" AS DOUBLE) AS "High",
+              |  CAST("Low" AS DOUBLE) AS "Low", CAST("Open" AS DOUBLE) AS "Open",
+              |  CAST("Volume" AS BIGINT) AS "Volume"
+              |FROM (VALUES
+              |$values
+              |) t("Date", "Ticker", "Close", "High", "Low", "Open", "Volume")
+              |ORDER BY "Ticker", "Volume"""".stripMargin)
+    },
+      (spark, _) =>
+        spark.read.format("graft-quotes")
+          .option("tickers", "SYN1,SYN2,SYN3")
+          .option("transport", classOf[graft.sources.SyntheticTransport].getName)
+          .load()
+          .orderBy("Ticker", "Volume")),
+
     // ----- S4: partition-pruned parquet scan ---------------------------------
     // Reference reads one dataproc=<date>/ dir (transform_stocks_job.py:115);
     // here the date predicate reaches the scan as a pushed filter instead.

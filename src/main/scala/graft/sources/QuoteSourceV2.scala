@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.ChartJson
+
+/** Transport boundary for the DSv2 quote source. Implementations must have
+  * a zero-arg constructor: the reader factory ships only the CLASS NAME to
+  * executors and instantiates per partition — the cluster-valid form of
+  * dependency injection (closures over sockets/clients don't serialize).
+  */
+trait QuoteTransport extends Serializable {
+  def fetch(url: String): String
+}
+
+/** Production transport: `java.net.http` GET with the crawl headers. */
+final class HttpTransport extends QuoteTransport {
+  @transient private lazy val f = graft.pipeline.Http.fetcher()
+  def fetch(url: String): String = f(url)
+}
+
+/** Hermetic transport: serves a deterministic, well-formed v8 chart JSON
+  * document per ticker (no I/O — this container has no egress). The
+  * expected PARSED rows are exposed as [[SyntheticTransport.rowsFor]] so
+  * tests and the correctness-gate oracle derive from the same definition
+  * and cannot drift from the JSON.
+  */
+final class SyntheticTransport extends QuoteTransport {
+  def fetch(url: String): String = SyntheticTransport.chartFor(url)
+}
+
+object SyntheticTransport {
+
+  private val BaseEpoch = 1700000000L // 2023-11-14 UTC
+
+  /** Ticker as embedded in [[ChartJson.chartUrl]]. */
+  private def tickerOf(url: String): String = {
+    val m = java.util.regex.Pattern.compile("/chart/([^?]+)").matcher(url)
+    if (!m.find()) throw new IllegalArgumentException(s"not a chart url: $url")
+    java.net.URLDecoder.decode(m.group(1), "UTF-8")
+  }
+
+  /** The rows [[chartFor]]'s JSON must parse to: 4 one-minute bars per
+    * ticker; bar 2 is a null OHLC point (volume only) to exercise the
+    * NaN/NULL path. Prices are exact binary fractions (.25 steps) so both
+    * engines compare bit-identical without rounding.
+    */
+  def rowsFor(ticker: String): Seq[(String, String, Option[Double], Option[Long])] = {
+    val base = 10.0 + math.abs(ticker.hashCode % 90)
+    (0 until 4).map { i =>
+      val close = if (i == 2) None else Some(base + 0.25 * i)
+      (java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(BaseEpoch + 60L * i)),
+        ticker, close, Some(1000L + 10 * i))
+    }
+  }
+
+  def chartFor(url: String): String = {
+    val t = tickerOf(url)
+    val rows = rowsFor(t)
+    val ts = rows.indices.map(i => BaseEpoch + 60L * i).mkString(",")
+    def arr(f: Option[Double] => String) = rows.map(r => f(r._3)).mkString(",")
+    val closes = arr(_.fold("null")(_.toString))
+    val highs = arr(_.fold("null")(c => (c + 0.5).toString))
+    val lows = arr(_.fold("null")(c => (c - 0.5).toString))
+    val opens = closes
+    val vols = rows.map(_._4.get).mkString(",")
+    s"""{"chart":{"result":[{"meta":{"symbol":"$t","exchangeTimezoneName":"UTC"},
+       |"timestamp":[$ts],
+       |"indicators":{"quote":[{"close":[$closes],"high":[$highs],"low":[$lows],
+       |"open":[$opens],"volume":[$vols]}]}}]}}""".stripMargin
+  }
+}
+
+/** DataSourceV2 quote source — the 100 TB shape of S2 ingestion (SURVEY §3
+  * E3: "the 100-TB design must replace this with a DataSourceV2"): one
+  * input partition per ticker, fetched and parsed ON THE EXECUTORS, so a
+  * 10k-ticker universe fans out across the cluster instead of serializing
+  * through a driver loop.
+  *
+  *   spark.read.format("graft-quotes")
+  *     .option("tickers", "PETR4.SA,VALE3.SA")
+  *     .option("transport", classOf[HttpTransport].getName)  // default
+  *     .load()
+  *
+  * Per-ticker failures yield an empty partition (the reference's per-term
+  * try/except, `extract_stocks_job.py` — one bad symbol must not kill the
+  * batch).
+  */
+final class QuoteDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-quotes"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChartJson.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new QuoteTable
+}
+
+private[sources] final class QuoteTable extends Table with SupportsRead {
+  override def name(): String = "graft_quotes"
+  override def schema(): StructType = ChartJson.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new QuoteScan(
+      options.getOrDefault("tickers", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      options.getOrDefault("transport", classOf[HttpTransport].getName))
+}
+
+private[sources] final class QuoteScan(tickers: Seq[String], transportClass: String)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ChartJson.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    tickers.map(QuotePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuoteReaderFactory(transportClass)
+}
+
+private[sources] final case class QuotePartition(ticker: String) extends InputPartition
+
+private[sources] final class QuoteReaderFactory(transportClass: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ticker = partition.asInstanceOf[QuotePartition].ticker
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[Row] = {
+        try {
+          val transport = Class.forName(transportClass)
+            .getDeclaredConstructor().newInstance().asInstanceOf[QuoteTransport]
+          ChartJson.parse(transport.fetch(ChartJson.chartUrl(ticker))).iterator
+        } catch { case NonFatal(_) => Iterator.empty }
+      }
+      private var current: Row = _
+      override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        // schema: Date, Ticker (strings) then Close/High/Low/Open (double),
+        // Volume (long) — numeric externals are already catalyst values
+        Seq(UTF8String.fromString(current.getAs[String](0)),
+          UTF8String.fromString(current.getAs[String](1))) ++
+          (2 until 7).map(current.get))
+      override def close(): Unit = ()
+    }
+  }
+}
