@@ -40,4 +40,25 @@ object CorpusClean {
       .localCheckpoint()
     Dedup.dropNearDups(kept, idCol, textCol, n, threshold)
   }
+
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1, the subset
+    * expressible without line structure): token-count window, mean-token-
+    * length window, and the repeated-2-gram cap. Every rule is a per-row
+    * column predicate — one shuffle-free scan at any scale. Docs with < 2
+    * tokens fail the token window before the (NULL) repetition rule can
+    * bite, so the conjunction is total.
+    */
+  def gopherQualityFilter(df: DataFrame, textCol: String,
+                          minTokens: Int = 50, maxTokens: Int = 100000,
+                          minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 10.0,
+                          maxDup2Frac: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val nTok = TextOps.tokenCount(t)
+    // same mean-token-length definition as qualityMetrics: separators are
+    // single spaces, so total token chars = chars - (n_tokens - 1)
+    val avgLen = (length(t) - (nTok - lit(1))).cast("double") / nTok
+    df.filter(nTok >= minTokens && nTok <= maxTokens)
+      .filter(avgLen >= minAvgTokLen && avgLen <= maxAvgTokLen)
+      .filter(TextOps.repeatedNgramFrac(t, 2) <= maxDup2Frac)
+  }
 }

@@ -361,6 +361,53 @@ object ExtQueries {
           .select("doc_id")
           .orderBy("doc_id")),
 
+    // ----- decontamination: benchmark n-gram overlap removal -----------------
+    // docs 0-9 stand in as the "benchmark" set; the corpus (doc_id >= 10)
+    // drops every doc sharing >= 5 distinct 3-gram shingles with it. Spark
+    // joins on 64-bit shingle hashes, the oracle on shingle strings —
+    // identical counts modulo hash collisions, same contract as the gated
+    // Jaccard family.
+    GQ("decontaminate_overlap",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+             |ov AS (SELECT sh.doc_id, count(*) AS n_overlap
+             |       FROM sh JOIN b USING (s) WHERE sh.doc_id >= 10 GROUP BY 1)
+             |SELECT d.doc_id FROM documents d LEFT JOIN ov USING (doc_id)
+             |WHERE d.doc_id >= 10 AND coalesce(ov.n_overlap, 0) < 5
+             |ORDER BY d.doc_id""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Decontaminate.decontaminate(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text",
+          bench = docs.filter(col("doc_id") < 10), benchTextCol = "text",
+          n = 3, minOverlap = 5L)
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // ----- Gopher rule battery (composite per-row quality gate) --------------
+    GQ("gopher_quality", {
+      val avg = s"CAST(length(text) - (len($duckTokens) - 1) AS DOUBLE) / len($duckTokens)"
+      val dup2 = s"""1.0 - CAST(len(list_distinct(list_transform(
+                    |  generate_series(1, len($duckTokens)-1),
+                    |  i -> $duckTokens[i] || ' ' || $duckTokens[i+1]))) AS DOUBLE)
+                    |/ len(list_transform(generate_series(1, len($duckTokens)-1),
+                    |  i -> $duckTokens[i] || ' ' || $duckTokens[i+1]))""".stripMargin
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE len($duckTokens) BETWEEN 50 AND 100000
+              |  AND $avg BETWEEN 3.0 AND 10.0
+              |  AND ($dup2) <= 0.2
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (spark, dir) =>
+        CorpusClean.gopherQualityFilter(Tables.documents(spark, dir), "text")
+          .select("doc_id")
+          .orderBy("doc_id")),
+
     // ----- PII redaction + URL extraction ------------------------------------
     // The corpus has no planted PII, so both engines deterministically
     // synthesize identical contact strings into the text, then the redaction

@@ -114,25 +114,65 @@ private[sources] final class QuoteTable extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new QuoteScan(
+    new QuoteScanBuilder(
       options.getOrDefault("tickers", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
       options.getOrDefault("transport", classOf[HttpTransport].getName))
 }
 
-private[sources] final class QuoteScan(tickers: Seq[String], transportClass: String)
-    extends ScanBuilder with Scan with Batch {
-  override def build(): Scan = this
-  override def readSchema(): StructType = ChartJson.schema
+/** Scan builder with the two pushdowns that matter for a fetch-per-ticker
+  * source: `Ticker` equality/IN predicates prune whole PARTITIONS (HTTP
+  * requests that never happen — the DSv2 analogue of partition pruning),
+  * and required-column projection trims the row width the reader emits.
+  */
+private[sources] final class QuoteScanBuilder(tickers: Seq[String], transportClass: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  private var remaining: Seq[String] = tickers
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ChartJson.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (prunable, rest) = filters.partition {
+      case EqualTo("Ticker", _: String) => true
+      case In("Ticker", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    prunable.foreach {
+      case EqualTo("Ticker", v: String) => remaining = remaining.filter(_ == v)
+      case In("Ticker", vs) => val keep = vs.collect { case s: String => s }.toSet
+        remaining = remaining.filter(keep)
+      case _ =>
+    }
+    pushed = prunable
+    rest // Spark re-applies everything we didn't fully absorb
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source column order; an empty projection (count(*)) keeps
+    // zero columns and the reader emits empty rows
+    required = StructType(ChartJson.schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new QuoteScan(remaining, transportClass, required)
+}
+
+private[sources] final class QuoteScan(tickers: Seq[String], transportClass: String,
+                                       required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     tickers.map(QuotePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new QuoteReaderFactory(transportClass)
+    new QuoteReaderFactory(transportClass,
+      required.fieldNames.map(ChartJson.schema.fieldIndex))
 }
 
 private[sources] final case class QuotePartition(ticker: String) extends InputPartition
 
-private[sources] final class QuoteReaderFactory(transportClass: String)
+private[sources] final class QuoteReaderFactory(transportClass: String,
+                                                projection: Array[Int])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -147,12 +187,13 @@ private[sources] final class QuoteReaderFactory(transportClass: String)
       }
       private var current: Row = _
       override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+      // full schema: Date, Ticker (strings) then Close/High/Low/Open
+      // (double), Volume (long) — numeric externals are already catalyst
+      // values, strings need UTF8String; emit only the pruned columns
       override def get(): InternalRow = InternalRow.fromSeq(
-        // schema: Date, Ticker (strings) then Close/High/Low/Open (double),
-        // Volume (long) — numeric externals are already catalyst values
-        Seq(UTF8String.fromString(current.getAs[String](0)),
-          UTF8String.fromString(current.getAs[String](1))) ++
-          (2 until 7).map(current.get))
+        projection.toSeq.map { i =>
+          if (i < 2) UTF8String.fromString(current.getAs[String](i)) else current.get(i)
+        })
       override def close(): Unit = ()
     }
   }

@@ -124,6 +124,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === 4L, "singleton keeps own id")
   }
 
+  test("decontaminate: overlap threshold drops contaminated docs only") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 q7 tail"),  // shares 5 benchmark 3-grams -> dropped
+      (2L, "q1 q2 q3 other words here"),  // shares 1 -> kept
+      (3L, "nothing in common at all"),   // shares 0 -> kept
+    ).toDF("doc_id", "text")
+    val ov = Decontaminate.overlapCounts(corpus, "doc_id", "text", bench, "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ov(1L) === 5L && ov(2L) === 1L && !ov.contains(3L))
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 3, 5L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L))
+  }
+
+  test("gopherQualityFilter: each rule drops its violator independently") {
+    val ok = (1 to 60).map(i => s"tok$i").mkString(" ")     // 60 tokens, avg len ~5
+    val docs = Seq(
+      (1L, ok),
+      (2L, (1 to 10).map(i => s"tok$i").mkString(" ")),     // too few tokens
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),          // avg token len 1 (and repetitive)
+      (4L, (1 to 30).map(_ => "left right").mkString(" ")), // dup-2gram frac ~1
+    ).toDF("doc_id", "text")
+    val kept = CorpusClean.gopherQualityFilter(docs, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L))
+  }
+
   test("embeddingCosinePairs matches a hand-computed cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),   // cos = 1

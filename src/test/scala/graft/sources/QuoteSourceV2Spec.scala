@@ -46,6 +46,26 @@ class QuoteSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(read("SYN1,SYN2", classOf[ExplodingTransport]).count() === 0L)
   }
 
+  test("Ticker predicates prune partitions — fetches that never happen") {
+    val df = read("SYN1,SYN2,SYN3", classOf[SyntheticTransport])
+    assert(df.filter(org.apache.spark.sql.functions.col("Ticker") === "SYN2")
+      .rdd.getNumPartitions === 1, "EqualTo prunes to one partition")
+    assert(df.filter(org.apache.spark.sql.functions.col("Ticker").isin("SYN1", "SYN3"))
+      .rdd.getNumPartitions === 2, "In prunes to the matching partitions")
+    // a non-prunable predicate keeps all partitions and still filters rows
+    val c = df.filter(org.apache.spark.sql.functions.col("Volume") === 1000L)
+    assert(c.rdd.getNumPartitions === 3)
+    assert(c.count() === 3L)
+  }
+
+  test("column pruning trims the reader's row width") {
+    val df = read("SYN1", classOf[SyntheticTransport])
+      .select("Ticker", "Volume")
+    assert(df.schema.fieldNames.toSeq === Seq("Ticker", "Volume"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      SyntheticTransport.rowsFor("SYN1").map(r => (r._2, r._4.get)))
+  }
+
   test("empty tickers option plans zero partitions") {
     val df = spark.read.format("graft-quotes")
       .option("transport", classOf[SyntheticTransport].getName).load()
