@@ -95,9 +95,16 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
                         numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions.minhashSketch(
-          graft.functions.ShingleHashes.shingleHashes(col(textCol), n), numHashes).as("sig"))
+    signaturesFromSets(df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set")), numHashes)
+
+  /** Sketch + null-signature contract in ONE place: consumed by
+    * [[minhashSignatures]] (text input) and [[minhashLshPairs]] (which
+    * feeds its already-materialized shingle-set relation).
+    */
+  private def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.select(col("id"),
+        graft.functions.SketchFunctions.minhashSketch(col("set"), numHashes).as("sig"))
       .filter(col("sig").isNotNull) // docs with < n tokens have no signature
 
   /** MinHash + LSH near-dup pairs: band the signature (`bands` bands of
@@ -127,9 +134,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
         graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
       .localCheckpoint()
-    val sigs = sets.select(col("id"),
-        graft.functions.SketchFunctions.minhashSketch(col("set"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull) // docs with < n tokens have no signature
+    val sigs = signaturesFromSets(sets, numHashes)
     // band hash = xxhash64 over the band's sig elements directly
     // (element_at is codegen'd; the former slice().cast("string") built a
     // "[1, 2, …]" string per band per doc — pure allocation)

@@ -97,6 +97,10 @@ final class HttpNewsSource(fetch: String => String,
   */
 object ChartJson {
 
+  // one reusable instance — ObjectMapper construction is expensive and
+  // readTree is thread-safe; a 10k-ticker scan must not build 10k mappers
+  private val mapper = new ObjectMapper()
+
   val schema: StructType = StructType(Seq(
     StructField("Date", StringType), StructField("Ticker", StringType),
     StructField("Close", DoubleType), StructField("High", DoubleType),
@@ -113,7 +117,6 @@ object ChartJson {
 
   /** Parse one v8 chart JSON document into long-form rows. */
   def parse(json: String): Seq[Row] = {
-    val mapper = new ObjectMapper()
     val result = mapper.readTree(json).path("chart").path("result")
     if (!result.isArray || result.isEmpty) return Seq.empty
     val r0 = result.get(0)

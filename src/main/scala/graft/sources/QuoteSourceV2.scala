@@ -146,7 +146,11 @@ private[sources] final class QuoteScanBuilder(tickers: Seq[String], transportCla
       case _ =>
     }
     pushed = prunable
-    rest // Spark re-applies everything we didn't fully absorb
+    // return ALL filters for re-evaluation: pruning is an optimization
+    // only — the emitted Ticker comes from the response's meta.symbol,
+    // which a real endpoint may normalize (case, suffixes) away from the
+    // requested ticker, so Spark must still apply the predicate to rows
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -179,11 +183,14 @@ private[sources] final class QuoteReaderFactory(transportClass: String,
     val ticker = partition.asInstanceOf[QuotePartition].ticker
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[Row] = {
-        try {
-          val transport = Class.forName(transportClass)
-            .getDeclaredConstructor().newInstance().asInstanceOf[QuoteTransport]
-          ChartJson.parse(transport.fetch(ChartJson.chartUrl(ticker))).iterator
-        } catch { case NonFatal(_) => Iterator.empty }
+        // transport resolution is a CONFIG error and must fail the scan
+        // loudly — only the per-ticker fetch/parse gets the swallow-to-empty
+        // resilience (a typo'd class name silently yielding 0 rows would be
+        // indistinguishable from "all tickers failed")
+        val transport = Class.forName(transportClass)
+          .getDeclaredConstructor().newInstance().asInstanceOf[QuoteTransport]
+        try ChartJson.parse(transport.fetch(ChartJson.chartUrl(ticker))).iterator
+        catch { case NonFatal(_) => Iterator.empty }
       }
       private var current: Row = _
       override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }

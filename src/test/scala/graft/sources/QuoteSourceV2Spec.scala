@@ -66,6 +66,16 @@ class QuoteSourceV2Spec extends AnyFunSuite with SparkSpec {
       SyntheticTransport.rowsFor("SYN1").map(r => (r._2, r._4.get)))
   }
 
+  test("a misconfigured transport class fails the scan loudly, not empty") {
+    val df = spark.read.format("graft-quotes")
+      .option("tickers", "SYN1")
+      .option("transport", "graft.sources.NoSuchTransport")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    assert(e.getMessage.contains("NoSuchTransport") ||
+      Option(e.getCause).exists(_.toString.contains("NoSuchTransport")))
+  }
+
   test("empty tickers option plans zero partitions") {
     val df = spark.read.format("graft-quotes")
       .option("transport", classOf[SyntheticTransport].getName).load()
