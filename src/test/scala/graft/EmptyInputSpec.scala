@@ -66,6 +66,22 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       ext.Multimodal.asMediaTable(emptyDocs, "doc_id", "text"), 64, 64).count() === 0)
   }
 
+  test("round-3 operators survive empty inputs") {
+    assert(TextOps.chunkWindows(emptyDocs, "doc_id", "text", 32, 16).count() === 0)
+    assert(TextOps.tfidfTopTerms(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(TextOps.topNgramCharFrac(emptyDocs, "doc_id", "text", 2).count() === 0)
+    assert(emptyDocs.select(TextOps.repeatedNgramFrac(col("text"), 2)).count() === 0)
+    assert(Sessionize.nativeSessionStats(emptyEvents, "user_id", "ts", "value", 1800)
+      .count() === 0)
+    assert(CorpusClean.gopherQualityFilter(emptyDocs, "text").count() === 0)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Decontaminate.decontaminate(emptyDocs, "doc_id", "text",
+      docs, "text", 3, 5L).count() === 0)
+    // empty BENCHMARK: nothing is contaminated, corpus passes through
+    assert(Decontaminate.decontaminate(docs, "doc_id", "text",
+      emptyDocs, "text", 3, 5L).count() === 1)
+  }
+
   test("similarity search survives empty corpus and empty probes") {
     val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SimSearch.bruteForceTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)

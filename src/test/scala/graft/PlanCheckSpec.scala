@@ -94,4 +94,29 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("shingle_strings"), s"native kernel not in plan:\n$p")
     assert(!p.contains("transform(sequence"), "HOF chain crept back in")
   }
+
+  test("decontaminate_overlap: benchmark shingle set broadcasts, corpus never shuffles on it") {
+    val p = plan("decontaminate_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the benchmark:\n$p")
+  }
+
+  test("txt_chunk_windows: generator pipeline with zero exchanges") {
+    val p = plan("txt_chunk_windows")
+    // orderBy adds one range exchange for the gate's determinism; the
+    // chunking itself must add none
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 0, s"chunking must not hash-shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence generator:\n$p")
+  }
+
+  test("gopher_quality: one scan, no shuffle before the order-by") {
+    val p = plan("gopher_quality")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"rule battery must be shuffle-free:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"rule battery must be a single scan:\n$p")
+  }
 }
