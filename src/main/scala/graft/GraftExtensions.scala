@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64}
+import graft.functions.{FloatVectorDot, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -51,6 +51,10 @@ object GraftExtensions {
     ("lexicon_hits",
       new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
       (es: Seq[Expression]) => { requireArity("lexicon_hits", es, 2); LexiconHits(es(0), arrayLit(es(1))) }),
+    ("topk_pairs",
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (es: Seq[Expression]) => { requireArity("topk_pairs", es, 3)
+        TopKPairs(es(0), es(1), intLit(es(2))) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2b).
@@ -33,17 +32,24 @@ object SimSearch {
   private[ext] def safeCosine(dot: Column, na: Column, nb: Column): Column =
     when(na =!= 0.0 && nb =!= 0.0, round(dot / (na * nb), 6))
 
-  /** Shared candidate-ranking tail: per-probe row_number over
-    * (cosine desc, nbr_id) — one definition so exact and ANN paths can
+  /** Shared candidate-ranking tail: per-probe top-k under
+    * (cosine desc, nbr_id asc) — one definition so exact and ANN paths can
     * never diverge on tie-breaks or rounding.
+    *
+    * Runs on the [[graft.functions.TopKPairs]] bounded-heap aggregate, not
+    * `row_number().over(...)`: the window form shuffles and SORTS every
+    * scored candidate (O(candidates log candidates) through one exchange),
+    * the aggregate keeps an O(k) heap per probe map-side so the exchange
+    * carries at most k entries per probe per mapper. Contract deltas vs the
+    * window form, both deliberate: NULL cosines (zero-norm vectors) never
+    * surface, and a probe with zero non-null candidates emits no rows.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nbr_id", "cosine", "rank")
-  }
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopKPairs.topKPairs(col("cosine"), col("nbr_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("nbr_id"), col("e.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
 
   /** Exact top-k neighbors per probe: cross join probes × corpus, cosine,
     * windowed rank. `k` survivors per probe under the total order

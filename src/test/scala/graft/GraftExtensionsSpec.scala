@@ -25,6 +25,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(hits === 3, "two 'the' + one 'and'")
   }
 
+  test("topk_pairs aggregate callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      """SELECT g, topk_pairs(s, id, 2) AS tk FROM VALUES
+        |  (1, CAST(0.9 AS DOUBLE), CAST(10 AS BIGINT)),
+        |  (1, CAST(0.95 AS DOUBLE), CAST(12 AS BIGINT)),
+        |  (1, CAST(0.1 AS DOUBLE), CAST(13 AS BIGINT)) AS t(g, s, id)
+        |GROUP BY g""".stripMargin)
+      .selectExpr("tk[0].id", "tk[1].id").head()
+    assert((out.getLong(0), out.getLong(1)) === (12L, 10L))
+  }
+
   test("SQL results match the Column API forms") {
     GraftExtensions.register(spark)
     import spark.implicits._
