@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
+import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -55,6 +55,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (es: Seq[Expression]) => { requireArity("topk_pairs", es, 3)
         TopKPairs(es(0), es(1), intLit(es(2))) }),
+    ("freq_items_mg",
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items_mg"),
+      (es: Seq[Expression]) => { requireArity("freq_items_mg", es, 2)
+        FreqItems(es(0), intLit(es(1))) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =

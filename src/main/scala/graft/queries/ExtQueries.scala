@@ -21,6 +21,15 @@ object ExtQueries {
   // DuckDB-side token array, identical to TextOps.tokens semantics.
   private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // shared by txt_top_bigrams (exact) and txt_top_bigrams_approx (MG
+  // candidates + exact recount): both must produce the identical top-20
+  private val topBigramsSql =
+    """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+      |         i -> ts[i] || ' ' || ts[i+1])) AS gram FROM tok)
+      |SELECT gram, count(*) AS n FROM bg GROUP BY gram
+      |ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
   /** DuckDB CASE reproducing TextOps.languageId's fold arbitration (scores
     * in declaration order, earliest language wins ties) — shared by
     * txt_langid and corpus_clean so the two gates cannot drift.
@@ -636,16 +645,36 @@ object ExtQueries {
 
     // ----- text: term frequency (top bigrams corpus-wide) --------------------
     GQ("txt_top_bigrams",
-      Some("""WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
-             |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts)-1),
-             |         i -> ts[i] || ' ' || ts[i+1])) AS gram FROM tok)
-             |SELECT gram, count(*) AS n FROM bg GROUP BY gram
-             |ORDER BY n DESC, gram LIMIT 20""".stripMargin),
+      Some(topBigramsSql),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram").asc).limit(20)),
+
+    // ----- text: approx top bigrams (Misra–Gries candidates + exact recount) -
+    // The 100 TB shape for corpus-wide term stats: the exact path shuffles
+    // every distinct gram; here a single freq_items_mg aggregate holds O(m)
+    // state per partition, and only the <= m candidates are exactly
+    // re-counted (broadcast semi-join). The MG guarantee (candidates ⊇ all
+    // items with true count > N/m) makes the recounted top-20 EQUAL to the
+    // exact top-20 whenever the 20th count clears N/m — on this corpus
+    // N/m ≈ 130 at sf0.1 vs a 20th count of ~330 (and the vocabulary is
+    // smaller than m, so the sketch is lossless outright) — hence the SAME
+    // oracle as txt_top_bigrams. FreqItemsSpec proves the eviction/superset
+    // behavior on adversarial vocabularies.
+    GQ("txt_top_bigrams_approx",
+      Some(topBigramsSql),
+      (spark, dir) => {
+        val grams = Tables.documents(spark, dir)
+          .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+        val cands = grams
+          .agg(graft.functions.FreqItems.freqItems(col("gram"), 2048).as("fi"))
+          .select(explode(col("fi")).as("e")).select(col("e.item").as("gram"))
+        grams.join(broadcast(cands), "gram")
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram").asc).limit(20)
+      }),
 
     // ----- text: repeated-n-gram repetition signal (Gopher §A1.1) ------------
     // NULL (not 0) when the doc has fewer than n tokens — both engines agree.
