@@ -12,9 +12,12 @@ import scala.collection.mutable.ArrayBuffer
   * raw `<script>`/`<style>` content, quoted attributes, and unclosed-tag
   * recovery (pop to the nearest matching open tag, else ignore).
   *
-  * Not a general-purpose parser: no entity decoding (selector logic never
-  * inspects entity text), no CDATA, no foreign content. Driver-side only —
-  * ingestion parses a few hundred KB per crawl, never executor data.
+  * Entity decoding covers all numeric character references (decimal + hex,
+  * astral included) and the named entities that actually occur in news
+  * titles/URLs; unknown named references pass through verbatim (the
+  * html.parser behavior for invalid refs). Still not a general-purpose
+  * parser: no CDATA, no foreign content. Driver-side only — ingestion
+  * parses a few hundred KB per crawl, never executor data.
   */
 final class HtmlNode(val tag: String,
                      val attrs: Map[String, String],
@@ -76,6 +79,42 @@ object HtmlDoc {
   private val AttrRe =
     """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
 
+  /** Named entities seen in practice in crawled news markup (BS4 decodes
+    * the full HTML5 table; titles/links need only these).
+    */
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™", "eacute" -> "é",
+    "agrave" -> "à", "ccedil" -> "ç", "atilde" -> "ã",
+    "otilde" -> "õ", "aacute" -> "á", "iacute" -> "í",
+    "oacute" -> "ó", "uacute" -> "ú", "acirc" -> "â",
+    "ecirc" -> "ê", "ocirc" -> "ô")
+
+  private val EntityRe = """&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);""".r
+
+  /** Decode character references; invalid/unknown ones pass through. */
+  private[pipeline] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s // fast path: no references at all
+    EntityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val out =
+        if (body.charAt(0) == '#') {
+          val (digits, radix) =
+            if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+              (body.substring(2), 16) else (body.substring(1), 10)
+          try {
+            val cp = Integer.parseInt(digits, radix)
+            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+            else m.matched
+          } catch { case _: NumberFormatException => m.matched }
+        } else Named.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+  }
+
   /** Parse an HTML fragment/document; returns a synthetic root node. */
   def parse(html: String): HtmlNode = {
     val root = new HtmlNode("#root", Map.empty, None)
@@ -99,7 +138,7 @@ object HtmlDoc {
 
     def addText(upTo: Int): Unit = {
       if (upTo > i) {
-        val t = html.substring(i, upTo)
+        val t = decodeEntities(html.substring(i, upTo))
         if (t.exists(!_.isWhitespace)) cur.textParts += ((cur.childNodes.size, t))
       }
     }
@@ -144,7 +183,7 @@ object HtmlDoc {
           val attrs = AttrRe.findAllMatchIn(attrStr).map { m =>
             val v = Option(m.group(2)).orElse(Option(m.group(3)))
               .orElse(Option(m.group(4))).getOrElse("")
-            lc(m.group(1)) -> v
+            lc(m.group(1)) -> decodeEntities(v) // hrefs carry &amp; routinely
           }.toMap
           val node = new HtmlNode(name, attrs, Some(cur))
           cur.childNodes += node

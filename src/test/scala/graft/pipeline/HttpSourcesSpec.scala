@@ -73,6 +73,21 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(arts.map(_.title) === Seq("RealTitle"))
   }
 
+  test("HtmlDoc decodes entities in text and attributes like bs4") {
+    val root = HtmlDoc.parse(
+      """<article><h3>Tom &amp; Jerry &#8211; a &quot;Duo&quot;&#x21;</h3>
+        |<a href="./read?a=1&amp;b=2">M&uacute;sica&bogus; &#128512;</a></article>""".stripMargin)
+    val h3 = root.findFirst(_.tag == "h3").get
+    assert(h3.text === "Tom & Jerry – a \"Duo\"!")
+    val a = root.findFirst(_.tag == "a").get
+    assert(a.attr("href").get === "./read?a=1&b=2", "hrefs decode &amp;")
+    // known named + unknown passthrough + astral numeric
+    assert(a.text === "Música&bogus; 😀")
+    // malformed numeric refs pass through untouched
+    assert(HtmlDoc.parse("<p>&#xZZ; &#99999999999; &;</p>").text
+      === "&#xZZ; &#99999999999; &;")
+  }
+
   test("HtmlDoc terminates and never throws on adversarial fragments") {
     val nasty = Seq(
       "", "<", "<>", "</", "<//>", "<a", "<a href=", "<a href='unterminated",
