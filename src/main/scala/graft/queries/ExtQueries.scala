@@ -21,6 +21,22 @@ object ExtQueries {
   // DuckDB-side token array, identical to TextOps.tokens semantics.
   private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // shared by sw_native_session (batch) and stream_session_windows
+  // (streaming): '>' gap islands, end = last event + gap — one definition so
+  // batch and streaming session semantics are gated against the SAME truth
+  private val sessionIslandsSql =
+    """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+      |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                              THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY us
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq FROM l)
+      |SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum,
+      |       min(us) // 1000000 AS start_s,
+      |       max(us) // 1000000 + 1800 AS end_s
+      |FROM s GROUP BY user_id, seq
+      |ORDER BY user_id, start_s""".stripMargin
+
   // shared by txt_top_bigrams (exact) and txt_top_bigrams_approx (MG
   // candidates + exact recount): both must produce the identical top-20
   private val topBigramsSql =
@@ -547,6 +563,34 @@ object ExtQueries {
           .orderBy("window_start_s", "event_type")
       }),
 
+    // Streaming SESSION WINDOWS under the gate (Append mode): a far-future
+    // sentinel drop (processed as the last micro-batch) drags the watermark
+    // past every real session's close, so the stateful session_window
+    // aggregate emits its complete results in a finite replay — the
+    // end-of-stream flush pattern. Result must equal the batch
+    // gaps-and-islands oracle shared with sw_native_session: one truth for
+    // session semantics across batch and streaming.
+    GQ("stream_session_windows",
+      Some(sessionIslandsSql),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLandingWithSentinel(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(StreamOps.sessionCounts(stream, gapSeconds = 1800),
+            "stream_session_sink", OutputMode.Append())
+          spark.table("stream_session_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out
+          .filter(col("user_id") =!= StreamOps.SentinelUser)
+          .select(col("user_id"), col("n_events"),
+            round(col("value_sum"), 4).as("value_sum"), col("start_s"), col("end_s"))
+          .orderBy("user_id", "start_s")
+      }),
+
     // mapGroupsWithState under the gate: per-user running totals emitted
     // every micro-batch in Update mode; a user's n_events strictly increases
     // across its emissions, so the final state is the per-user row with the
@@ -721,17 +765,7 @@ object ExtQueries {
     // SessionizeTextSpec); what differs is the window shape: end_s is
     // last_event + gap (the window bound), not the last event itself.
     GQ("sw_native_session",
-      Some("""WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-             |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
-             |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
-             |                              THEN 1 ELSE 0 END)
-             |        OVER (PARTITION BY user_id ORDER BY us
-             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq FROM l)
-             |SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum,
-             |       min(us) // 1000000 AS start_s,
-             |       max(us) // 1000000 + 1800 AS end_s
-             |FROM s GROUP BY user_id, seq
-             |ORDER BY user_id, start_s""".stripMargin),
+      Some(sessionIslandsSql),
       (spark, dir) =>
         Sessionize.nativeSessionStats(Tables.events(spark, dir), "user_id", "ts", "value",
           gapSeconds = 1800)

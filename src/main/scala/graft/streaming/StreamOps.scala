@@ -113,6 +113,34 @@ object StreamOps {
       path
     })
 
+  /** Landing zone plus one SENTINEL drop: a single far-future event for the
+    * reserved user [[SentinelUser]], written LAST (newest mtime, so the
+    * file source processes it in the final micro-batch). Its event time
+    * drags the watermark past every real session's close, which is what
+    * lets an APPEND-mode stateful query (session windows) emit its complete
+    * results in a finite run — the standard end-of-stream flush pattern for
+    * replay harnesses. Consumers filter the sentinel's own row out.
+    */
+  val SentinelUser: Long = -1L
+  def eventsLandingWithSentinel(spark: SparkSession, dir: String): String =
+    landings.getOrElseUpdate(s"$dir#sentinel", {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+        s"${ProcessHandle.current().pid()}_sent_${dir.hashCode.toHexString}"
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
+      events.repartition(2, org.apache.spark.sql.functions.col("event_id"))
+        .write.mode("overwrite").parquet(base)
+      import org.apache.spark.sql.functions._
+      // +100 days in nanos: far beyond any session end + watermark delay
+      val sentinel = events.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + lit(8640000L * 1000000000L)).as("ts"),
+          lit(SentinelUser).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      sentinel.coalesce(1).write.mode("append").parquet(base)
+      base
+    })
+
   /** Run any of the above to a named in-memory sink and block until the
     * source is drained — the hermetic local harness (and the pattern for
     * tests); production would swap `format("parquet").option("path", ...)`.
