@@ -124,12 +124,19 @@ object StreamOps {
   val SentinelUser: Long = -1L
   def eventsLandingWithSentinel(spark: SparkSession, dir: String): String =
     landings.getOrElseUpdate(s"$dir#sentinel", {
+      // reuse the plain landing's parquet via hard links (same inodes, same
+      // mtimes — still older than the sentinel written below) instead of
+      // re-writing the whole events table a second time per JVM
+      val src = new java.io.File(eventsLanding(spark, dir))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
         s"${ProcessHandle.current().pid()}_sent_${dir.hashCode.toHexString}"
+      val dst = new java.io.File(base)
+      dst.mkdirs()
+      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
+      }
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
-      events.repartition(2, org.apache.spark.sql.functions.col("event_id"))
-        .write.mode("overwrite").parquet(base)
       import org.apache.spark.sql.functions._
       // +100 days in nanos: far beyond any session end + watermark delay
       val sentinel = events.agg(max(col("ts")).as("mx"))
