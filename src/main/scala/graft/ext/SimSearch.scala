@@ -36,20 +36,39 @@ object SimSearch {
     * (cosine desc, nbr_id asc) — one definition so exact and ANN paths can
     * never diverge on tie-breaks or rounding.
     *
-    * Runs on the [[graft.functions.TopKPairs]] bounded-heap aggregate, not
-    * `row_number().over(...)`: the window form shuffles and SORTS every
-    * scored candidate (O(candidates log candidates) through one exchange),
-    * the aggregate keeps an O(k) heap per probe map-side so the exchange
-    * carries at most k entries per probe per mapper. Contract deltas vs the
-    * window form, both deliberate: NULL cosines (zero-norm vectors) never
-    * surface, and a probe with zero non-null candidates emits no rows.
+    * Integral id columns ride the [[graft.functions.TopKPairs]]
+    * bounded-heap aggregate, not `row_number().over(...)`: the window form
+    * shuffles and SORTS every scored candidate (O(candidates log
+    * candidates) through one exchange), the aggregate keeps an O(k) heap
+    * per probe map-side so the exchange carries at most k entries per probe
+    * per mapper. Non-integral ids (strings, decimals) keep the generic
+    * window form. Contract deltas on the aggregate path, both deliberate:
+    * NULL cosines (zero-norm vectors) never surface, and a probe with zero
+    * non-null candidates emits no rows; NaN cosines rank first on both
+    * paths (Spark descending-sort placement).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    scored.schema("nbr_id").dataType match {
+      case LongType => rankViaAgg(scored, k, LongType)
+      case t @ (IntegerType | ShortType | ByteType) => // widen, rank, narrow back
+        rankViaAgg(scored.withColumn("nbr_id", col("nbr_id").cast(LongType)), k, t)
+      case _ => // non-integral ids can't ride the (double, bigint) aggregate
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("probe_id", "nbr_id", "cosine", "rank")
+    }
+  }
+
+  private def rankViaAgg(scored: DataFrame, k: Int,
+                         idType: org.apache.spark.sql.types.DataType): DataFrame =
     scored.groupBy("probe_id")
       .agg(graft.functions.TopKPairs.topKPairs(col("cosine"), col("nbr_id"), k).as("tk"))
       .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("probe_id"), col("e.id").as("nbr_id"), col("e.score").as("cosine"),
-        (col("pos") + 1).as("rank"))
+      .select(col("probe_id"), col("e.id").cast(idType).as("nbr_id"),
+        col("e.score").as("cosine"), (col("pos") + 1).as("rank"))
 
   /** Exact top-k neighbors per probe: cross join probes × corpus, cosine,
     * windowed rank. `k` survivors per probe under the total order

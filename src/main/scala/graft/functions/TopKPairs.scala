@@ -22,9 +22,16 @@ final class TopKHeap(val k: Int) {
   private[functions] val ids = new Array[Long](k)
   private[functions] var size = 0
 
-  /** a strictly worse than b under (score desc, id asc)? */
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /** a strictly worse than b under (score desc, id asc)? Total order via
+    * Double.compare: NaN ranks ABOVE every real score — the same placement
+    * Spark's descending sort gives NaN — and, crucially, the comparison is
+    * total (raw `<`/`==` are always false for NaN, which would let a NaN at
+    * the heap root permanently reject every later candidate).
+    */
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def swap(i: Int, j: Int): Unit = {
     val s = scores(i); scores(i) = scores(j); scores(j) = s
@@ -58,10 +65,15 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  /** Entries best-first: (score desc, id asc). */
+  /** Entries best-first: (score desc, id asc); NaN first, like a Spark
+    * descending sort.
+    */
   def sorted: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = java.lang.Double.compare(sa, sb)
+        c > 0 || (c == 0 && ia < ib)
+      }
 }
 
 /** Grouped top-k aggregate: `topk_pairs(score, id, k)` keeps each group's k

@@ -79,23 +79,43 @@ object HtmlDoc {
   private val AttrRe =
     """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
 
-  /** Named entities seen in practice in crawled news markup (BS4 decodes
-    * the full HTML5 table; titles/links need only these).
+  /** Full HTML4 named-entity table from commons-text (ships with Spark),
+    * plus XML's `apos` — the coverage bs4's decoding actually exercises on
+    * news markup. Kept as a plain map so decoding stays a SINGLE regex pass
+    * (a numeric pre-pass followed by a library unescape would double-decode
+    * `&#38;amp;` into `&` where html.unescape yields the literal `&amp;`).
     */
-  private val Named = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
-    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
-    "ldquo" -> "“", "rdquo" -> "”", "copy" -> "©",
-    "reg" -> "®", "trade" -> "™", "eacute" -> "é",
-    "agrave" -> "à", "ccedil" -> "ç", "atilde" -> "ã",
-    "otilde" -> "õ", "aacute" -> "á", "iacute" -> "í",
-    "oacute" -> "ó", "uacute" -> "ú", "acirc" -> "â",
-    "ecirc" -> "ê", "ocirc" -> "ô")
+  private val Named: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.commons.text.translate.EntityArrays
+    (EntityArrays.BASIC_UNESCAPE.asScala ++
+      EntityArrays.ISO8859_1_UNESCAPE.asScala ++
+      EntityArrays.HTML40_EXTENDED_UNESCAPE.asScala)
+      .map { case (k, v) =>
+        k.toString.stripPrefix("&").stripSuffix(";") -> v.toString
+      }.toMap + ("apos" -> "'")
+  }
+
+  /** HTML5's windows-1252 remapping for C1 numeric references — `&#146;`
+    * means \u2019 in real-world markup, not the U+0092 control char (HTML5
+    * invalid-charref table, the behavior of html.parser/bs4).
+    */
+  private val C1Remap: Map[Int, String] = Map(
+    0x80 -> "\u20AC", 0x82 -> "\u201A", 0x83 -> "\u0192", 0x84 -> "\u201E",
+    0x85 -> "\u2026", 0x86 -> "\u2020", 0x87 -> "\u2021", 0x88 -> "\u02C6",
+    0x89 -> "\u2030", 0x8A -> "\u0160", 0x8B -> "\u2039", 0x8C -> "\u0152",
+    0x8E -> "\u017D", 0x91 -> "\u2018", 0x92 -> "\u2019", 0x93 -> "\u201C",
+    0x94 -> "\u201D", 0x95 -> "\u2022", 0x96 -> "\u2013", 0x97 -> "\u2014",
+    0x98 -> "\u02DC", 0x99 -> "\u2122", 0x9A -> "\u0161", 0x9B -> "\u203A",
+    0x9C -> "\u0153", 0x9E -> "\u017E", 0x9F -> "\u0178")
 
   private val EntityRe = """&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);""".r
 
-  /** Decode character references; invalid/unknown ones pass through. */
+  /** Decode character references the way html.parser does: full named
+    * table, numeric decimal/hex with the C1 remap, U+FFFD for NUL /
+    * surrogate / out-of-range / overflowing references; unknown named refs
+    * pass through verbatim.
+    */
   private[pipeline] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s // fast path: no references at all
     EntityRe.replaceAllIn(s, m => {
@@ -107,9 +127,10 @@ object HtmlDoc {
               (body.substring(2), 16) else (body.substring(1), 10)
           try {
             val cp = Integer.parseInt(digits, radix)
-            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
-            else m.matched
-          } catch { case _: NumberFormatException => m.matched }
+            if (C1Remap.contains(cp)) C1Remap(cp)
+            else if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) "\uFFFD"
+            else new String(Character.toChars(cp))
+          } catch { case _: NumberFormatException => "\uFFFD" } // overflowing digits
         } else Named.getOrElse(body, m.matched)
       java.util.regex.Matcher.quoteReplacement(out)
     })

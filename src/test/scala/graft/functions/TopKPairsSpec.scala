@@ -47,6 +47,19 @@ class TopKPairsSpec extends AnyFunSuite with SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("NaN scores rank first (Spark desc-sort placement) and never poison the heap") {
+    // NaN arriving FIRST used to block all later candidates at the heap root
+    val df = Seq((1L, Double.NaN, 99L), (1L, 0.1, 1L), (1L, 0.9, 2L), (1L, 0.95, 3L))
+      .toDF("g", "s", "id").coalesce(1)
+    val out = topk(df, 2)
+    assert(out.map(_._3) === Seq(99L, 3L), "NaN first, then the true best")
+    // parity with the window form's NaN placement
+    val w = Window.partitionBy($"g").orderBy($"s".desc, $"id".asc)
+    val viaWindow = df.withColumn("r", row_number().over(w)).filter($"r" <= 2)
+      .orderBy($"r").select($"id").as[Long].collect().toSeq
+    assert(viaWindow === out.map(_._3))
+  }
+
   test("null scores are skipped; all-null group emits an empty array") {
     val df = Seq[(Long, Option[Double], Long)](
       (1L, Some(0.4), 1L), (1L, None, 2L), (2L, None, 3L),

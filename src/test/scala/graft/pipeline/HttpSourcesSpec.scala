@@ -83,9 +83,17 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(a.attr("href").get === "./read?a=1&b=2", "hrefs decode &amp;")
     // known named + unknown passthrough + astral numeric
     assert(a.text === "Música&bogus; 😀")
-    // malformed numeric refs pass through untouched
-    assert(HtmlDoc.parse("<p>&#xZZ; &#99999999999; &;</p>").text
-      === "&#xZZ; &#99999999999; &;")
+    // full HTML4 table via commons-text, not a curated subset
+    assert(HtmlDoc.parse("<p>M&ouml;glich ma&ntilde;ana &szlig;</p>").text
+      === "Möglich mañana ß")
+    // C1 refs take the HTML5 windows-1252 remap (html.parser behavior)...
+    assert(HtmlDoc.parse("<p>It&#146;s &#147;here&#148;</p>").text
+      === "It’s “here”")
+    // ...and NUL / surrogate / out-of-range / overflowing refs yield U+FFFD
+    assert(HtmlDoc.parse("<p>&#0;&#xD800;&#1114112;&#99999999999;</p>").text
+      === "����")
+    // non-numeric garbage that never matches the ref grammar passes through
+    assert(HtmlDoc.parse("<p>&#xZZ; &;</p>").text === "&#xZZ; &;")
   }
 
   test("HtmlDoc terminates and never throws on adversarial fragments") {
