@@ -321,6 +321,28 @@ object Dedup {
       .filter(col("component") === col(idCol))
       .drop("component")
 
+  /** Incremental exact dedup for batch ingestion: keep rows of `batch`
+    * whose normalized fingerprint ([[TextOps.fingerprint]]) is NOT in the
+    * `historyFps` table (one `fp` column — the persisted state of earlier
+    * runs) and is the batch's FIRST occurrence (min id wins within the
+    * batch). This is the production loop — each run appends its survivors'
+    * fingerprints to the history table and never re-reads old text.
+    *
+    * Shape at 100 TB: the batch shuffles 16-byte digests (not documents)
+    * for the in-batch dedup; the history side is a semi-join on the same
+    * digest — broadcastable while the DAILY increment's history partition
+    * stays small, hash-join otherwise. No O(n²) anywhere.
+    */
+  def dedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       historyFps: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(historyFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .withColumn("__first", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__first"))
+      .drop("__fp", "__first")
+  }
+
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.
     * Brute-force O(n²) pair join — ground truth / verification scale only;
     * the ANN path for 100 TB is [[SimSearch.lshTopK]]. Similarity is

@@ -304,6 +304,32 @@ object ExtQueries {
         Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
           .orderBy("id_a", "id_b")),
 
+    // ----- incremental exact dedup vs a fingerprint history ------------------
+    // docs 0-99 stand in as prior runs' persisted fingerprints; the "new
+    // batch" (doc_id >= 100) keeps only first occurrences of fingerprints
+    // unseen in history. Fingerprint = md5 of whitespace-collapsed
+    // lowercased text, identical in both engines (the txt_fingerprint gate).
+    GQ("dedup_incremental",
+      Some("""WITH fp AS (SELECT doc_id,
+             |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |            FROM documents),
+             |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 100),
+             |batch AS (SELECT * FROM fp WHERE doc_id >= 100),
+             |kept AS (SELECT doc_id, fp,
+             |           min(doc_id) OVER (PARTITION BY fp) AS first_id
+             |         FROM batch WHERE fp NOT IN (SELECT fp FROM hist))
+             |SELECT doc_id FROM kept WHERE doc_id = first_id
+             |ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val history = docs.filter(col("doc_id") < 100)
+          .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+        Dedup.dedupIncremental(docs.filter(col("doc_id") >= 100), "doc_id", "text",
+          historyFps = history)
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
     // ----- similarity search -------------------------------------------------
     GQ("ann_topk_bruteforce",
       Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

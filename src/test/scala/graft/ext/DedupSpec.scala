@@ -139,6 +139,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L))
   }
 
+  test("dedupIncremental: history hits and in-batch repeats both drop") {
+    val history = Seq("seen before").toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp"))
+    val batch = Seq(
+      (10L, "Seen   BEFORE"),   // normalizes to a history fingerprint -> dropped
+      (11L, "fresh one"),       // kept
+      (12L, "fresh one"),       // in-batch repeat -> dropped
+      (13L, "another fresh"),   // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, "doc_id", "text", history)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+    // empty history: plain first-occurrence dedup
+    val noHist = Dedup.dedupIncremental(batch, "doc_id", "text",
+      history.limit(0))
+      .select("doc_id").as[Long].collect().sorted
+    assert(noHist.toSeq === Seq(10L, 11L, 13L))
+  }
+
   test("gopherQualityFilter: each rule drops its violator independently") {
     val ok = (1 to 60).map(i => s"tok$i").mkString(" ")     // 60 tokens, avg len ~5
     val docs = Seq(
