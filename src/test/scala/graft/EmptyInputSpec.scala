@@ -80,6 +80,9 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     // empty BENCHMARK: nothing is contaminated, corpus passes through
     assert(Decontaminate.decontaminate(docs, "doc_id", "text",
       emptyDocs, "text", 3, 5L).count() === 1)
+    val emptyFps = emptyDocs.select(TextOps.fingerprint(col("text")).as("fp"))
+    assert(Dedup.dedupIncremental(emptyDocs, "doc_id", "text", emptyFps).count() === 0)
+    assert(Dedup.dedupIncremental(docs, "doc_id", "text", emptyFps).count() === 1)
   }
 
   test("similarity search survives empty corpus and empty probes") {
