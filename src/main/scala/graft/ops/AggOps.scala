@@ -46,4 +46,24 @@ object AggOps {
   def approxDistinct(df: DataFrame, keys: Seq[String], target: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).alias(s"approx_${target}_count"))
+
+  /** Top-k rows per group under (score desc, id asc) via the
+    * [[graft.functions.TopKPairs]] bounded-heap aggregate — the scale form
+    * of `WindowOps.topNPerGroup`: the window form sorts EVERY row of every
+    * group through the exchange; this carries at most k entries per group
+    * per mapper and never sorts the full input. Output: group keys +
+    * (idCol, scoreCol, rn), rn 1-based. Same order contract as the window
+    * form; rows with NULL score are dropped (never top-k material).
+    */
+  def topKByScore(df: DataFrame, groupKeys: Seq[String], scoreCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    df.groupBy(groupKeys.map(col): _*)
+      .agg(graft.functions.TopKPairs.topKPairs(
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("tk"))
+      .select(groupKeys.map(col) :+ posexplode(col("tk")).as(Seq("pos", "e")): _*)
+      .select(groupKeys.map(col) ++ Seq(
+        col("e.id").cast(idType).as(idCol), col("e.score").as(scoreCol),
+        (col("pos") + 1).as("rn")): _*)
+  }
 }

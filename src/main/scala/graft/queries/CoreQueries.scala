@@ -28,6 +28,16 @@ final case class GQ(name: String, oracle: Option[String], run: (SparkSession, St
   */
 object CoreQueries {
 
+  // shared by rank_top_per_group (window form) and rank_top_per_group_agg
+  // (bounded-heap aggregate form): both must produce the identical rows
+  private val topPerGroupSql =
+    """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |  FROM part) WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin
+
   def all: Seq[GQ] = Seq(
 
     // ----- S1: in-memory localized dimension source --------------------------
@@ -488,17 +498,26 @@ object CoreQueries {
 
     // ----- §2b ranking: top-N per group --------------------------------------
     GQ("rank_top_per_group",
-      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
-             |  SELECT p_brand, p_partkey, p_retailprice,
-             |         row_number() OVER (PARTITION BY p_brand
-             |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
-             |  FROM part) WHERE rn <= 3
-             |ORDER BY p_brand, rn""".stripMargin),
+      Some(topPerGroupSql),
       (spark, dir) => {
         import spark.implicits._
         // rn cast to long: Spark row_number is INT, DuckDB's is BIGINT
         WindowOps.topNPerGroup(Tables.part(spark, dir),
           Seq("p_brand"), Seq($"p_retailprice".desc, $"p_partkey".asc), 3)
+          .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn".cast("long").as("rn"))
+          .orderBy("p_brand", "rn")
+      }),
+
+    // Same answer through the bounded-heap aggregate (AggOps.topKByScore):
+    // the scale form — no per-group sort of the full input, the exchange
+    // carries at most k entries per group per mapper. Gated against the
+    // IDENTICAL oracle as the window form above.
+    GQ("rank_top_per_group_agg",
+      Some(topPerGroupSql),
+      (spark, dir) => {
+        import spark.implicits._
+        AggOps.topKByScore(Tables.part(spark, dir),
+          Seq("p_brand"), scoreCol = "p_retailprice", idCol = "p_partkey", k = 3)
           .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn".cast("long").as("rn"))
           .orderBy("p_brand", "rn")
       }),
