@@ -335,12 +335,20 @@ object Dedup {
     */
   def dedupIncremental(batch: DataFrame, idCol: String, textCol: String,
                        historyFps: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__fp"))
-    batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
-      .join(historyFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-      .withColumn("__first", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__first"))
-      .drop("__fp", "__first")
+    // NULL-text rows have a NULL fingerprint: the anti join keeps them all
+    // past the history check (NULL never matches — anti-join/NOT EXISTS
+    // semantics, which the oracle mirrors), then they dedup among
+    // themselves as one group. Exactly ONE survivor per fingerprint even
+    // for full-row duplicates (row_number, not min-id equality — a replayed
+    // identical row must not survive twice). Temp names are graft-prefixed
+    // so a caller's own columns can't be clobbered.
+    val fp = "__graft_fp"
+    batch.withColumn(fp, TextOps.fingerprint(col(textCol)))
+      .join(historyFps.select(col("fp").as(fp)), Seq(fp), "left_anti")
+      .withColumn("__graft_rn",
+        row_number().over(Window.partitionBy(col(fp)).orderBy(col(idCol).asc)))
+      .filter(col("__graft_rn") === 1)
+      .drop(fp, "__graft_rn")
   }
 
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.

@@ -52,18 +52,33 @@ object AggOps {
     * of `WindowOps.topNPerGroup`: the window form sorts EVERY row of every
     * group through the exchange; this carries at most k entries per group
     * per mapper and never sorts the full input. Output: group keys +
-    * (idCol, scoreCol, rn), rn 1-based. Same order contract as the window
-    * form; rows with NULL score are dropped (never top-k material).
+    * (idCol, scoreCol, rn), rn 1-based, same (score desc, id asc) order as
+    * the window form.
+    *
+    * Contract limits (enforced): ids must be an INTEGRAL type (they ride
+    * the heap as longs and are cast back; strings/decimals would corrupt
+    * silently) and scores must be numeric — scores are RANKED AND RETURNED
+    * as double, so float/double inputs round-trip exactly while a
+    * decimal score column comes back as double (beyond 2^53 of decimal
+    * precision, use the window form). Rows with NULL score are dropped
+    * (never top-k material).
     */
   def topKByScore(df: DataFrame, groupKeys: Seq[String], scoreCol: String,
                   idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
     val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topKByScore requires an integral id column, got ${idType.sql} for '$idCol'")
+    require(df.schema(scoreCol).dataType.isInstanceOf[NumericType],
+      s"topKByScore requires a numeric score column, got ${df.schema(scoreCol).dataType.sql} for '$scoreCol'")
     df.groupBy(groupKeys.map(col): _*)
       .agg(graft.functions.TopKPairs.topKPairs(
-        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("tk"))
-      .select(groupKeys.map(col) :+ posexplode(col("tk")).as(Seq("pos", "e")): _*)
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("__graft_tk"))
+      .select(groupKeys.map(col) :+
+        posexplode(col("__graft_tk")).as(Seq("__graft_pos", "__graft_e")): _*)
       .select(groupKeys.map(col) ++ Seq(
-        col("e.id").cast(idType).as(idCol), col("e.score").as(scoreCol),
-        (col("pos") + 1).as("rn")): _*)
+        col("__graft_e.id").cast(idType).as(idCol),
+        col("__graft_e.score").as(scoreCol),
+        (col("__graft_pos") + 1).as("rn")): _*)
   }
 }

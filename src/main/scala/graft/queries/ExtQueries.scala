@@ -305,27 +305,42 @@ object ExtQueries {
           .orderBy("id_a", "id_b")),
 
     // ----- incremental exact dedup vs a fingerprint history ------------------
-    // docs 0-99 stand in as prior runs' persisted fingerprints; the "new
-    // batch" (doc_id >= 100) keeps only first occurrences of fingerprints
-    // unseen in history. Fingerprint = md5 of whitespace-collapsed
-    // lowercased text, identical in both engines (the txt_fingerprint gate).
+    // docs 0-99 stand in as prior runs' persisted fingerprints. The corpus
+    // has NO natural duplicates, so the batch is doc_id >= 100 plus two
+    // SYNTHESIZED slices both engines construct identically: docs 0-4
+    // replayed as ids 20000+ (history hits — must all drop) and docs
+    // 100-104 replayed as ids 30000+ (in-batch repeats — the lower original
+    // id survives). A dedup whose anti-join or survivor logic silently
+    // no-ops would keep the 10 synthetic rows and fail the hash. Oracle
+    // uses NOT EXISTS (anti-join NULL semantics) + row_number (exactly one
+    // survivor per fingerprint).
     GQ("dedup_incremental",
-      Some("""WITH fp AS (SELECT doc_id,
-             |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-             |            FROM documents),
-             |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 100),
-             |batch AS (SELECT * FROM fp WHERE doc_id >= 100),
-             |kept AS (SELECT doc_id, fp,
-             |           min(doc_id) OVER (PARTITION BY fp) AS first_id
-             |         FROM batch WHERE fp NOT IN (SELECT fp FROM hist))
-             |SELECT doc_id FROM kept WHERE doc_id = first_id
+      Some("""WITH batch0 AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5
+             |  UNION ALL SELECT doc_id + 29900, text FROM documents WHERE doc_id BETWEEN 100 AND 104
+             |),
+             |fp AS (SELECT doc_id,
+             |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |       FROM batch0),
+             |hist AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |         FROM documents WHERE doc_id < 100),
+             |kept AS (SELECT doc_id,
+             |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |         FROM fp b
+             |         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp))
+             |SELECT doc_id FROM kept WHERE rn = 1
              |ORDER BY doc_id""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
+        val batch = docs.filter(col("doc_id") >= 100).select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(100, 104))
+            .select((col("doc_id") + 29900).as("doc_id"), col("text")))
         val history = docs.filter(col("doc_id") < 100)
           .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
-        Dedup.dedupIncremental(docs.filter(col("doc_id") >= 100), "doc_id", "text",
-          historyFps = history)
+        Dedup.dedupIncremental(batch, "doc_id", "text", historyFps = history)
           .select("doc_id")
           .orderBy("doc_id")
       }),

@@ -156,6 +156,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       history.limit(0))
       .select("doc_id").as[Long].collect().sorted
     assert(noHist.toSeq === Seq(10L, 11L, 13L))
+
+    // a REPLAYED identical row (same id AND text twice) keeps exactly one
+    // copy — min-id-equality would keep both
+    val replay = Seq((20L, "dup row"), (20L, "dup row")).toDF("doc_id", "text")
+    assert(Dedup.dedupIncremental(replay, "doc_id", "text", history.limit(0))
+      .count() === 1)
+
+    // NULL-text rows: NULL fingerprint never matches history (anti-join
+    // semantics, mirrored by the oracle's NOT EXISTS) and they dedup among
+    // themselves as one group
+    val nulls = Seq((30L, null: String), (31L, null: String), (32L, "real"))
+      .toDF("doc_id", "text")
+    val keptN = Dedup.dedupIncremental(nulls, "doc_id", "text", history)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptN.toSeq === Seq(30L, 32L))
   }
 
   test("gopherQualityFilter: each rule drops its violator independently") {
