@@ -522,6 +522,26 @@ object CoreQueries {
           .orderBy("p_brand", "rn")
       }),
 
+    // ----- column profiling (data-quality summary, one scan) -----------------
+    // Long/string columns only in the gate: double and timestamp extrema
+    // render differently across engines (1.0E7 vs 10000000.0). The oracle
+    // UNION ALL is generated from the same column list, so query and gate
+    // cannot drift.
+    GQ("profile_orders", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      Some(cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
+    },
+      (spark, dir) =>
+        Profile.summarize(Tables.orders(spark, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("column")),
+
     // ----- §2b set ops -------------------------------------------------------
     // Customers with finished orders but no open ones — incremental-load
     // anti-set shape (non-empty at every SF).

@@ -157,4 +157,21 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** The production sink shape: parquet files + checkpointed offsets.
+    * Drains everything currently available, then stops. Invoking again
+    * with the SAME checkpoint dir is a RESTART: the run resumes from the
+    * recorded offsets — already-committed source files are never
+    * re-emitted (the file sink's transaction log makes the output
+    * exactly-once), new files are picked up where the stopped run left
+    * off. StreamOpsSpec drives the restart/no-duplication contract.
+    */
+  def runToParquet(df: Dataset[_], path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

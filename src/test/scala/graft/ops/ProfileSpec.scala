@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ProfileSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("one-scan profile: nulls, distincts, extrema per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(1.0)),
+      (3L, Some("c"), None),
+      (4L, Some("a"), Some(9.75)),
+    ).toDF("id", "s", "v")
+    val out = Profile.summarize(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "c")), "null excluded from distinct + extrema")
+    assert(out("v") === ((4L, 1L, 3L, "1.0", "9.75")))
+  }
+
+  test("approxDistinct path stays within HLL tolerance") {
+    val df = (1 to 2000).map(i => i % 700).toDF("k")
+    val nd = Profile.summarize(df, Seq("k"), approxDistinct = true)
+      .head().getLong(3)
+    assert(math.abs(nd - 700) <= 700 * 0.1, s"approx distinct $nd vs 700")
+  }
+
+  test("single aggregation node in the plan — no per-column jobs") {
+    val df = Seq((1L, "x")).toDF("a", "b")
+    val prof = Profile.summarize(df, Seq("a", "b"))
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString
+    // exactly one aggregate pair (partial+final); a per-column loop would
+    // show 2x the aggregates or a union
+    assert(!plan.contains("Union"), s"per-column union crept in:\n$plan")
+  }
+}

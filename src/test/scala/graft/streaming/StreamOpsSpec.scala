@@ -97,6 +97,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!rows.contains(lateWindow), s"late event leaked into $rows")
   }
 
+  test("parquet sink + checkpoint: restart resumes offsets, output exactly-once") {
+    val landing = Files.createTempDirectory("graft-ck-landing")
+    val sink = Files.createTempDirectory("graft-ck-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ck-state").toString
+    def drop(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+    def landed(name: String): Unit = {
+      // move the part file up into the landing root, as a single drop
+      val part = Files.list(Paths.get(s"$landing/$name")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), Paths.get(s"$landing/$name.parquet"))
+    }
+    val ns = 1717200000L * 1000000000L // epoch nanos base (raw-nanos schema)
+    drop("f1", Seq((1L, ns, 10L, "click", 1.0, "{}"))); landed("f1")
+
+    def run(): Unit = StreamOps.runToParquet(
+      StreamOps.readEventStream(spark, landing.toString).select("event_id", "user_id"),
+      sink, ckpt)
+    run() // drains f1
+    assert(spark.read.parquet(sink).count() === 1)
+
+    drop("f2", Seq((2L, ns + 1000000000L, 11L, "view", 2.0, "{}"))); landed("f2")
+    run() // RESTART from checkpoint: picks up only f2
+    val after = spark.read.parquet(sink).select("event_id").as[Long].collect().sorted
+    assert(after.toSeq === Seq(1L, 2L), "f1 must not be re-emitted on restart")
+
+    run() // restart with nothing new: no duplicates, no new files
+    assert(spark.read.parquet(sink).count() === 2, "idle restart re-emitted rows")
+  }
+
   test("runningUserStats accumulates per-key state across a batch") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     StreamOps.runToMemory(
