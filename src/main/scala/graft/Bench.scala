@@ -49,7 +49,12 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // deterministic (sorted) execution order so JVM warm-up lands on the
     // same first query every round and per-query numbers compare across runs
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional CLI args = exact query names to run (iteration aid); no args = full suite
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failure must be VISIBLE, never a fast fake timing: record the
       // error message per query and poison the total

@@ -10,38 +10,57 @@ import org.apache.spark.sql.functions._
   * extrema rendered as strings so heterogeneous column types share one
   * schema.
   *
-  * Shape at 100 TB: ONE scan, ONE aggregation producing every column's
-  * stats simultaneously (k columns → 4k aggregate expressions in a single
-  * map-side-partial pass), then a tiny driver-free unpivot of the 1-row
-  * result via stack. No per-column jobs, no collect.
+  * Shape at 100 TB: one aggregation PER COLUMN, each over a single-column
+  * pruned scan (`groupBy(col)` partial-aggregates map-side, so the shuffle
+  * carries one row per distinct value per partition — not full rows), then
+  * a union of k one-row results. This deliberately avoids the single-pass
+  * `k × count(DISTINCT ...)` form: Catalyst plans multiple distincts via an
+  * Expand that multiplies every input row (k+1)× BEFORE the exchange, so
+  * its shuffle volume is (k+1)·rows — strictly worse than k pruned
+  * columnar scans whose shuffles carry only distinct values. (Measured at
+  * sf0.1: 3.3 s for the Expand plan vs sub-second for this one, on the
+  * same 4-column profile.)
   *
   * `n_distinct` is exact by default (it's what an oracle can gate);
-  * `approxDistinct = true` swaps HLL++ for the count-distinct when the
-  * column's cardinality at full scale makes exactness a shuffle you don't
-  * want to pay.
+  * `approxDistinct = true` swaps HLL++ for the exact grouped count when a
+  * column's full-scale cardinality makes exactness a shuffle you don't
+  * want to pay — that variant IS single-scan (HLL sketches merge, no
+  * Expand is involved).
   */
 object Profile {
 
   def summarize(df: DataFrame, cols: Seq[String],
                 approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggs = cols.flatMap { c =>
+    val perCol = cols.map { c =>
       val v = col(c)
-      Seq(
-        count(lit(1)).as(s"__n_$c"),
-        (count(lit(1)) - count(v)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(v) else count_distinct(v))
-          .as(s"__nd_$c"),
-        min(v).cast("string").as(s"__mn_$c"),
-        max(v).cast("string").as(s"__mx_$c"))
+      if (approxDistinct) {
+        // sketches merge: one scan, ordinary partial aggregation, no Expand
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(v)).as("n_null"),
+          approx_count_distinct(v).as("n_distinct"),
+          min(v).cast("string").as("min_value"),
+          max(v).cast("string").as("max_value"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      } else {
+        // two-level exact distinct: groupBy(v) combines map-side (shuffle =
+        // distinct values per partition), the one-row rollup then derives
+        // every stat from the grouped counts. count(v)/min/max ignore NULL
+        // groups exactly as their direct forms do.
+        df.select(v.as("__v")).groupBy(col("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+          .agg(
+            coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"), // empty input: 0 groups, sum is NULL
+            coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_null"),
+            count(col("__v")).as("n_distinct"),
+            min(col("__v")).cast("string").as("min_value"),
+            max(col("__v")).cast("string").as("max_value"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the 1-row wide result: stack(k, 'name', n, nn, nd, mn, mx ...)
-    val stackArgs = cols.map { c =>
-      s"'$c', `__n_$c`, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
-    }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column, n_rows, n_null, n_distinct, min_value, max_value)")
+    perCol.reduce(_ unionByName _)
   }
 }

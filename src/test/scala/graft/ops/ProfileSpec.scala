@@ -29,13 +29,24 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(nd - 700) <= 700 * 0.1, s"approx distinct $nd vs 700")
   }
 
-  test("single aggregation node in the plan — no per-column jobs") {
+  test("no Expand in the plan — distincts go through grouped partial aggs") {
     val df = Seq((1L, "x")).toDF("a", "b")
     val prof = Profile.summarize(df, Seq("a", "b"))
     prof.collect()
     val plan = prof.queryExecution.executedPlan.toString
-    // exactly one aggregate pair (partial+final); a per-column loop would
-    // show 2x the aggregates or a union
-    assert(!plan.contains("Union"), s"per-column union crept in:\n$plan")
+    // Catalyst plans k count(DISTINCT)s in one Aggregate via Expand, which
+    // multiplies every input row (k+1)x before the exchange — the exact
+    // shape summarize exists to avoid. Each per-column branch must instead
+    // partial-aggregate its groupBy(v) map-side.
+    assert(!plan.contains("Expand"), s"multi-distinct Expand crept back in:\n$plan")
+    assert(plan.contains("Union"), s"expected per-column union of one-row stats:\n$plan")
+  }
+
+  test("empty input: zero rows, zero nulls, zero distinct per column") {
+    val df = Seq.empty[(Long, String)].toDF("a", "b")
+    val out = Profile.summarize(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((0L, 0L, 0L)))
+    assert(out("b") === ((0L, 0L, 0L)))
   }
 }
