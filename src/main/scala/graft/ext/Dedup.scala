@@ -79,6 +79,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard join via PREFIX FILTERING (AllPairs / PPJoin
+    * family — Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW'07; Chaudhuri et al., ICDE'06): same output as
+    * [[ngramJaccardPairs]], sub-Σdf² candidate generation.
+    *
+    * Order every doc's shingles by GLOBAL rarity (document frequency asc,
+    * hash asc — one total order shared by all docs) and index only each
+    * set's first `|s| - ceil(t·|s|) + 1` shingles. Any pair with
+    * J ≥ t must share at least one PREFIX shingle under that order (if all
+    * common shingles sat in a's suffix, overlap ≤ ceil(t·|a|) - 1 < the
+    * t·max(|a|,|b|) any qualifying pair needs), so pruning is LOSSLESS —
+    * this is the scale path that stays exact, unlike the `maxDocFreq` cap.
+    * Hub shingles sort LAST, so exactly the df² hot spots fall outside the
+    * prefixes and never reach the self-join. A size filter
+    * (t·|a| ≤ |b| ≤ |a|/t) prunes candidates the verify would reject.
+    *
+    * Verification joins candidates back to the materialized (id, set)
+    * relation and intersects the two arrays per pair — no second pass
+    * through the inverted index.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // materialized once: the exploded index, both prefix sides, and the
+    // verify all read this relation
+    val sets = df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
+      .filter(size(col("set")) > 0)
+      .localCheckpoint()
+    val ex = sets.select(col("id"), size(col("set")).cast("long").as("sz"),
+      explode(col("set")).as("s"))
+    // df lives in a vocab-sized aggregate, not a window over the exploded
+    // relation: the join carries no hint on purpose — AQE broadcasts it at
+    // verification scale, and at 100 TB (shingle vocab >> broadcast limit)
+    // it degrades to a plain shuffle join on `s`, which is the safe shape
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select("id", "sz", "s")
+    val pa = prefix.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a"))
+    val pb = prefix.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b"))
+    val cand = pa.join(pb, pa("s") === pb("s") && pa("id_a") < pb("id_b")
+        && pb("sz_b") * lit(threshold) <= pa("sz_a")
+        && pa("sz_a") * lit(threshold) <= pb("sz_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("common", graft.functions.LongSetOps.intersectSize(col("set_a"), col("set_b")))
+      // same single-expression arithmetic as ngramJaccardPairs — bit-exact
+      // against the same oracle
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature column: array of `numHashes` minima over the doc's
     * distinct shingles. A sketch is a pure per-document function, so this is
     * a SCAN-side projection via the native
@@ -150,8 +210,9 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
-      .withColumn("jaccard", size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-        size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("common", graft.functions.LongSetOps.intersectSize(col("set_a"), col("set_b")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

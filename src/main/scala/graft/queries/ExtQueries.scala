@@ -210,7 +210,29 @@ object ExtQueries {
           n = 3, threshold = 0.4)
           .orderBy("id_a", "id_b")),
 
-    // The 100 TB path for the inverted-index join: hub shingles (doc freq ≥
+    // Prefix-filtered exact join (AllPairs/PPJoin): LOSSLESS pruning, so it
+    // shares the exact oracle above — the gate itself proves the candidate
+    // pruning drops nothing.
+    GQ("dedup_ngram_jaccard_prefix",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+             |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+          .orderBy("id_a", "id_b")),
+
+    // The capped heuristic alternative: hub shingles (doc freq ≥
     // cap) are dropped from candidate generation, bounding the O(Σdf²)
     // blowup. Full set sizes are kept, so jaccard is underestimated — the
     // result is a SUBSET of the exact pairs at the same threshold (asserted

@@ -40,6 +40,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "unrelated docs not paired at 0.4")
   }
 
+  test("prefix-filtered join returns exactly the naive exact pairs") {
+    // real corpus slice: planted near-dups + hub shingles across thresholds
+    // (0.8 exercises short prefixes, 0.1 degenerates to the full index)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.1, 0.4, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix === naive, s"prefix pruning diverged at threshold $t")
+    }
+  }
+
   test("maxDocFreq cap drops hub shingles but keeps high-jaccard pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.9, maxDocFreq = Some(1000L))
