@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators (SURVEY.md §2b extension surface):
+  * sequence packing and corpus-LM document scoring — the steps between a
+  * cleaned corpus and a tokenized training run.
+  */
+object Pack {
+
+  /** Sequence-packing manifest: documents are concatenated in `idCol` order
+    * WITHIN A SHARD and sliced into consecutive `seqLen`-token training
+    * sequences (the standard concat-and-chunk regime); each doc's row says
+    * which sequences its tokens land in —
+    * (id, shard, n_tokens, start_seq, end_seq, n_seqs).
+    *
+    * Sharding is the scale contract: a single global packing order would
+    * funnel 100 TB through ONE window partition (a one-reducer sort). Each
+    * shard packs independently — exactly how a multi-worker tokenizer run
+    * behaves — so the window parallelism equals the shard count; pick
+    * shards ≫ executors (e.g. `hash(id) % 10_000`). Sequence ids are
+    * per-shard; (shard, seq) is the global sequence key.
+    *
+    * Token counting is the whitespace tokenizer of [[TextOps.tokens]] —
+    * one contract for every token-count consumer in the library.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long, shardCol: Column): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__graft_cum", sum(col("n_tokens")).over(w))
+      // integer div (not /): long division on token offsets must truncate
+      .withColumn("start_seq", expr(s"(__graft_cum - n_tokens) div $seqLen"))
+      .withColumn("end_seq", expr(s"(__graft_cum - 1) div $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("start_seq"), col("end_seq"), col("n_seqs"))
+  }
+
+  /** Corpus-bigram LM score per document: mean MLE probability of the doc's
+    * POSITIONAL bigrams (duplicates count — this is a language-model
+    * statistic, not set similarity) under the corpus itself,
+    * p(w2 | w1) = count(w1 w2) / count(w1), with count(w1) the token's
+    * total corpus occurrences. High score = the doc's word transitions are
+    * corpus-typical; boilerplate and keyword-stuffed docs score low. The
+    * fluency cousin of the Gopher frequency rules.
+    *
+    * Cross-engine determinism: each probability is scaled to an integer
+    * (`round(p * 1e9)`) BEFORE summing, so the aggregate is an exact
+    * integer sum — a float sum's result would depend on partition
+    * association order. Output: (id, n_bigrams, p_sum_scaled,
+    * lm_avg_scaled = p_sum_scaled div n_bigrams). Docs with < 2 tokens
+    * have no bigrams and no row.
+    *
+    * Shape at 100 TB: two count aggregates (bigram, unigram — both
+    * partial-aggregated map-side) + two shuffle joins on those keys; no
+    * driver-side model, no broadcast of the vocabulary.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("ts"))
+    val bi = toks.select(col("id"),
+      explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+    val uni = toks.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+    bi.join(bc, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, Seq("w1"))
+      .withColumn("ps",
+        round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9)).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("p_sum_scaled"))
+      .withColumn("lm_avg_scaled", expr("p_sum_scaled div n_bigrams"))
+  }
+}

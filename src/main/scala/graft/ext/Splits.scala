@@ -44,6 +44,41 @@ object Splits {
              splitCol: String = "split", salt: String = ""): DataFrame =
     df.withColumn(splitCol, splitColumn(col(keyCol), fractions, salt))
 
+  /** Weighted source mixing: keep each row with its source's rate — the
+    * "2 epochs of wiki, 0.3 of web crawl" knob of a training-data recipe,
+    * deterministic per key (same digest-threshold mechanism as
+    * [[splitColumn]], so a re-run, a different partitioning, or another
+    * engine keeps exactly the same rows). Sources absent from `rates` are
+    * DROPPED — a mixing recipe is an allow-list. Rate 1.0 keeps all but the
+    * one key in 2^32 whose digest prefix is exactly "ffffffff" (threshold
+    * comparison is strict; identical in the oracle).
+    *
+    * Shape at 100 TB: pure per-row predicate on a scan — no shuffle, no
+    * join; the rates map is query-literal config (a CASE over sources),
+    * not a table.
+    */
+  def weightedKeep(df: DataFrame, keyCol: String, sourceCol: String,
+                   rates: Map[String, Double], salt: String = ""): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val h = substring(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary")), 1, 8)
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (src, r)) =>
+        when(col(sourceCol) === src, h < hexThreshold(r)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** DuckDB-equivalent predicate for [[weightedKeep]] oracle SQL. */
+  def oracleKeepPredicate(keyExpr: String, sourceExpr: String,
+                          rates: Map[String, Double], salt: String = ""): String = {
+    val h = s"substr(md5($keyExpr || '$salt'), 1, 8)"
+    val whens = rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN $sourceExpr = '$src' THEN $h < '${hexThreshold(r)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE FALSE END"
+  }
+
   /** The DuckDB-equivalent CASE expression for oracle SQL (same thresholds,
     * same digest) — kept next to the implementation so they cannot drift.
     */

@@ -469,6 +469,95 @@ object CoreQueries {
           .orderBy("o_custkey")
       }),
 
+    // ----- A6-A8: multi-level aggregation (ROLLUP / CUBE / GROUPING SETS) ----
+    // Grouping keys are NULL-free in TPC-H, so the subtotal rows' NULLs can
+    // be coalesced to an 'ALL' label and the output keeps a total, NULL-free
+    // ORDER BY (sidestepping Spark NULLS FIRST vs DuckDB NULLS LAST).
+    // sum(l_quantity) values are integral doubles — round(4) is belt and
+    // braces for re-association.
+    GQ("a6_rollup",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("sum_qty"))
+          .orderBy("rf", "ls")),
+
+    // o_totalprice carries exactly 2 decimals, so the re-associated sum has
+    // no sub-cent digits and round(2) is stable.
+    GQ("a7_cube",
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+            col("n"), col("sum_price"))
+          .orderBy("st", "pri")),
+
+    GQ("a8_grouping_sets",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+          .orderBy("rf", "ls")),
+
+    // ----- J3: pivot (long -> wide) ------------------------------------------
+    // Explicit pivot values (no distinct-scan) — required for plan stability
+    // AND the deterministic column set the oracle's CASE form mirrors.
+    GQ("j3_pivot",
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F",
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O"
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum(col("l_quantity")), 4))
+          .orderBy("l_returnflag")),
+
+    // ----- W3: ranking-function suite ----------------------------------------
+    // ntile / lead / cume_dist / first_value in one windowed projection.
+    // cume_dist is a single rank/count division — identical doubles both
+    // engines — rounded only for display stability.
+    GQ("w3_rank_suite",
+      Some("""SELECT o_orderkey,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+             |  lead(o_orderkey) OVER w AS next_key,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  first_value(o_orderkey) OVER w AS first_key
+             |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("tile"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            round(cume_dist().over(w), 6).as("cd"),
+            first_value(col("o_orderkey")).over(w).as("first_key"))
+          .orderBy("o_orderkey")
+      }),
+
     // ----- W1: lag-window delta per key --------------------------------------
     GQ("w1_lag_delta",
       Some("""SELECT o_custkey, o_orderkey,

@@ -21,6 +21,15 @@ object ExtQueries {
   // DuckDB-side token array, identical to TextOps.tokens semantics.
   private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // mixing recipe for mix_weighted: graduated rates over the 20 synthetic
+  // sources; src16..src19 deliberately absent (allow-list drop). Spark
+  // predicate and DuckDB oracle both render from THIS map.
+  private val mixRates: Map[String, Double] =
+    (0 to 4).map(i => s"src$i" -> 1.0).toMap ++
+      (5 to 9).map(i => s"src$i" -> 0.5).toMap ++
+      (10 to 12).map(i => s"src$i" -> 0.2).toMap ++
+      (13 to 15).map(i => s"src$i" -> 0.05).toMap
+
   // shared by sw_native_session (batch) and stream_session_windows
   // (streaming): '>' gap islands, end = last event + gap — one definition so
   // batch and streaming session semantics are gated against the SAME truth
@@ -96,6 +105,76 @@ object ExtQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select("doc_id", "split")
           .orderBy("doc_id")),
+
+    // Weighted source mixing: graduated keep-rates over the 20 synthetic
+    // sources (allow-list semantics — src16+ are absent and must vanish).
+    // Both sides render the same digest-threshold CASE from the same map.
+    GQ("mix_weighted", {
+      Some(s"""SELECT doc_id, source FROM documents
+              |WHERE ${Splits.oracleKeepPredicate("CAST(doc_id AS VARCHAR)", "source", mixRates)}
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (spark, dir) =>
+        Splits.weightedKeep(Tables.documents(spark, dir), "doc_id", "source", mixRates)
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
+    // Sequence packing (concat-and-chunk): per-shard cumulative token
+    // offsets -> which fixed-length training sequences each doc spans.
+    GQ("pack_sequences",
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM t)
+             |SELECT doc_id, shard, n_tokens,
+             |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS start_seq,
+             |  CAST((cum - 1) // 1024 AS BIGINT) AS end_seq,
+             |  CAST((cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS BIGINT) AS n_seqs
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Pack.packSequences(Tables.documents(spark, dir), "doc_id", "text", 1024,
+          (col("doc_id") % 8).as("shard"))
+          .orderBy("doc_id")),
+
+    // Corpus-bigram LM score: positional-bigram MLE probabilities, scaled
+    // to integers per term so the per-doc sum is association-order-exact.
+    GQ("lm_bigram_score",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+             |         i -> ts[i] || ' ' || ts[i+1])) AS bg FROM tok),
+             |uw AS (SELECT unnest(ts) AS w1 FROM tok),
+             |cu AS (SELECT w1, count(*) AS cu FROM uw GROUP BY 1),
+             |cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY 1),
+             |p AS (SELECT doc_id, CAST(round(CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE) * 1e9) AS BIGINT) AS ps
+             |      FROM bi JOIN cb ON bi.bg = cb.bg
+             |              JOIN cu ON split_part(bi.bg, ' ', 1) = cu.w1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(ps) AS BIGINT) AS p_sum_scaled,
+             |  CAST(sum(ps) // count(*) AS BIGINT) AS lm_avg_scaled
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Pack.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
+          .withColumnsRenamed(Map("id" -> "doc_id"))
+          .select("doc_id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
+          .orderBy("doc_id")),
+
+    // Symmetric int8 embedding quantization: every byte of q and the exact
+    // double scale must match DuckDB's list_transform rendering of the
+    // same arithmetic (rounding ties included).
+    GQ("emb_quantize_int8",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e)
+             |SELECT vec_id, scale,
+             |  list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS q
+             |FROM s ORDER BY vec_id""".stripMargin),
+      (spark, dir) =>
+        Tables.embeddings(spark, dir)
+          .withColumn("__graft_quant",
+            graft.functions.VectorFunctions.quantizeI8(col("embedding")))
+          .select(col("vec_id"), col("__graft_quant.scale").as("scale"),
+            col("__graft_quant.q").as("q"))
+          .orderBy("vec_id")),
 
     // Deterministic stratified sample: up to 5 docs per source language,
     // md5-ordered — rerun- and partitioning-stable, unlike df.sample().
