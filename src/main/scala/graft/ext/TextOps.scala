@@ -216,6 +216,39 @@ object TextOps {
     * to the same fingerprint (the rolling-hash idea, realized with a
     * codegen'd digest every engine reproduces).
     */
+  /** Corpus-level repeated-line removal — the C4/RefinedWeb boilerplate
+    * step: a line occurring in ≥ `maxDocFreq` DISTINCT documents
+    * (navigation, cookie banners, copyright footers) is deleted from every
+    * document; surviving lines are reassembled in original order. Documents
+    * whose every line was boilerplate stay as rows with `text_clean = ""`
+    * (dropping them is a separate policy decision — compose with a filter).
+    *
+    * Shape at 100 TB: explode to (doc, pos, line), one distinct+count
+    * aggregate keyed on the line to find hot lines (partial-aggregated,
+    * and the hot set is tiny — boilerplate by definition repeats), an
+    * anti-join against it, and one per-doc reassembly aggregate. Shuffles
+    * are keyed on line then doc id; nothing driver-side.
+    */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would delete every line")
+    val lines = df.select(col(idCol).as("__graft_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.select("__graft_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxDocFreq)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col("__graft_id"))
+      // collect_list order is partition-arbitrary: sort by the carried
+      // position before joining back into text
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+        "\n").as("text_clean"))
+    df.select(col(idCol))
+      .join(kept.withColumnsRenamed(Map("__graft_id" -> idCol)), Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 }

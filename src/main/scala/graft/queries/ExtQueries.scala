@@ -106,6 +106,41 @@ object ExtQueries {
           .select("doc_id", "split")
           .orderBy("doc_id")),
 
+    // Corpus-level repeated-line removal (C4/RefinedWeb boilerplate step).
+    // Testdata documents contain no newlines, so both engines synthesize
+    // the SAME multi-line docs in-query: a 1-in-3 "subscribe" line, a
+    // per-doc unique footer, and an every-doc copyright line. The gate is
+    // non-vacuous: boilerplate lines must vanish, unique footers must
+    // survive, and line order must be preserved.
+    GQ("txt_remove_boilerplate",
+      Some("""WITH d AS (SELECT doc_id,
+             |  text || chr(10) ||
+             |  CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+             |       ELSE 'footer ' || doc_id END || chr(10) ||
+             |  'copyright 2026 example corp' AS text FROM documents),
+             |ls AS (SELECT doc_id,
+             |         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+             |         unnest(string_split(text, chr(10))) AS line FROM d),
+             |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ls)
+             |        GROUP BY line HAVING count(*) >= 10),
+             |kept AS (SELECT ls.* FROM ls
+             |         WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.line = ls.line)),
+             |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+             |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).select(col("doc_id"),
+          concat(col("text"), lit("\n"),
+            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+              .otherwise(concat(lit("footer "), col("doc_id").cast("string"))),
+            lit("\n"), lit("copyright 2026 example corp")).as("text"))
+        TextOps.removeRepeatedLines(docs, "doc_id", "text", maxDocFreq = 10)
+          .select("doc_id", "text_clean")
+          .orderBy("doc_id")
+      }),
+
     // Weighted source mixing: graduated keep-rates over the 20 synthetic
     // sources (allow-list semantics — src16+ are absent and must vanish).
     // Both sides render the same digest-threshold CASE from the same map.
@@ -731,6 +766,33 @@ object ExtQueries {
           .select(col("user_id"), col("n_events"),
             round(col("value_sum"), 4).as("value_sum"), col("start_s"), col("end_s"))
           .orderBy("user_id", "start_s")
+      }),
+
+    // Streaming EXACT DEDUP under the gate: the landing replays every base
+    // drop a second time (4 micro-batches, 100% duplicate tail), so the
+    // dropDuplicates state must absorb 10k replayed keys — the aggregate
+    // equals the plain batch GROUP BY over the original events iff no
+    // duplicate survived and no original was lost.
+    GQ("stream_dedup_counts",
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLandingWithDuplicates(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(
+            StreamOps.dedupByKey(stream, "event_id")
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum")),
+            "stream_dedup_sink", OutputMode.Complete())
+          spark.table("stream_dedup_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out.select(col("event_type"), col("n"), round(col("value_sum"), 4).as("value_sum"))
+          .orderBy("event_type")
       }),
 
     // mapGroupsWithState under the gate: per-user running totals emitted

@@ -148,6 +148,44 @@ object StreamOps {
       base
     })
 
+  /** Landing zone where every base drop is REPLAYED a second time (byte-
+    * identical `dup_*` copies with later mtimes, so the file source
+    * delivers them in later micro-batches — a hard link would share the
+    * base inode's mtime and break trigger ordering): the at-least-once
+    * ingest shape that makes streaming dedup state observable — a correct
+    * `dropDuplicates` must absorb a 100% duplicate tail.
+    */
+  def eventsLandingWithDuplicates(spark: SparkSession, dir: String): String =
+    landings.getOrElseUpdate(s"$dir#dups", {
+      val src = new java.io.File(eventsLanding(spark, dir))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+        s"${ProcessHandle.current().pid()}_dup_${dir.hashCode.toHexString}"
+      val dst = new java.io.File(base)
+      dst.mkdirs()
+      val files = src.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.foreach { f =>
+        java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
+      }
+      files.foreach { f =>
+        val copy = dst.toPath.resolve(s"dup_${f.getName}")
+        java.nio.file.Files.copy(f.toPath, copy)
+        // later mtime than every base file -> delivered in later triggers
+        java.nio.file.Files.setLastModifiedTime(copy,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+      }
+      base
+    })
+
+  /** Streaming exact dedup on an id column: `dropDuplicates` keeps the
+    * FIRST arrival of each key across micro-batches (state = seen keys).
+    * The un-watermarked form is the finite-replay/backfill shape; a
+    * 24×7 production stream bounds state with
+    * `withWatermark(...).dropDuplicatesWithinWatermark(...)` instead —
+    * same operator, eviction added.
+    */
+  def dedupByKey(events: DataFrame, keyCols: String*): DataFrame =
+    events.dropDuplicates(keyCols)
+
   /** Run any of the above to a named in-memory sink and block until the
     * source is drained — the hermetic local harness (and the pattern for
     * tests); production would swap `format("parquet").option("path", ...)`.

@@ -144,4 +144,26 @@ class SessionizeTextSpec extends AnyFunSuite with SparkSpec {
       .select(TextOps.fingerprint($"text")).as[String].collect()
     assert(fps(0) === fps(1), "whitespace runs and case collapse")
   }
+
+  test("removeRepeatedLines: boilerplate gone, order kept, all-gone doc stays") {
+    val df = Seq(
+      (1L, "alpha\nCOPY\nbeta"),
+      (2L, "COPY\ngamma"),
+      (3L, "COPY"),          // every line is boilerplate
+      (4L, "delta\nCOPY"),
+    ).toDF("id", "text")
+    val out = TextOps.removeRepeatedLines(df, "id", "text", maxDocFreq = 3)
+      .select("id", "text_clean").as[(Long, String)].collect().toMap
+    assert(out(1L) === "alpha\nbeta", "interior line removed, order preserved")
+    assert(out(2L) === "gamma")
+    assert(out(3L) === "", "fully-boilerplate doc kept as empty row")
+    assert(out(4L) === "delta")
+  }
+
+  test("removeRepeatedLines: below-threshold repeats survive") {
+    val df = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("id", "text")
+    val out = TextOps.removeRepeatedLines(df, "id", "text", maxDocFreq = 3)
+      .select("id", "text_clean").as[(Long, String)].collect().toMap
+    assert(out(1L) === "x\ny" && out(2L) === "x\nz")
+  }
 }
