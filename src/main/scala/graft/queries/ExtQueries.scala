@@ -756,7 +756,10 @@ object ExtQueries {
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
           spark.conf.set("spark.sql.shuffle.partitions", "4")
-          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          // 2 files per trigger: both base drops in trigger 1, the sentinel
+          // (newest mtime) ALONE in trigger 2 — the flush still happens in a
+          // strictly later micro-batch, one fewer trigger to pay for
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
           StreamOps.runToMemory(StreamOps.sessionCounts(stream, gapSeconds = 1800),
             "stream_session_sink", OutputMode.Append())
           spark.table("stream_session_sink")
@@ -769,7 +772,7 @@ object ExtQueries {
       }),
 
     // Streaming EXACT DEDUP under the gate: the landing replays every base
-    // drop a second time (4 micro-batches, 100% duplicate tail), so the
+    // drop a second time (originals in trigger 1, copies in trigger 2), so the
     // dropDuplicates state must absorb 10k replayed keys — the aggregate
     // equals the plain batch GROUP BY over the original events iff no
     // duplicate survived and no original was lost.
@@ -783,7 +786,10 @@ object ExtQueries {
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
           spark.conf.set("spark.sql.shuffle.partitions", "4")
-          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          // 2 files per trigger: originals land in trigger 1, the two dup
+          // copies (newer mtimes) in trigger 2 — duplicates still hit
+          // PRE-EXISTING state, which is what the gate must prove
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
           StreamOps.runToMemory(
             StreamOps.dedupByKey(stream, "event_id")
               .groupBy("event_type")
