@@ -558,6 +558,60 @@ object CoreQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ----- A9: exact interpolated percentiles --------------------------------
+    // Spark `percentile` and DuckDB `percentile_cont` share the SQL-standard
+    // index = p·(n-1) linear interpolation; quantities are small integral
+    // doubles so the interpolated values are exact binary fractions.
+    // At 100 TB the same query swaps in approx_percentile (KLL/GK sketch) —
+    // exact percentile holds every group's values.
+    GQ("a9_percentiles",
+      Some("""SELECT l_returnflag,
+             |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS p25,
+             |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS p50,
+             |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 6) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+          .orderBy("l_returnflag")),
+
+    // ----- A10: second-moment statistics -------------------------------------
+    // corr/stddev/covar accumulate co-moments whose partition merge order
+    // differs between engines — rounding absorbs the ~1e-12-relative drift
+    // (verified stable at sf0.01 AND sf0.1).
+    GQ("a10_corr_stats",
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+             |  round(stddev_samp(l_quantity), 4) AS q_stddev,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+            round(stddev_samp(col("l_quantity")), 4).as("q_stddev"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covar"))
+          .orderBy("l_returnflag")),
+
+    // ----- fixed-width histogram binning -------------------------------------
+    // Profiling companion: bin = floor(x / width) is a single exact double
+    // op, so bins agree across engines with no boundary ambiguity.
+    GQ("profile_histogram",
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+             |  CAST(floor(l_extendedprice / 5000) * 5000 AS DOUBLE) AS bin_lo,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY bin""".stripMargin),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(floor(col("l_extendedprice") / 5000).as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("bin_lo", (col("bin") * 5000).cast("double"))
+          .select("bin", "bin_lo", "n")
+          .orderBy("bin")),
+
     // ----- W1: lag-window delta per key --------------------------------------
     GQ("w1_lag_delta",
       Some("""SELECT o_custkey, o_orderkey,
