@@ -35,6 +35,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE: adaptive.coalescePartitions.parallelismFirst=false was
+      // measured here and REVERTED: it coalesces the CPU-bound pair-join
+      // probes to one partition (serializing them) — the default's
+      // parallelism-preserving coalesce is the right trade on local[32]
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
