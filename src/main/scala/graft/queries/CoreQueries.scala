@@ -558,6 +558,25 @@ object CoreQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ----- P14: JSON schema-on-read ------------------------------------------
+    // events.props is a JSON string column; from_json projects it through a
+    // declared schema on the scan side (codegen'd Jackson parse, no UDF) —
+    // the semi-structured ingestion shape of every event pipeline.
+    GQ("p14_json_extract",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |                  THEN 1 END) AS BIGINT) AS n_hi
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .withColumn("k", from_json(col("props"), StructType(Seq(
+            StructField("k", LongType)))).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+            count(when(col("k") >= 50, lit(1))).as("n_hi"))
+          .orderBy("event_type")),
+
     // ----- A9: exact interpolated percentiles --------------------------------
     // Spark `percentile` and DuckDB `percentile_cont` share the SQL-standard
     // index = p·(n-1) linear interpolation; quantities are small integral

@@ -119,4 +119,51 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
       s"rule battery must be a single scan:\n$p")
   }
+
+  test("profile_orders: no multi-distinct Expand; grouped partial aggs per column") {
+    val p = plan("profile_orders")
+    assert(!p.contains("Expand"), s"multi-distinct Expand crept back in:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side partials:\n$p")
+  }
+
+  test("a6_rollup: rollup plans as one Expand aggregate, not a union of aggs") {
+    val p = plan("a6_rollup")
+    assert(p.contains("Expand"), s"rollup should expand grouping sets:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"rollup must be a single scan:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: pair enumeration is a shuffled hash join, no sorts") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash pair join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair enumeration must not pay a sort:\n$p")
+  }
+
+  test("dedup_ngram_jaccard_prefix: no cartesian or nested-loop anywhere") {
+    val p = plan("dedup_ngram_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter must stay equi-join:\n$p")
+  }
+
+  test("pack_sequences: exactly one shuffle — the shard window") {
+    val p = plan("pack_sequences")
+    // window partitionBy(shard) = 1 hash exchange; orderBy adds its range
+    // exchange for the gate's determinism
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"packing must shuffle once, on the shard key:\n$p")
+  }
+
+  test("mix_weighted: pure scan-side predicate, zero shuffles") {
+    val p = plan("mix_weighted")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"mixing must be a per-row filter:\n$p")
+  }
+
+  test("emb_quantize_int8: native quantize expression on the scan, no shuffle") {
+    val p = plan("emb_quantize_int8")
+    assert(p.contains("float_vector_quantize_int8"), s"expected native kernel:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"quantization must not shuffle:\n$p")
+  }
 }
