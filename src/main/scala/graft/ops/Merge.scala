@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC merge — apply a change batch (insert / update / delete flags) onto a
+  * snapshot: the warehouse upsert primitive behind every incremental load.
+  *
+  * Semantics (last-write-wins within one batch is the CALLER's contract —
+  * feed one row per key, e.g. via [[AggOps.dedupByKeyOrdered]] on a change
+  * sequence number):
+  *  - key present in `changes` with op = delete → row removed
+  *  - key present with any other op → the change row replaces the snapshot
+  *    row (updates) or is added (inserts — key absent from the snapshot)
+  *  - key absent from `changes` → snapshot row passes through
+  *
+  * Shape at 100 TB: ONE anti-join of the snapshot against change keys (a
+  * change batch is small relative to the snapshot — AQE broadcasts it, so
+  * the snapshot never shuffles) + a union with the surviving change rows.
+  * No full outer join, no window.
+  */
+object Merge {
+
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keyCol: String, opCol: String,
+                   deleteOp: String = "D"): DataFrame = {
+    require(changes.columns.contains(opCol), s"changes needs an '$opCol' column")
+    val kept = snapshot.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val applied = changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+    kept.unionByName(applied)
+  }
+}

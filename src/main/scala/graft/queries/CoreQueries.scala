@@ -558,6 +558,40 @@ object CoreQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ----- CDC merge (upsert/delete apply) -----------------------------------
+    // Changes synthesized identically in both engines from orders: keys
+    // % 10 = 0 updated (+1000), % 10 = 1 deleted, % 10 = 2 re-inserted
+    // under shifted keys. Every op path fires at every SF.
+    GQ("cdc_merge",
+      Some("""WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders),
+             |chg AS (
+             |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 'U' AS op
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D' FROM orders WHERE o_orderkey % 10 = 1
+             |  UNION ALL SELECT o_orderkey + 100000000, 1.0, 'I' FROM orders WHERE o_orderkey % 10 = 2),
+             |kept AS (SELECT s.* FROM snap s
+             |         WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = s.o_orderkey)),
+             |merged AS (SELECT o_orderkey, o_totalprice FROM kept
+             |           UNION ALL SELECT o_orderkey, o_totalprice FROM chg WHERE op <> 'D')
+             |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             |FROM merged ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val snap = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+        val o = Tables.orders(spark, dir)
+        val changes = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+            lit("U").as("op"))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 1)
+            .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+              lit("D").as("op")))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 2)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              lit(1.0).as("o_totalprice"), lit("I").as("op")))
+        Merge.applyChanges(snap, changes, "o_orderkey", "op")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      }),
+
     // ----- P14: JSON schema-on-read ------------------------------------------
     // events.props is a JSON string column; from_json projects it through a
     // declared schema on the scan side (codegen'd Jackson parse, no UDF) —
