@@ -29,4 +29,25 @@ object Merge {
     val applied = changes.filter(col(opCol) =!= deleteOp).drop(opCol)
     kept.unionByName(applied)
   }
+
+  /** SCD Type-2 version history from a change log: each change row becomes
+    * a version valid from its own timestamp until the key's NEXT change
+    * (`valid_to` NULL = current version). `tieCols` must make the per-key
+    * order total — equal-timestamp changes would otherwise version
+    * nondeterministically.
+    *
+    * Shape at 100 TB: one window shuffle on the dimension key. The change
+    * log arrives append-only, so the window never re-reads history that a
+    * production run would partition by key range.
+    */
+  def scd2Versions(changes: DataFrame, keyCol: String, tsCol: String,
+                   tieCols: Seq[String] = Seq.empty): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

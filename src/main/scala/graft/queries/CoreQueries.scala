@@ -592,6 +592,26 @@ object CoreQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ----- SCD2 version history ----------------------------------------------
+    // Each customer's order stream is the change log of a (custkey → price)
+    // attribute; orderkey breaks same-day ties so versioning is total.
+    GQ("scd2_history",
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             |  CAST(o_orderdate AS DATE) AS valid_from,
+             |  CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+             |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (spark, dir) =>
+        Merge.scd2Versions(Tables.orders(spark, dir),
+            "o_custkey", "o_orderdate", tieCols = Seq("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            to_date(col("valid_from")).as("valid_from"),
+            to_date(col("valid_to")).as("valid_to"), col("is_current"))
+          .orderBy("o_custkey", "o_orderkey")),
+
     // ----- P14: JSON schema-on-read ------------------------------------------
     // events.props is a JSON string column; from_json projects it through a
     // declared schema on the scan side (codegen'd Jackson parse, no UDF) —

@@ -32,4 +32,21 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(Merge.applyChanges(snap, changes, "k", "op")
       .as[(Long, String)].collect().toMap === Map(9L -> "z"))
   }
+
+  test("scd2Versions: chained validity, tie-broken, single current per key") {
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"), // tie at ts 20 → v order
+      (2L, 5L, "x"),
+    ).toDF("k", "ts", "v")
+    val out = Merge.scd2Versions(log, "k", "ts", tieCols = Seq("v"))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1L, "a")) === ((10L, Some(20L), false)))
+    assert(out((1L, "b")) === ((20L, Some(20L), false)), "tie-break on v: b before c")
+    assert(out((1L, "c")) === ((20L, None, true)))
+    assert(out((2L, "x")) === ((5L, None, true)))
+    val currents = out.collect { case ((k, _), (_, _, true)) => k }
+    assert(currents.toSeq.sorted === Seq(1L, 2L), "exactly one current version per key")
+  }
 }
