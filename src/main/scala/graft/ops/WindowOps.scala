@@ -44,4 +44,41 @@ object WindowOps {
       .rowsBetween(-precedingRows.toLong, 0)
     df.withColumn(outName, agg.over(w))
   }
+
+  /** Time-series resample + forward fill: snap an irregular event stream
+    * onto a regular `stepSeconds` grid per key, from each key's first
+    * bucket to its last, carrying the latest observed value forward across
+    * gaps — the quote-series gap-fill every market pipeline runs before
+    * indicators (a bar with no trades inherits the previous close).
+    *
+    * Per bucket the LAST event wins (`epochSecCol` desc, then `valueCol`
+    * desc as the tie-break — total for numeric values). The first buckets
+    * of a key are never NULL: the spine starts at the key's first
+    * observation.
+    *
+    * Shape at 100 TB: one aggregate for bucket-last values, one tiny
+    * per-key span aggregate whose `sequence()` explode GENERATES the spine
+    * (spine rows are never shuffled as input), an equi-join back, and one
+    * key-window fill. Everything keys on (key, bucket) — no range join,
+    * no driver loop.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, epochSecCol: String,
+                    valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val bucketed = df.select(col(keyCol).as("key"),
+        expr(s"CAST($epochSecCol AS BIGINT) div $stepSeconds * $stepSeconds").as("bucket"),
+        col(epochSecCol).cast("long").as("__s"), col(valueCol).as("__v"))
+    val lastPerBucket = AggOps.dedupByKeyOrdered(bucketed, Seq("key", "bucket"),
+        Seq(col("__s").desc, col("__v").desc))
+      .select(col("key"), col("bucket"), col("__v"))
+    val spine = lastPerBucket.groupBy("key")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"),
+        lit(stepSeconds))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(lastPerBucket, Seq("key", "bucket"), "left")
+      .withColumn("value_ffill", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("key").as(keyCol), col("bucket"), col("value_ffill"))
+  }
 }

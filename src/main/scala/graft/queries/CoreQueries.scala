@@ -592,6 +592,33 @@ object CoreQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ----- time-series resample + forward fill -------------------------------
+    // Hourly grid per user over events, gaps inherit the latest value —
+    // the quote-series gap-fill of the reference's domain.
+    GQ("ts_resample_ffill",
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s, value FROM events),
+             |b AS (SELECT user_id, s // 3600 * 3600 AS bucket, s, value FROM e),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+             |                                   ORDER BY s DESC, value DESC) AS rn FROM b),
+             |lastv AS (SELECT user_id, bucket, value FROM r WHERE rn = 1),
+             |span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM lastv GROUP BY 1),
+             |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+             |j AS (SELECT sp.user_id, sp.bucket, lv.value
+             |      FROM spine sp LEFT JOIN lastv lv
+             |        ON sp.user_id = lv.user_id AND sp.bucket = lv.bucket)
+             |SELECT user_id, bucket,
+             |  round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+             |        ROWS UNBOUNDED PRECEDING), 4) AS value_ffill
+             |FROM j ORDER BY user_id, bucket""".stripMargin),
+      (spark, dir) =>
+        WindowOps.resampleFfill(
+          Tables.events(spark, dir)
+            .withColumn("es", unix_timestamp(col("ts"))),
+          "user_id", "es", "value", stepSeconds = 3600)
+          .select(col("user_id"), col("bucket"),
+            round(col("value_ffill"), 4).as("value_ffill"))
+          .orderBy("user_id", "bucket")),
+
     // ----- SCD2 version history ----------------------------------------------
     // Each customer's order stream is the change log of a (custkey → price)
     // attribute; orderkey breaks same-day ties so versioning is total.

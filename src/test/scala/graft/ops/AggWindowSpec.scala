@@ -85,4 +85,21 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     val exact = li.select(countDistinct($"l_partkey")).head().getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.15)
   }
+
+  test("resampleFfill: grid spans first..last bucket, gaps carry last value") {
+    // key 1: events at t=0 (v=1.0), t=250 (v=3.0) with step 100 →
+    // buckets 0,100,200: 100 is a GAP (fills 1.0), 200 takes 3.0.
+    // In-bucket tie at t=0: later event (t=50, v=2.0) wins bucket 0.
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 250L, 3.0),
+      (2L, 500L, 9.0),
+    ).toDF("k", "s", "v")
+    val out = WindowOps.resampleFfill(df, "k", "s", "v", stepSeconds = 100)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0L)) === 2.0, "latest event in the bucket wins")
+    assert(out((1L, 100L)) === 2.0, "gap bucket inherits the previous value")
+    assert(out((1L, 200L)) === 3.0)
+    assert(out((2L, 500L)) === 9.0)
+    assert(out.size === 4, "no buckets outside each key's span")
+  }
 }
