@@ -95,4 +95,18 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       SimSearch.ivfTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5, 4, 2).count()
     }
   }
+
+  test("round-4 operators survive empty inputs") {
+    assert(Dedup.ngramJaccardPairsPrefix(emptyDocs, "doc_id", "text", 3, 0.4).count() === 0)
+    assert(Pack.packSequences(emptyDocs, "doc_id", "text", 1024, lit(0L)).count() === 0)
+    assert(Pack.bigramLmScores(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Splits.weightedKeep(emptyDocs.withColumn("source", lit("s")),
+      "doc_id", "source", Map("s" -> 0.5)).count() === 0)
+    assert(TextOps.removeRepeatedLines(emptyDocs, "doc_id", "text", 10).count() === 0)
+    val e = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Merge.applyChanges(e, e.withColumn("op", lit("U")), "k", "op").count() === 0)
+    assert(Merge.scd2Versions(e, "k", "v").count() === 0)
+    assert(WindowOps.resampleFfill(
+      Seq.empty[(Long, Long, Double)].toDF("k", "s", "v"), "k", "s", "v", 100).count() === 0)
+  }
 }
