@@ -55,6 +55,9 @@ object Bench {
     // same first query every round and per-query numbers compare across runs
     // optional CLI args = exact query names to run (iteration aid); no args = full suite
     val wanted = args.toSet
+    val unknown = wanted.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, // a typo must not yield a silently-empty "successful" bench
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
@@ -67,17 +70,24 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // Keep the line SHORT and put the headline numbers at the END: the
-    // driver stores only the tail of stdout, and round 2's line outgrew it —
-    // the leading value/errors/probe fields were truncated away. 3-decimal
-    // per-query values + totals last means the summary always survives.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v, err) =>
       jsonStr(k) + ":" + (if (err.isEmpty) r3(v) else jsonStr("ERROR " + err.get.take(120)))
     }.mkString("{", ",", "}")
     val nErrors = results.count(_._3.nonEmpty)
     val total = if (nErrors > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"value":${r3(total)}}""")
+    // Full per-query line first (for humans reading the log)…
+    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"value":${r3(total)}}""")
+    // …then a COMPACT summary as the LAST line: the driver keeps only the
+    // final ~2000 chars of stdout, and the full line (~4 KB at 100 queries)
+    // has been truncated mid-object — and therefore unparseable — every
+    // round so far. This line carries the headline numbers plus only the
+    // slowest queries, sized to always survive the tail window.
+    val slow = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
+    val slowJson = slow.map { case (k, v, _) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val errJson = results.filter(_._3.nonEmpty).take(3)
+      .map { case (k, _, err) => jsonStr(k) + ":" + jsonStr(err.get.take(80)) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"value":${r3(total)}}""")
     spark.stop()
     if (nErrors > 0) sys.exit(1)
   }

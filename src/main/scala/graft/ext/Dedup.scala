@@ -125,8 +125,12 @@ object Dedup {
     val ranked = ex.join(dfTab, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+    // epsilon guard (standard PPJoin defensive form): when threshold*sz
+    // lands a float epsilon ABOVE an exact integer, a raw ceil overshoots
+    // and shortens the prefix by one — a silent break of the lossless
+    // guarantee. Nudging down before ceil only ever lengthens the prefix.
     val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
       .select("id", "sz", "s")
     val pa = prefix.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a"))
     val pb = prefix.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b"))
@@ -134,9 +138,11 @@ object Dedup {
     // index and AQE broadcasts it at verification scale (forcing
     // shuffle-hash measured ~1s slower); at 100 TB AQE degrades to a
     // shuffle join on `s`, which is the safe shape
+    // same epsilon guard on the size filter: boundary pairs where
+    // t*|b| == |a| exactly must survive the prune
     val cand = pa.join(pb, pa("s") === pb("s") && pa("id_a") < pb("id_b")
-        && pb("sz_b") * lit(threshold) <= pa("sz_a")
-        && pa("sz_a") * lit(threshold) <= pb("sz_b"))
+        && pb("sz_b") * lit(threshold) - lit(1e-9) <= pa("sz_a")
+        && pa("sz_a") * lit(threshold) - lit(1e-9) <= pb("sz_b"))
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))

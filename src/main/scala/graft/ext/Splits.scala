@@ -49,9 +49,10 @@ object Splits {
     * deterministic per key (same digest-threshold mechanism as
     * [[splitColumn]], so a re-run, a different partitioning, or another
     * engine keeps exactly the same rows). Sources absent from `rates` are
-    * DROPPED — a mixing recipe is an allow-list. Rate 1.0 keeps all but the
-    * one key in 2^32 whose digest prefix is exactly "ffffffff" (threshold
-    * comparison is strict; identical in the oracle).
+    * DROPPED — a mixing recipe is an allow-list. Rate >= 1.0 is special-
+    * cased to literal TRUE (in the oracle too): a strict `< "ffffffff"`
+    * compare would silently drop the ~1-in-2^32 keys whose digest prefix is
+    * exactly the threshold — real losses at billions of rows.
     *
     * Shape at 100 TB: pure per-row predicate on a scan — no shuffle, no
     * join; the rates map is query-literal config (a CASE over sources),
@@ -64,7 +65,8 @@ object Splits {
     val h = substring(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary")), 1, 8)
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
       case (acc, (src, r)) =>
-        when(col(sourceCol) === src, h < hexThreshold(r)).otherwise(acc)
+        val keepSrc = if (r >= 1.0) lit(true) else h < hexThreshold(r)
+        when(col(sourceCol) === src, keepSrc).otherwise(acc)
     }
     df.filter(keep)
   }
@@ -74,7 +76,8 @@ object Splits {
                           rates: Map[String, Double], salt: String = ""): String = {
     val h = s"substr(md5($keyExpr || '$salt'), 1, 8)"
     val whens = rates.toSeq.sortBy(_._1).map { case (src, r) =>
-      s"WHEN $sourceExpr = '$src' THEN $h < '${hexThreshold(r)}'"
+      val keepSrc = if (r >= 1.0) "TRUE" else s"$h < '${hexThreshold(r)}'"
+      s"WHEN $sourceExpr = '$src' THEN $keepSrc"
     }
     s"CASE ${whens.mkString(" ")} ELSE FALSE END"
   }

@@ -32,34 +32,40 @@ object Profile {
   def summarize(df: DataFrame, cols: Seq[String],
                 approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val perCol = cols.map { c =>
-      val v = col(c)
-      if (approxDistinct) {
-        // sketches merge: one scan, ordinary partial aggregation, no Expand
-        df.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(v)).as("n_null"),
-          approx_count_distinct(v).as("n_distinct"),
-          min(v).cast("string").as("min_value"),
-          max(v).cast("string").as("max_value"))
-          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_value"), col("max_value"))
-      } else {
-        // two-level exact distinct: groupBy(v) combines map-side (shuffle =
-        // distinct values per partition), the one-row rollup then derives
-        // every stat from the grouped counts. count(v)/min/max ignore NULL
-        // groups exactly as their direct forms do.
-        df.select(v.as("__v")).groupBy(col("__v"))
-          .agg(count(lit(1)).as("__cnt"))
-          .agg(
-            coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"), // empty input: 0 groups, sum is NULL
-            coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_null"),
-            count(col("__v")).as("n_distinct"),
-            min(col("__v")).cast("string").as("min_value"),
-            max(col("__v")).cast("string").as("max_value"))
-          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_value"), col("max_value"))
+    if (approxDistinct) {
+      // sketches merge: ONE wide aggregation over ONE scan (HLL++ involves
+      // no Expand), then an explode to the long format — k columns cost one
+      // pass, not k
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val v = col(c)
+        Seq(count(v).as(s"__nn_$i"),
+          approx_count_distinct(v).as(s"__nd_$i"),
+          min(v).cast("string").as(s"__mn_$i"),
+          max(v).cast("string").as(s"__mx_$i"))
       }
+      val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      return wide.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$i")).as("n_null"),
+          col(s"__nd_$i").as("n_distinct"),
+          col(s"__mn_$i").as("min_value"), col(s"__mx_$i").as("max_value"))
+      }: _*)).as("__s")).select(col("__s.*"))
+    }
+    val perCol = cols.map { c =>
+      // two-level exact distinct: groupBy(v) combines map-side (shuffle =
+      // distinct values per partition), the one-row rollup then derives
+      // every stat from the grouped counts. count(v)/min/max ignore NULL
+      // groups exactly as their direct forms do.
+      df.select(col(c).as("__v")).groupBy(col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"), // empty input: 0 groups, sum is NULL
+          coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_null"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_value"),
+          max(col("__v")).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
     }
     perCol.reduce(_ unionByName _)
   }

@@ -65,8 +65,11 @@ object WindowOps {
   def resampleFfill(df: DataFrame, keyCol: String, epochSecCol: String,
                     valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
+    // floor semantics via subtract-pmod (exact long arithmetic): `div`
+    // truncates toward zero, so pre-epoch (negative) seconds would snap to
+    // the NEXT bucket and diverge from DuckDB's `//` floor division
     val bucketed = df.select(col(keyCol).as("key"),
-        expr(s"CAST($epochSecCol AS BIGINT) div $stepSeconds * $stepSeconds").as("bucket"),
+        expr(s"CAST($epochSecCol AS BIGINT) - pmod(CAST($epochSecCol AS BIGINT), $stepSeconds)").as("bucket"),
         col(epochSecCol).cast("long").as("__s"), col(valueCol).as("__v"))
     val lastPerBucket = AggOps.dedupByKeyOrdered(bucketed, Seq("key", "bucket"),
         Seq(col("__s").desc, col("__v").desc))

@@ -195,20 +195,24 @@ object ExtQueries {
           .orderBy("doc_id")),
 
     // Symmetric int8 embedding quantization: every byte of q and the exact
-    // double scale must match DuckDB's list_transform rendering of the
-    // same arithmetic (rounding ties included).
+    // double scale must match DuckDB's rendering of the same arithmetic
+    // (rounding ties included). The vector is emitted as a comma-joined
+    // STRING, not an array column: the driver's pandas-side compare sorts
+    // rows by every column, and numpy arrays are unhashable/unsortable
+    // there (round-4 gate error) — the string render still checks every
+    // byte of every element.
     GQ("emb_quantize_int8",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e)
              |SELECT vec_id, scale,
-             |  list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS q
+             |  array_to_string(list_transform(v, x -> CAST(round(x / scale) AS TINYINT)), ',') AS q_csv
              |FROM s ORDER BY vec_id""".stripMargin),
       (spark, dir) =>
         Tables.embeddings(spark, dir)
           .withColumn("__graft_quant",
             graft.functions.VectorFunctions.quantizeI8(col("embedding")))
           .select(col("vec_id"), col("__graft_quant.scale").as("scale"),
-            col("__graft_quant.q").as("q"))
+            array_join(col("__graft_quant.q").cast("array<string>"), ",").as("q_csv"))
           .orderBy("vec_id")),
 
     // Deterministic stratified sample: up to 5 docs per source language,

@@ -42,9 +42,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("prefix-filtered join returns exactly the naive exact pairs") {
     // real corpus slice: planted near-dups + hub shingles across thresholds
-    // (0.8 exercises short prefixes, 0.1 degenerates to the full index)
+    // (0.8 exercises short prefixes, 0.1 degenerates to the full index,
+    // 0.2 exercises the epsilon guard: 0.2*sz lands a float epsilon ABOVE
+    // the exact integer for sz in {55, 110, ...}, where a raw ceil would
+    // shorten the prefix by one and could drop boundary pairs)
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
-    for (t <- Seq(0.1, 0.4, 0.8)) {
+    for (t <- Seq(0.1, 0.2, 0.4, 0.8)) {
       val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = t)
         .as[(Long, Long, Double)].collect().toSet
       val prefix = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", n = 3, threshold = t)

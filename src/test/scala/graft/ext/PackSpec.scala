@@ -67,6 +67,10 @@ class PackSpec extends AnyFunSuite with SparkSpec {
     assert(bySrc.getOrElse("src3", 0) === 0, "unlisted source dropped")
     assert(bySrc.getOrElse("src2", 0) === 0, "rate-0 source dropped")
     assert(bySrc("src0") === 100, "rate 1.0 keeps every key")
+    // rate >= 1.0 must be literal TRUE, not a strict digest compare — a
+    // `< 'ffffffff'` threshold silently drops ~1-in-2^32 keys at scale
+    assert(Splits.oracleKeepPredicate("id", "source", rates).contains("THEN TRUE"),
+      "rate-1.0 oracle arm must be literal TRUE")
     assert(bySrc.getOrElse("src1", 0) > 20 && bySrc("src1") < 80,
       s"rate 0.5 keeps about half, got ${bySrc.get("src1")}")
     val again = Splits.weightedKeep(df, "id", "source", rates)

@@ -102,4 +102,17 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(out((2L, 500L)) === 9.0)
     assert(out.size === 4, "no buckets outside each key's span")
   }
+
+  test("resampleFfill: pre-epoch timestamps bucket with FLOOR semantics") {
+    // t=-150 must snap to -200, not -100: `div` truncates toward zero and
+    // would put a pre-1970 event in the NEXT bucket (and diverge from the
+    // DuckDB oracle's `//` floor division)
+    val df = Seq((1L, -150L, 5.0), (1L, 40L, 7.0)).toDF("k", "s", "v")
+    val out = WindowOps.resampleFfill(df, "k", "s", "v", stepSeconds = 100)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, -200L)) === 5.0, "negative epoch floors DOWN to its bucket")
+    assert(out((1L, -100L)) === 5.0, "gap carries forward across the epoch")
+    assert(out((1L, 0L)) === 7.0, "t=40 floors to bucket 0")
+    assert(out.size === 3)
+  }
 }

@@ -53,6 +53,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # the driver sorts rows by every column before hashing — an
+        # unsortable column (e.g. a numpy array) fails THERE even when the
+        # values match, so mirror that step (round-4 emb_quantize_int8 bite)
+        try:
+            got = got.sort_values(by=list(got.columns), ignore_index=True)
+            want = want.sort_values(by=list(want.columns), ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: driver-parity row sort failed (unsortable column?): {e}"); n_fail += 1; continue
         bad = []
         for c in got.columns:
             a, b = got[c], want[c]
