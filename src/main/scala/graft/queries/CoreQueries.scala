@@ -827,5 +827,106 @@ object CoreQueries {
       (spark, dir) =>
         AggOps.approxDistinct(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey")
           .orderBy("l_returnflag")),
+
+    // ----- J4/J5 — existence joins. left_semi/left_anti never materialize
+    // the right side's columns and have EXISTS / NOT EXISTS semantics
+    // (NULL-safe, unlike NOT IN).
+    GQ("j4_semi_join",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+             |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) =>
+        JoinOps.semiJoin(Tables.orders(spark, dir),
+            Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+
+    GQ("j5_anti_join",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+             |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) =>
+        JoinOps.antiJoin(Tables.orders(spark, dir),
+            Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+
+    // ----- S7/S8 — text interchange formats (CSV, JSON lines): write from
+    // parquet, read straight back through a DECLARED schema (inference is an
+    // extra full pass at scale), aggregate — value fidelity through the text
+    // encoding is what the oracle checks.
+    GQ("s7_csv_roundtrip",
+      Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+      (spark, dir) => {
+        // per-process path + overwrite (same leak/race trade as k1)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${ProcessHandle.current().pid()}"
+        graft.io.FormatIO.roundTrip(Tables.nation(spark, dir), out, "csv")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+          .orderBy("n_regionkey")
+      }),
+
+    GQ("s8_json_roundtrip",
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS bal_sum
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (spark, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_json_${ProcessHandle.current().pid()}"
+        // doubles survive JSON text exactly (shortest-round-trip rendering);
+        // only the re-associated SUM needs the usual rounding
+        graft.io.FormatIO.roundTrip(Tables.customer(spark, dir), out, "json")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal_sum"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // ----- Z-order layout: the z-VALUE projection is gated bit-for-bit (the
+    // interleave formula is generated once and rendered for each dialect);
+    // the physical clustering + min/max-locality payoff is ZOrderSpec's.
+    GQ("zorder_value",
+      Some(s"""WITH q AS (SELECT o_orderkey, o_custkey % 1024 AS qa,
+              |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS qb FROM orders)
+              |SELECT o_orderkey, CAST(${ZOrder.zvalueDuckSql("qa", "qb", 10)} AS BIGINT) AS zv
+              |FROM q ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            expr("CAST(o_custkey % 1024 AS BIGINT)").as("qa"),
+            // o_orderdate is TIMESTAMP_NTZ: go through DATE (timezone-free
+            // on both engines), not unix_millis (tz-typed input only)
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') % 1024 AS BIGINT)").as("qb"))
+          .select(col("o_orderkey"), ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv"))
+          .orderBy("o_orderkey")),
+
+    // ----- W4 — per-group z-score outliers: ONE shuffle (window aggregates,
+    // no agg+join-back); score rounded before output AND threshold compare
+    // so group-sum association order can't flip a boundary row's flag.
+    // o_totalprice is near-UNIFORM in the testdata (max |z| ≈ √3 < 2), so
+    // genuine 3σ spikes are SYNTHESIZED identically in both engines — the
+    // same make-the-interesting-path-fire discipline as txt_redact_pii; a
+    // gate whose flag never fires would be vacuous at every SF.
+    GQ("w4_zscore_outliers",
+      Some("""WITH o AS (SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+             |          UNION ALL
+             |          SELECT '1-URGENT', -1, 5000000.0
+             |          UNION ALL SELECT '5-LOW', -2, 4000000.0),
+             |w AS (SELECT o_orderpriority, o_orderkey,
+             |  round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             |        / nullif(stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority), 0), 4) AS z
+             |  FROM o)
+             |SELECT o_orderpriority, o_orderkey, z FROM w WHERE abs(z) > 3.0
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val spiked = Tables.orders(spark, dir)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice")
+          .unionByName(Seq(("1-URGENT", -1L, 5000000.0), ("5-LOW", -2L, 4000000.0))
+            .toDF("o_orderpriority", "o_orderkey", "o_totalprice"))
+        Outliers.outliers(spiked, Seq("o_orderpriority"), "o_totalprice", k = 3.0)
+          .select("o_orderpriority", "o_orderkey", "z")
+          .orderBy("o_orderpriority", "o_orderkey")
+      }),
   )
 }

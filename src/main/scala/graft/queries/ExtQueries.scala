@@ -1103,5 +1103,60 @@ object ExtQueries {
           .select("o_custkey", "o_orderkey", "ma7")
           .orderBy("o_custkey", "o_orderkey")
       }),
+
+    // ----- vocabulary build + id encoding: the "tokenize to ids" stage of
+    // an LM training pipeline. Ids dense by (global freq desc, term) — the
+    // same rank both engines can compute — and each doc's id sequence is
+    // reassembled in POSITION order (collect_list order alone is
+    // partitioning luck) and emitted as a csv string, the flat packed
+    // column a training exporter wants.
+    GQ("txt_vocab_encode",
+      Some(s"""WITH tok AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+              |pos AS (SELECT doc_id, unnest(ts) AS term,
+              |        unnest(generate_series(1, len(ts))) AS pos FROM tok),
+              |vc AS (SELECT term, count(*) AS n FROM pos GROUP BY term),
+              |vid AS (SELECT term, row_number() OVER (ORDER BY n DESC, term) AS id FROM vc)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+              |FROM pos JOIN vid USING (term)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Vocab.encode(docs, "doc_id", "text", Vocab.build(docs, "text"))
+          .select(col("doc_id"), col("n_tokens"), col("ids_csv"))
+          .orderBy("doc_id")
+      }),
+
+    // ----- stream-stream interval join under the gate: per-user pairs of
+    // events within 5 minutes, computed by TWO independent file-stream
+    // readers over the same multi-drop landing, ONE file per trigger — so
+    // left rows from drop 1 must pair with right rows from drop 2 and the
+    // cross-micro-batch join state genuinely fires (a single-trigger run
+    // would make that path vacuous). Wide watermark = no eviction during
+    // the finite replay; a 24×7 deployment tightens it to bound state
+    // (StreamOps.pairsWithin documents the shape).
+    GQ("stream_stream_join",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+             |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |  AND b.us > a.us AND b.us <= a.us + 300000000
+             |ORDER BY a.user_id, a_id, b_id""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLanding(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val left = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          val right = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(
+            StreamOps.pairsWithin(left, right, withinSeconds = 300, watermark = "30 days"),
+            "stream_stream_join_sink", OutputMode.Append())
+          spark.table("stream_stream_join_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out.select("user_id", "a_id", "b_id").orderBy("user_id", "a_id", "b_id")
+      }),
   )
 }

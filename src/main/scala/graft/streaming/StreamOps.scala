@@ -176,6 +176,32 @@ object StreamOps {
       base
     })
 
+  /** Stream-stream INNER join: per-user pairs of events where the right
+    * event lands strictly after the left and within `withinSeconds` — the
+    * "what happened in the 5 minutes after X" correlation, computed as the
+    * events flow.
+    *
+    * BOTH sides carry a watermark and the join condition bounds the
+    * event-time range, which is what lets Spark evict each side's buffered
+    * rows once the other side's watermark passes them — state is
+    * O(events per window), not O(stream length): the only viable
+    * stream-stream join shape on an unbounded stream. Inner-join results
+    * emit as soon as both rows have arrived; the watermark exists for
+    * eviction, not output latency.
+    */
+  def pairsWithin(left: DataFrame, right: DataFrame, withinSeconds: Long,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("a_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("b_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+        s"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL $withinSeconds SECONDS"))
+      .select(col("l_user").as("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** Streaming exact dedup on an id column: `dropDuplicates` keeps the
     * FIRST arrival of each key across micro-batches (state = seen keys).
     * The un-watermarked form is the finite-replay/backfill shape; a

@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class OutliersSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("flags only the spike; other rows and other groups stay clean") {
+    // group a: nine ~10s and one 1000 → only the 1000 exceeds |z| > 2
+    val rows = (1 to 9).map(i => ("a", i.toLong, 10.0 + i * 0.1)) :+ ("a", 10L, 1000.0)
+    val df = (rows ++ Seq(("b", 11L, 5.0), ("b", 12L, 6.0))).toDF("g", "id", "v")
+    val out = Outliers.outliers(df, Seq("g"), "v", k = 2.0)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(out === Set(("a", 10L)))
+  }
+
+  test("single-member group: sigma undefined, never flagged") {
+    val df = Seq(("solo", 1L, 42.0)).toDF("g", "id", "v")
+    assert(Outliers.outliers(df, Seq("g"), "v", k = 2.0).count() === 0L)
+    val z = Outliers.withZscore(df, Seq("g"), "v").select("z").head()
+    assert(z.isNullAt(0), "z must be NULL when stddev is undefined")
+  }
+
+  test("zero-variance group: constant values never flag") {
+    val df = Seq(("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0)).toDF("g", "id", "v")
+    assert(Outliers.outliers(df, Seq("g"), "v", k = 2.0).count() === 0L)
+  }
+}
