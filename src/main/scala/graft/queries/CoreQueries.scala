@@ -404,8 +404,13 @@ object CoreQueries {
         // run; a fixed shared path would race concurrent runs and break
         // across users on a shared host)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_roundtrip_${ProcessHandle.current().pid()}"
+        // route each partition value to ONE task before the write: a naive
+        // partitionBy from 32 upstream tasks commits 3×32 tiny files — the
+        // small-files discipline writeSized codifies, applied inline here
+        // (one narrow-row shuffle buys a 32× smaller commit)
         graft.io.ParquetIO.writePartitioned(
-          Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag"),
+          Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag")
+            .repartition(col("l_returnflag")),
           out, Seq("l_returnflag"), overwrite = true)
         graft.io.ParquetIO.readPartitioned(spark, out)
           .groupBy($"l_returnflag".cast("string").as("l_returnflag"))
@@ -863,7 +868,8 @@ object CoreQueries {
       (spark, dir) => {
         // per-process path + overwrite (same leak/race trade as k1)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${ProcessHandle.current().pid()}"
-        graft.io.FormatIO.roundTrip(Tables.nation(spark, dir), out, "csv")
+        // 25-row dim: one output file, not one per upstream task
+        graft.io.FormatIO.roundTrip(Tables.nation(spark, dir).coalesce(1), out, "csv")
           .groupBy(col("n_regionkey"))
           .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
           .orderBy("n_regionkey")
@@ -876,7 +882,7 @@ object CoreQueries {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_json_${ProcessHandle.current().pid()}"
         // doubles survive JSON text exactly (shortest-round-trip rendering);
         // only the re-associated SUM needs the usual rounding
-        graft.io.FormatIO.roundTrip(Tables.customer(spark, dir), out, "json")
+        graft.io.FormatIO.roundTrip(Tables.customer(spark, dir).coalesce(4), out, "json")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal_sum"))
           .orderBy("c_mktsegment")

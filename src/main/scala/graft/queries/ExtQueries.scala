@@ -1149,8 +1149,14 @@ object ExtQueries {
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
           spark.conf.set("spark.sql.shuffle.partitions", "4")
+          // asymmetric triggers: the LEFT side drips one file per trigger
+          // (2 micro-batches), the right ingests everything in its first —
+          // left batch-2 rows must still match right rows buffered from an
+          // EARLIER trigger, so the cross-micro-batch state path fires with
+          // half the trigger count (micro-batch fixed cost dominates this
+          // finite replay)
           val left = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
-          val right = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          val right = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
           StreamOps.runToMemory(
             StreamOps.pairsWithin(left, right, withinSeconds = 300, watermark = "30 days"),
             "stream_stream_join_sink", OutputMode.Append())
