@@ -166,4 +166,33 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
       s"quantization must not shuffle:\n$p")
   }
+
+  test("j4_semi_join: dim-sized filter side broadcasts, fact never shuffles") {
+    val p = plan("j4_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"semi join must not sort-merge here:\n$p")
+  }
+
+  test("j5_anti_join: broadcast left-anti, no fact shuffle") {
+    val p = plan("j5_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti:\n$p")
+  }
+
+  test("zorder_value: z-value is a pure scan-side projection — zero hash shuffles") {
+    val p = plan("zorder_value")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"bit interleave must not shuffle (orderBy's range exchange is the gate's):\n$p")
+  }
+
+  test("w4_zscore_outliers: window aggregates share ONE shuffle (no agg+join-back)") {
+    val p = plan("w4_zscore_outliers")
+    // mu, sigma, z all ride the same Window over the priority key: one hash
+    // exchange total; a second would mean the agg-then-join shape crept in
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"z-scoring must shuffle once, on the group key:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in the window form:\n$p")
+  }
 }
