@@ -47,6 +47,27 @@ object AggOps {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(target), rsd).alias(s"approx_${target}_count"))
 
+  /** §2b — MERGEABLE cardinality sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg`): one binary sketch per fine-grained group, stored as
+    * an ordinary column.
+    *
+    * This is the incremental pattern `approx_count_distinct` can't give
+    * you: at 100 TB you sketch each day/partition ONCE at ingest (one scan
+    * of the new data only), persist the kilobyte-sized sketches, and answer
+    * any coarser rollup later by unioning sketches — never rescanning the
+    * raw data. Union is exact over the sketch state, so a rollup of daily
+    * sketches equals the sketch of the union (asserted in AggWindowSpec).
+    */
+  def hllSketches(df: DataFrame, keys: Seq[String], target: String,
+                  lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(target), lit(lgConfigK)).as("hll_sketch"))
+
+  /** Roll fine sketches up to `rollupKeys`: union-merge + estimate. */
+  def hllMergeEstimate(sketches: DataFrame, rollupKeys: Seq[String]): DataFrame =
+    sketches.groupBy(rollupKeys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch"))).as("approx_distinct"))
+
   /** Top-k rows per group under (score desc, id asc) via the
     * [[graft.functions.TopKPairs]] bounded-heap aggregate — the scale form
     * of `WindowOps.topNPerGroup`: the window form sorts EVERY row of every

@@ -833,6 +833,19 @@ object CoreQueries {
         AggOps.approxDistinct(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey")
           .orderBy("l_returnflag")),
 
+    // mergeable-sketch rollup: per-(flag,status) DataSketches HLL sketches
+    // union-merged up to per-flag estimates — the persist-sketches-once,
+    // roll-up-forever pattern (sketch union is exact over sketch state;
+    // AggWindowSpec asserts merged == direct and both ≈ exact). Rows-only:
+    // the sketch binary isn't reproducible in the oracle engine.
+    GQ("hll_sketch_merge", None,
+      (spark, dir) =>
+        AggOps.hllMergeEstimate(
+            AggOps.hllSketches(Tables.lineitem(spark, dir),
+              Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+            Seq("l_returnflag"))
+          .orderBy("l_returnflag")),
+
     // ----- J4/J5 — existence joins. left_semi/left_anti never materialize
     // the right side's columns and have EXISTS / NOT EXISTS semantics
     // (NULL-safe, unlike NOT IN).

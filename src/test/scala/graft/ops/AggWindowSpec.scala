@@ -86,6 +86,27 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15)
   }
 
+  test("hll sketches: union of fine sketches == direct sketch, both near exact") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val merged = AggOps.hllMergeEstimate(
+        AggOps.hllSketches(li, Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+        Seq("l_returnflag"))
+      .as[(String, Long)].collect().toMap
+    // direct one-level sketch of the same rollup: union over sketch state
+    // is exact, so the two paths must agree EXACTLY, not just approximately
+    val direct = AggOps.hllMergeEstimate(
+        AggOps.hllSketches(li, Seq("l_returnflag"), "l_partkey"),
+        Seq("l_returnflag"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct, "sketch union must be lossless over sketch state")
+    val exact = li.groupBy("l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
+        s"estimate ${merged(k)} vs exact $n for $k")
+    }
+  }
+
   test("resampleFfill: grid spans first..last bucket, gaps carry last value") {
     // key 1: events at t=0 (v=1.0), t=250 (v=3.0) with step 100 →
     // buckets 0,100,200: 100 is a GAP (fills 1.0), 200 takes 3.0.
