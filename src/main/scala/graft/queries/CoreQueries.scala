@@ -833,6 +833,21 @@ object CoreQueries {
         AggOps.approxDistinct(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey")
           .orderBy("l_returnflag")),
 
+    // grouped APPROXIMATE percentiles — the documented 100 TB swap for
+    // a9_percentiles' exact interpolation: approx_percentile merges
+    // per-partition digests (ordinary partial aggregation, no full sort /
+    // no all-values shuffle). Rows-only: the digest's estimates aren't
+    // reproducible in DuckDB; AggWindowSpec bounds them against the exact
+    // per-group quantiles instead.
+    GQ("a9b_percentiles_approx", None,
+      (spark, dir) =>
+        Tables.orders(spark, dir).groupBy("o_orderpriority")
+          .agg(
+            expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("pcts"))
+          .select(col("o_orderpriority"),
+            col("pcts").getItem(0).as("p50"), col("pcts").getItem(1).as("p95"))
+          .orderBy("o_orderpriority")),
+
     // mergeable-sketch rollup: per-(flag,status) DataSketches HLL sketches
     // union-merged up to per-flag estimates — the persist-sketches-once,
     // roll-up-forever pattern (sketch union is exact over sketch state;

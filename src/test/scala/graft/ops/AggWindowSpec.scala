@@ -86,6 +86,23 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15)
   }
 
+  test("approx_percentile tracks exact per-group quantiles within tolerance") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val approx = o.groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("p"))
+      .select($"o_orderpriority", $"p".getItem(0).as("p50"), $"p".getItem(1).as("p95"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.95))").as("p"))
+      .select($"o_orderpriority", $"p".getItem(0).as("p50"), $"p".getItem(1).as("p95"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("hll sketches: union of fine sketches == direct sketch, both near exact") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val merged = AggOps.hllMergeEstimate(
