@@ -36,4 +36,29 @@ object Outliers {
   def outliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                k: Double, roundTo: Int = 4): DataFrame =
     withZscore(df, groupCols, valueCol, roundTo).filter(abs(col("z")) > k)
+
+  /** Robust (median/MAD) outliers: rz = (x − median) / (1.4826·MAD),
+    * flagged when |rz| > k. Unlike the mean/stddev z-score, ONE extreme
+    * value cannot drag the center and mask itself (the breakdown point is
+    * 50%, not 0) — the estimator of choice when the spikes you hunt are
+    * also the rows poisoning the statistics.
+    *
+    * Shape: two grouped exact-percentile aggregates with join-backs (the
+    * group-cardinality relations — AQE broadcasts them when small). Exact
+    * medians ARE a sort-based aggregate; at whale-group scale swap
+    * `approx_percentile` in, same shape.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double, roundTo: Int = 4): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(med, groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(mad, groupCols)
+      .withColumn("rz",
+        round((v - col("med")) / (lit(1.4826) * nullif(col("mad"), lit(0.0))), roundTo))
+      .filter(abs(col("rz")) > k)
+  }
 }

@@ -934,6 +934,35 @@ object CoreQueries {
           .select(col("o_orderkey"), ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv"))
           .orderBy("o_orderkey")),
 
+    // ----- W4b — robust (median/MAD) outliers, same synthesized spikes as
+    // w4: the spike CANNOT mask itself here (50% breakdown point). Exact
+    // percentile interpolation matches percentile_cont (a9-proven);
+    // 1.4826·MAD division + rounding shared by both engines.
+    GQ("w4b_mad_outliers",
+      Some("""WITH o AS (SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+             |          UNION ALL SELECT '1-URGENT', -1, 5000000.0
+             |          UNION ALL SELECT '5-LOW', -2, 4000000.0),
+             |m AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             |      FROM o GROUP BY 1),
+             |d AS (SELECT o.*, m.med FROM o JOIN m USING (o_orderpriority)),
+             |md AS (SELECT o_orderpriority, quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+             |       FROM d GROUP BY 1),
+             |r AS (SELECT d.o_orderpriority, d.o_orderkey,
+             |        round((d.o_totalprice - d.med) / (1.4826 * nullif(md.mad, 0)), 4) AS rz
+             |      FROM d JOIN md USING (o_orderpriority))
+             |SELECT o_orderpriority, o_orderkey, rz FROM r WHERE abs(rz) > 3.0
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val spiked = Tables.orders(spark, dir)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice")
+          .unionByName(Seq(("1-URGENT", -1L, 5000000.0), ("5-LOW", -2L, 4000000.0))
+            .toDF("o_orderpriority", "o_orderkey", "o_totalprice"))
+        Outliers.madOutliers(spiked, Seq("o_orderpriority"), "o_totalprice", k = 3.0)
+          .select("o_orderpriority", "o_orderkey", "rz")
+          .orderBy("o_orderpriority", "o_orderkey")
+      }),
+
     // ----- W4 — per-group z-score outliers: ONE shuffle (window aggregates,
     // no agg+join-back); score rounded before output AND threshold compare
     // so group-sum association order can't flip a boundary row's flag.

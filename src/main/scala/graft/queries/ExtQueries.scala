@@ -1104,6 +1104,28 @@ object ExtQueries {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // ----- RANGE window frame (value-based, not row-count): 30-day trailing
+    // spend per customer — every order in the same window regardless of how
+    // many rows share a date, which ROWS BETWEEN cannot express. Ordered on
+    // epoch DAYS (numeric) so both engines frame identically.
+    GQ("w5_range_frame",
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d FROM orders)
+             |SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
+             |        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS spend_30d
+             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+          .rangeBetween(-30L, 0L)
+        Tables.orders(spark, dir)
+          .withColumn("d", expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"))
+          .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 4))
+          .select("o_custkey", "o_orderkey", "spend_30d")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
     // ----- vocabulary build + id encoding: the "tokenize to ids" stage of
     // an LM training pipeline. Ids dense by (global freq desc, term) — the
     // same rank both engines can compute — and each doc's id sequence is

@@ -109,4 +109,19 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(WindowOps.resampleFfill(
       Seq.empty[(Long, Long, Double)].toDF("k", "s", "v"), "k", "s", "v", 100).count() === 0)
   }
+
+  test("round-5 operators survive empty inputs") {
+    val emptyKV = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(Outliers.outliers(emptyKV, Seq("g"), "v", 2.0).count() === 0)
+    assert(ZOrder.layout(
+      Seq.empty[(Long, Long)].toDF("qa", "qb").withColumn("zv", ZOrder.zvalue("qa", "qb", 4)),
+      col("zv"), 4).count() === 0)
+    assert(Vocab.build(emptyDocs, "text").count() === 0)
+    // encoding a corpus against an EMPTY vocab: every token goes to unk
+    val enc = Vocab.encode(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      Vocab.build(emptyDocs, "text"))
+    assert(enc.select("ids_csv").as[String].head() === "-1,-1")
+    assert(JoinOps.semiJoin(emptyKV, emptyKV.select(col("g")), Seq("g")).count() === 0)
+    assert(JoinOps.antiJoin(emptyKV, emptyKV.select(col("g")), Seq("g")).count() === 0)
+  }
 }

@@ -27,4 +27,21 @@ class OutliersSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0)).toDF("g", "id", "v")
     assert(Outliers.outliers(df, Seq("g"), "v", k = 2.0).count() === 0L)
   }
+
+  test("MAD outliers: the spike cannot mask itself (z-score CAN be masked)") {
+    // values 8..12 and one 10000: the spike inflates stddev so much its own
+    // z ≈ 2.04 — UNDER a k=3 z-score gate. The median/MAD gate is unmoved
+    // by the spike (MAD = 1.5 from the inlier spread) and flags it.
+    val df = ((1 to 5).map(i => ("a", i.toLong, 7.0 + i)) :+ ("a", 6L, 10000.0)).toDF("g", "id", "v")
+    assert(Outliers.outliers(df, Seq("g"), "v", k = 3.0).count() === 0L,
+      "sanity: the classical z-score misses a self-masking spike at k=3")
+    val out = Outliers.madOutliers(df, Seq("g"), "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(6L), "MAD flags exactly the spike")
+  }
+
+  test("MAD outliers: zero-MAD (majority-constant) group never flags, never divides by zero") {
+    val df = Seq(("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0), ("c", 4L, 9.0)).toDF("g", "id", "v")
+    assert(Outliers.madOutliers(df, Seq("g"), "v", k = 3.0).count() === 0L)
+  }
 }
