@@ -31,4 +31,25 @@ object Sampling {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Per-group TOKEN-BUDGET subsample: take rows in md5-order of the key
+    * until each group's cumulative `weightCol` reaches `budget` — the
+    * "N tokens per source" knob of a data recipe, where document counts
+    * mean nothing and token counts are what the trainer consumes.
+    *
+    * A row is kept while the budget is not yet exhausted BEFORE it
+    * (`cum − w < budget`), so the budget may be overshot by at most one
+    * document — the standard greedy contract (taking partial documents
+    * would change their content). Same determinism + uniqueness contract
+    * on `keyCol` as [[stratifiedByHash]]; one shuffle on the group key.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") - col(weightCol) < budget)
+      .drop("__cum")
+  }
 }

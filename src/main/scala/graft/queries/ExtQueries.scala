@@ -1104,6 +1104,25 @@ object ExtQueries {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // ----- per-source token-budget subsample: "2000 tokens per source",
+    // docs taken in md5-order until the budget is spent (greedy, last doc
+    // may overshoot — partial documents would change their content).
+    GQ("mix_token_budget",
+      Some(s"""WITH t AS (SELECT doc_id, source, len($duckTokens) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |        sum(n_tokens) OVER (PARTITION BY source
+              |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum FROM t)
+              |SELECT doc_id, source, n_tokens FROM c
+              |WHERE cum - n_tokens < 2000 ORDER BY source, doc_id""".stripMargin),
+      (spark, dir) =>
+        Sampling.tokenBudgetPerGroup(
+            Tables.documents(spark, dir)
+              .select(col("doc_id"), col("source"),
+                TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+            "source", "doc_id", "n_tokens", budget = 2000L)
+          .select("doc_id", "source", "n_tokens")
+          .orderBy("source", "doc_id")),
+
     // ----- RANGE window frame (value-based, not row-count): 30-day trailing
     // spend per customer — every order in the same window regardless of how
     // many rows share a date, which ROWS BETWEEN cannot express. Ordered on
