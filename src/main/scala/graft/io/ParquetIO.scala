@@ -73,6 +73,33 @@ object ParquetIO {
       .parquet(path)
   }
 
+  /** Small-file COMPACTION (the lakehouse OPTIMIZE): rewrite a parquet
+    * directory into ~`targetBytes` files, sized from the directory's actual
+    * on-disk bytes rather than a guessed row count. Reads the whole input
+    * once, writes once to `outPath` (a same-path rewrite would corrupt the
+    * source it is still reading — callers atomically swap directories after
+    * the rewrite lands, the standard compact-then-swap protocol).
+    *
+    * This exists because a streaming sink or a per-trigger append quietly
+    * accumulates thousands of KB-scale files: every later scan then pays
+    * one task + one footer read per file, and the file listing itself
+    * dominates planning. Compaction restores the 100 MB–1 GB rowgroup band
+    * scans want. Coalesce (no shuffle) is deliberate: output order within
+    * files is irrelevant here, and a full exchange of the data to round out
+    * file sizes would cost more than the skew it removes — callers wanting
+    * clustered output compose `ZOrder.layout` BEFORE the write instead.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 256L * 1024 * 1024): Unit = {
+    require(targetBytes > 0)
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(outPath)
+  }
+
   /** Bucketed catalog table: rows hash-clustered into `buckets` files by
     * `bucketCols`, sorted within each bucket.
     *

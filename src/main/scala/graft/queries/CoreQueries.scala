@@ -916,6 +916,49 @@ object CoreQueries {
           .orderBy("c_mktsegment")
       }),
 
+    // ----- K4 — small-file compaction round-trip: 64 tiny files rewritten
+    // to byte-targeted files (CompactionSpec pins the file-count math);
+    // the oracle proves the rewrite lost and duplicated nothing.
+    GQ("k4_compact_roundtrip",
+      Some("""SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_k4_${ProcessHandle.current().pid()}"
+        Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity")
+          .repartition(64) // the small-files mess a per-trigger append leaves
+          .write.mode("overwrite").parquet(s"$base/small")
+        graft.io.ParquetIO.compact(spark, s"$base/small", s"$base/compacted",
+          targetBytes = 8L * 1024 * 1024)
+        spark.read.parquet(s"$base/compacted")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ----- S9 — schema-evolution read (mergeSchema): two parquet drops with
+    // DIFFERENT schemas (a column added mid-stream) unify under one read;
+    // rows from the older drop surface NULL for the late column. The gate's
+    // oracle reconstructs the same evolution with a CASE on the split key.
+    GQ("s9_schema_merge",
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_with_priority,
+             |  round(sum(o_totalprice), 4) AS price_sum
+             |FROM orders""".stripMargin),
+      (spark, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_s9_${ProcessHandle.current().pid()}"
+        val o = Tables.orders(spark, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice") // the pre-evolution schema
+          .write.mode("overwrite").parquet(s"$base/drop=a")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$base/drop=b")
+        spark.read.option("mergeSchema", "true").parquet(base)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            round(sum(col("o_totalprice")), 4).as("price_sum"))
+      }),
+
     // ----- Z-order layout: the z-VALUE projection is gated bit-for-bit (the
     // interleave formula is generated once and rendered for each dialect);
     // the physical clustering + min/max-locality payoff is ZOrderSpec's.
