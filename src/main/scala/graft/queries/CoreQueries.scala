@@ -920,19 +920,22 @@ object CoreQueries {
     // to byte-targeted files (CompactionSpec pins the file-count math);
     // the oracle proves the rewrite lost and duplicated nothing.
     GQ("k4_compact_roundtrip",
-      Some("""SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      Some("""SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS price_avg
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       (spark, dir) => {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_k4_${ProcessHandle.current().pid()}"
-        Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity")
+        // orders, not lineitem: the operator under test is file-COUNT
+        // reduction — small files are small by nature, and a bulk-volume
+        // write would just bench the parquet encoder again (k1 does that)
+        Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice")
           .repartition(64) // the small-files mess a per-trigger append leaves
           .write.mode("overwrite").parquet(s"$base/small")
         graft.io.ParquetIO.compact(spark, s"$base/small", s"$base/compacted",
           targetBytes = 8L * 1024 * 1024)
         spark.read.parquet(s"$base/compacted")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
-          .orderBy("l_returnflag")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("price_avg"))
+          .orderBy("o_orderstatus")
       }),
 
     // ----- S9 — schema-evolution read (mergeSchema): two parquet drops with
@@ -941,25 +944,25 @@ object CoreQueries {
     // oracle reconstructs the same evolution with a CASE on the split key.
     GQ("s9_schema_merge",
       Some("""SELECT count(*) AS n_rows,
-             |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_with_priority,
-             |  round(avg(o_totalprice), 4) AS price_avg
-             |FROM orders""".stripMargin),
+             |  CAST(count(CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END) AS BIGINT) AS n_with_segment,
+             |  round(avg(c_acctbal), 4) AS bal_avg
+             |FROM customer""".stripMargin),
       (spark, dir) => {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_s9_${ProcessHandle.current().pid()}"
-        val o = Tables.orders(spark, dir)
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_totalprice") // the pre-evolution schema
+        val c = Tables.customer(spark, dir)
+        c.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_acctbal") // the pre-evolution schema
           .write.mode("overwrite").parquet(s"$base/drop=a")
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        c.filter(col("c_custkey") % 2 === 1)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
           .write.mode("overwrite").parquet(s"$base/drop=b")
         // rounded AVG, not SUM: a rounded total-sum gate drifts past 1e-4 at
-        // sf0.1 magnitudes (association-order error grows with Σ|x|); the
+        // bulk magnitudes (association-order error grows with Σ|x|); the
         // mean's absolute drift shrinks with n instead
         spark.read.option("mergeSchema", "true").parquet(base)
           .agg(count(lit(1)).as("n_rows"),
-            count(col("o_orderpriority")).as("n_with_priority"),
-            round(avg(col("o_totalprice")), 4).as("price_avg"))
+            count(col("c_mktsegment")).as("n_with_segment"),
+            round(avg(col("c_acctbal")), 4).as("bal_avg"))
       }),
 
     // ----- Z-order layout: the z-VALUE projection is gated bit-for-bit (the
