@@ -51,6 +51,11 @@ object Outliers {
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double, roundTo: Int = 4): DataFrame = {
     val v = col(valueCol)
+    // NOTE: no localCheckpoint here even though three consumers re-run the
+    // upstream plan — measured at sf0.1 the eager materialization costs
+    // MORE than re-scanning a pruned parquet branch (checkpoint breaks
+    // whole-stage fusion and blocks). Callers with an expensive upstream
+    // should checkpoint BEFORE calling, as CorpusClean.run does.
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
     val withMed = df.join(med, groupCols)
