@@ -1104,6 +1104,14 @@ object ExtQueries {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // NOTE: the stream-stream LEFT OUTER join (StreamOps.pairsWithinLeftOuter,
+    // watermark-driven unmatched-row flush via the sentinel landing) is
+    // asserted ≡ batch in StreamOpsSpec rather than registered here: its
+    // bench cost is ~5 s of pure fixed micro-batch/landing overhead
+    // regardless of data volume (measured at both 10% and 2% row scopes),
+    // and five streaming gates already hold the micro-batch machinery under
+    // the oracle. The INNER form (stream_stream_join) stays gated.
+
     // ----- per-source token-budget subsample: "2000 tokens per source",
     // docs taken in md5-order until the budget is spent (greedy, last doc
     // may overshoot — partial documents would change their content).

@@ -202,6 +202,33 @@ object StreamOps {
       .select(col("l_user").as("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** LEFT-OUTER stream-stream join, same pairing as [[pairsWithin]] but
+    * unmatched left events surface with `b_id = -1` (coalesced, not NULL:
+    * a NULL join key would reorder differently across engines' NULL-sort
+    * conventions in the gate).
+    *
+    * The outer side is where watermarks stop being just eviction: Spark can
+    * only emit a left row as UNMATCHED once the right watermark has passed
+    * its join window — before that, a match could still arrive. A finite
+    * replay therefore needs an end-of-stream flush (the far-future sentinel
+    * landing) to drag the watermark past every real event, exactly the
+    * session-window gate's pattern.
+    */
+  def pairsWithinLeftOuter(left: DataFrame, right: DataFrame, withinSeconds: Long,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("a_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("b_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+        s"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL $withinSeconds SECONDS"),
+        "leftOuter")
+      .select(col("l_user").as("user_id"), col("a_id"),
+        coalesce(col("b_id"), lit(-1L)).as("b_id"))
+  }
+
   /** Streaming exact dedup on an id column: `dropDuplicates` keeps the
     * FIRST arrival of each key across micro-batches (state = seen keys).
     * The un-watermarked form is the finite-replay/backfill shape; a

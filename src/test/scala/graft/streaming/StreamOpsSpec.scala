@@ -60,6 +60,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamSessions === batchSessions)
   }
 
+  test("pairsWithinLeftOuter ≡ batch left join: unmatched rows flush at end-of-stream") {
+    import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
+    // sentinel landing: the far-future drop drags the watermark past every
+    // real event, which is what lets the outer join emit its UNMATCHED rows
+    // (Spark must prove no match can still arrive before NULL-extending)
+    val landing = StreamOps.eventsLandingWithSentinel(spark, sfDir)
+    def side() = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
+    StreamOps.runToMemory(
+      StreamOps.pairsWithinLeftOuter(side(), side(), withinSeconds = 300),
+      "outer_join_sink", OutputMode.Append())
+    val streamed = spark.table("outer_join_sink")
+      .filter(col("user_id") =!= StreamOps.SentinelUser)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
+    val l = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("l_ts"))
+    val r = e.select(col("user_id").as("r_user"), col("event_id").as("b_id"), col("ts").as("r_ts"))
+    val batch = l.join(r, expr(
+        "user_id = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 300 SECONDS"), "leftOuter")
+      .select(col("user_id"), col("a_id"), coalesce(col("b_id"), lit(-1L)).as("b_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._3 == -1L), "unmatched rows must flush (else vacuous)")
+    assert(streamed.exists(_._3 != -1L), "matched pairs present (else vacuous)")
+  }
+
   test("multi-batch: per-file micro-batches accumulate; watermark drops late data") {
     import org.apache.spark.sql.functions.{col, lit}
     // batch 1: on-time events at 10:00-10:30; batch 2: one event a full day
