@@ -50,6 +50,15 @@ object Bench {
     val w0 = System.nanoTime()
     spark.range(0, 2000000).selectExpr("sum(id) AS s", "count(*) AS c").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // Build the streaming landing zones here too: they simulate an EXTERNAL
+    // file drop (in production the files already exist — a source's landing
+    // is not query work), but are constructed lazily per JVM, so whichever
+    // stream gate ran first was silently charged ~1-2 s of parquet rewrite.
+    // Building them in warm-up makes stream timings measure the streaming
+    // query, and the cost stays visible in warmup_sec.
+    graft.streaming.StreamOps.eventsLanding(spark, sfDir)
+    graft.streaming.StreamOps.eventsLandingWithSentinel(spark, sfDir)
+    graft.streaming.StreamOps.eventsLandingWithDuplicates(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // deterministic (sorted) execution order so JVM warm-up lands on the
     // same first query every round and per-query numbers compare across runs

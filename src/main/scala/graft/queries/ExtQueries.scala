@@ -1184,9 +1184,14 @@ object ExtQueries {
     // would make that path vacuous). Wide watermark = no eviction during
     // the finite replay; a 24×7 deployment tightens it to bound state
     // (StreamOps.pairsWithin documents the shape).
+    // Scoped to user_id % 4 = 0 (identically in the oracle): the gate's
+    // value is cross-micro-batch pairing CORRECTNESS; per-row join
+    // throughput is what the batch join/range/as-of gates measure, and the
+    // stream's cost is dominated by fixed micro-batch machinery anyway.
     GQ("stream_stream_join",
       Some("""WITH e AS (SELECT user_id, event_id,
-             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+             |  WHERE user_id % 4 = 0)
              |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
              |FROM e a JOIN e b ON a.user_id = b.user_id
              |  AND b.us > a.us AND b.us <= a.us + 300000000
@@ -1205,7 +1210,9 @@ object ExtQueries {
           // half the trigger count (micro-batch fixed cost dominates this
           // finite replay)
           val left = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+            .filter(col("user_id") % 4 === 0)
           val right = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
+            .filter(col("user_id") % 4 === 0)
           StreamOps.runToMemory(
             StreamOps.pairsWithin(left, right, withinSeconds = 300, watermark = "30 days"),
             "stream_stream_join_sink", OutputMode.Append())
