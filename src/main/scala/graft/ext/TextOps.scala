@@ -251,4 +251,66 @@ object TextOps {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Per-document token (Shannon) entropy in bits — the low-entropy screen
+    * that catches keyword-stuffed / template / gibberish pages that length
+    * and punctuation ratios miss. For token counts c_t over n total tokens:
+    *
+    *   H = -Σ p_t log2 p_t  =  log2(n) - Σ c_t·log2(c_t) / n
+    *
+    * The right-hand form needs only `sum(c)` and `sum(c·log2 c)`, so the
+    * whole thing is explode → one (doc,token) count aggregate → one per-doc
+    * aggregate: two keyed shuffles, partial aggregation on both, no window,
+    * no per-row O(tokens²) HOF. Output column `entropy`, rounded to 4 (the
+    * Σ is re-associated float addition, engine sum order differs).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(round(log2(sum(col("c"))) -
+        sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")), 4)
+        .as("entropy"))
+  }
+
+  /** BM25 relevance ranking of a document corpus against a fixed term set —
+    * the retrieval-quality scorer pipelines use to mine topical subsets.
+    * Standard Okapi BM25 with the Lucene +1 idf form:
+    *
+    *   score(D) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    *                · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·|D|/avgdl))
+    *
+    * Shape at 100 TB: per-term tf via `size(filter(tokens, = t))` — a scan
+    * expression, NO token explode/shuffle (|terms| is query-sized, not
+    * corpus-sized); corpus stats (N, Σ|D|, df_t) from ONE single-row
+    * aggregate broadcast back via cross join; top-k through
+    * TakeOrderedAndProject. The only wide exchange is the k-row limit.
+    *
+    * Scores are rounded to 4 before ranking (ln/division are libm-adjacent
+    * across engines); ties break by `idCol`.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = tokens(col(textCol))
+    def tfCol(t: String) = size(filter(toks, x => x === lit(t)))
+    val perDocCols = col(idCol).as("doc_id") +: size(toks).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }
+    val perDoc = df.select(perDocCols: _*)
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -84,4 +84,51 @@ object WindowOps {
       .withColumn("value_ffill", last(col("__v"), ignoreNulls = true).over(w))
       .select(col("key").as(keyCol), col("bucket"), col("value_ffill"))
   }
+
+  /** Time-series resample + LINEAR interpolation: same grid/spine as
+    * [[resampleFfill]] (per-bucket LAST observation wins), but empty buckets
+    * take the straight line between the surrounding observed buckets instead
+    * of carrying the previous value — pandas
+    * `resample().last().interpolate()` semantics. The spine spans each key's
+    * first..last OBSERVED bucket, so every empty bucket has both a previous
+    * and a next observation; no extrapolation is ever produced.
+    *
+    * Shape at 100 TB: identical to resampleFfill (bucket-last aggregate,
+    * generated spine, equi-join back) plus two frames over the SAME
+    * per-key window partitioning — Catalyst evaluates both in one
+    * WindowExec pair on one shuffle of (key, bucket).
+    */
+  def resampleInterp(df: DataFrame, keyCol: String, epochSecCol: String,
+                     valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val bucketed = df.select(col(keyCol).as("key"),
+        expr(s"CAST($epochSecCol AS BIGINT) - pmod(CAST($epochSecCol AS BIGINT), $stepSeconds)").as("bucket"),
+        col(epochSecCol).cast("long").as("__s"), col(valueCol).as("__v"))
+    val lastPerBucket = AggOps.dedupByKeyOrdered(bucketed, Seq("key", "bucket"),
+        Seq(col("__s").desc, col("__v").desc))
+      .select(col("key"), col("bucket"), col("__v"))
+    val spine = lastPerBucket.groupBy("key")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"),
+        lit(stepSeconds))).as("bucket"))
+    val back = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsBucket = when(col("__v").isNotNull, col("bucket"))
+    spine.join(lastPerBucket, Seq("key", "bucket"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      // observed buckets: the value itself (pb == nb == bucket would divide
+      // by zero); empty buckets: straight line between (pb,pv) and (nb,nv).
+      // The arithmetic shape is mirrored verbatim in the DuckDB oracle so
+      // both engines run the identical IEEE op sequence before rounding.
+      .withColumn("value_interp",
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv"))
+            * (col("bucket") - col("__pb")) / (col("__nb") - col("__pb"))))
+      .select(col("key").as(keyCol), col("bucket"), col("value_interp"))
+  }
 }

@@ -624,6 +624,63 @@ object CoreQueries {
             round(col("value_ffill"), 4).as("value_ffill"))
           .orderBy("user_id", "bucket")),
 
+    // ----- time-series resample + linear interpolation -----------------------
+    // Same hourly grid as ts_resample_ffill; empty buckets take the straight
+    // line between surrounding observed buckets (pandas
+    // resample().last().interpolate()). Both engines run the identical IEEE
+    // op sequence `pv + (nv - pv) * (bucket - pb) / (nb - pb)` pre-round.
+    GQ("ts_interpolate_linear",
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s, value FROM events),
+             |b AS (SELECT user_id, s // 3600 * 3600 AS bucket, s, value FROM e),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+             |                                   ORDER BY s DESC, value DESC) AS rn FROM b),
+             |lastv AS (SELECT user_id, bucket, value FROM r WHERE rn = 1),
+             |span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM lastv GROUP BY 1),
+             |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+             |j AS (SELECT sp.user_id, sp.bucket, lv.value
+             |      FROM spine sp LEFT JOIN lastv lv
+             |        ON sp.user_id = lv.user_id AND sp.bucket = lv.bucket),
+             |f AS (SELECT user_id, bucket, value,
+             |  last_value(value IGNORE NULLS) OVER wb AS pv,
+             |  last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS pb,
+             |  first_value(value IGNORE NULLS) OVER wf AS nv,
+             |  first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+             |  FROM j
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+             |         wf AS (PARTITION BY user_id ORDER BY bucket
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, bucket,
+             |  round((CASE WHEN value IS NOT NULL THEN value
+             |        ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END) * 10000) / 10000 AS value_interp
+             |FROM f ORDER BY user_id, bucket""".stripMargin),
+      // round-to-4 via `round(x·10⁴)/10⁴` on BOTH engines: interpolating
+      // 2-decimal inputs at exact grid fractions lands on true 5th-decimal
+      // halfways (…49.50375), where Spark's round(x,4) (shortest-repr
+      // BigDecimal) and DuckDB's (exact binary) disagree; scaled to an
+      // integer boundary the halfway is an exactly-representable .5 double
+      // and both engines round it half-away-from-zero identically.
+      (spark, dir) =>
+        WindowOps.resampleInterp(
+          Tables.events(spark, dir)
+            .withColumn("es", unix_timestamp(col("ts"))),
+          "user_id", "es", "value", stepSeconds = 3600)
+          .select(col("user_id"), col("bucket"),
+            (round(col("value_interp") * 10000) / 10000).as("value_interp"))
+          .orderBy("user_id", "bucket")),
+
+    // ----- global row index without a global sort ----------------------------
+    // row_number() with no PARTITION BY plans as Exchange SinglePartition —
+    // the whole dataset through one task. IndexOps.globalIndex produces the
+    // identical output via quantile-bucketed two-phase numbering
+    // (IndexOpsSpec asserts the no-SinglePartition plan shape).
+    GQ("global_index",
+      Some("""SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS idx
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) =>
+        IndexOps.globalIndex(Tables.orders(spark, dir), "o_orderkey")
+          .select(col("o_orderkey"), col("idx"))
+          .orderBy("o_orderkey")),
+
     // ----- SCD2 version history ----------------------------------------------
     // Each customer's order stream is the change log of a (custkey → price)
     // attribute; orderkey breaks same-day ties so versioning is total.

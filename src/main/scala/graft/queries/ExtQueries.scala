@@ -55,6 +55,40 @@ object ExtQueries {
       |SELECT gram, count(*) AS n FROM bg GROUP BY gram
       |ORDER BY n DESC, gram LIMIT 20""".stripMargin
 
+  // BM25 gate constants — the Spark expression tree AND the DuckDB oracle
+  // below render from these, so the two sides cannot drift. Terms are from
+  // the synthetic vocabulary (TESTDATA.md).
+  private val bm25Terms = Seq("spark", "join", "query")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** DuckDB mirror of TextOps.bm25TopK: identical formula with identical
+    * left-associative arithmetic; double literals rendered via Scala's
+    * shortest-round-trip `toString` so DuckDB parses the same IEEE bits.
+    */
+  private def bm25OracleSql: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ts, x -> x = '$t')) AS tf_$i" }.mkString(",\n|       ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val k1p1 = (bm25K1 + 1.0).toString
+    val oneMinusB = (1.0 - bm25B).toString
+    val termScores = bm25Terms.indices.map(i =>
+      s"""ln(1.0 + (n_docs - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         | * (CAST(tf_$i AS DOUBLE) * $k1p1)
+         | / (CAST(tf_$i AS DOUBLE) + $bm25K1 * ($oneMinusB + $bm25B * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"""
+        .stripMargin.replace("\n", "")).mkString("\n|  + ")
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+       |p AS (SELECT doc_id, len(ts) AS dl,
+       |       $tfCols
+       |       FROM d),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM p)
+       |SELECT doc_id, round(
+       |    $termScores, 4) AS bm25
+       |FROM p CROSS JOIN s
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** DuckDB CASE reproducing TextOps.languageId's fold arbitration (scores
     * in declaration order, earliest language wins ties) — shared by
     * txt_langid and corpus_clean so the two gates cannot drift.
@@ -972,6 +1006,31 @@ object ExtQueries {
         TextOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
           .select(col("doc_id"), col("term"), col("tfidf"), col("rank").cast("long").as("rank"))
           .orderBy("doc_id", "rank")),
+
+    // ----- text: per-doc token entropy (low-entropy quality screen) ----------
+    // H = log2(n) − Σ c·log2(c) / n over per-doc token counts: the identity
+    // lets both engines compute entropy from two plain sums (explode → one
+    // (doc,tok) count agg → one per-doc agg; no window, no O(n²) HOF).
+    GQ("txt_word_entropy",
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+             |SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        TextOps.tokenEntropy(Tables.documents(spark, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- text: BM25 relevance top-k ----------------------------------------
+    // Okapi BM25 (Lucene +1 idf) against a fixed query-term set; Spark
+    // expression tree and this SQL are rendered from the SAME constants
+    // (terms, k1, b) with the identical left-associative op sequence, so
+    // the doubles agree to the last bit before the round(…,4) guard.
+    GQ("txt_bm25_topk",
+      Some(bm25OracleSql),
+      (spark, dir) =>
+        TextOps.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+          bm25Terms, k = 20, k1 = bm25K1, b = bm25B)
+          .orderBy(col("bm25").desc, col("doc_id").asc)),
 
     // ----- native session_window (batch form of the streaming operator) ------
     // Session boundaries are the same '> gap' islands as sessionize_stats

@@ -123,5 +123,10 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(enc.select("ids_csv").as[String].head() === "-1,-1")
     assert(JoinOps.semiJoin(emptyKV, emptyKV.select(col("g")), Seq("g")).count() === 0)
     assert(JoinOps.antiJoin(emptyKV, emptyKV.select(col("g")), Seq("g")).count() === 0)
+    assert(WindowOps.resampleInterp(
+      Seq.empty[(Long, Long, Double)].toDF("k", "s", "v"), "k", "s", "v", 100).count() === 0)
+    assert(IndexOps.globalIndex(emptyKV, "id").count() === 0)
+    assert(TextOps.tokenEntropy(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.bm25TopK(emptyDocs, "doc_id", "text", Seq("x"), k = 5).count() === 0)
   }
 }

@@ -153,4 +153,21 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(out((1L, 0L)) === 7.0, "t=40 floors to bucket 0")
     assert(out.size === 3)
   }
+
+  test("resampleInterp: observed buckets exact, gaps on the straight line") {
+    // key 1: observed buckets 0 (v=2.0 — later event in bucket wins) and
+    // 300 (v=8.0); gaps at 100, 200 interpolate to 4.0, 6.0.
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 350L, 8.0),
+      (2L, 500L, 9.0),
+    ).toDF("k", "s", "v")
+    val out = WindowOps.resampleInterp(df, "k", "s", "v", stepSeconds = 100)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0L)) === 2.0, "observed bucket keeps its (last) value")
+    assert(out((1L, 100L)) === 4.0, "1/3 of the way from 2.0 to 8.0")
+    assert(out((1L, 200L)) === 6.0, "2/3 of the way")
+    assert(out((1L, 300L)) === 8.0)
+    assert(out((2L, 500L)) === 9.0, "single-observation key: just itself")
+    assert(out.size === 5, "no extrapolation outside each key's span")
+  }
 }
