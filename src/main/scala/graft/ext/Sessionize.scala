@@ -89,4 +89,39 @@ object Sessionize {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start_s", unix_timestamp(col("w.start")))
       .drop("w")
+
+  /** Strict ordered funnel: for steps (A, B, C, …), a user completes step i
+    * when an event of that type occurs STRICTLY AFTER the time at which they
+    * completed step i−1 (each completion time is the EARLIEST qualifying
+    * event). Returns one row per step: (step_idx 1-based, step, users).
+    *
+    * Shape at 100 TB: one `min(ts)` aggregate per step, each joined to the
+    * previous step's per-user threshold — |steps| keyed shuffles over a
+    * per-user relation that only SHRINKS down the funnel; no window over the
+    * whole event stream, no per-user event sorting. Timestamps compare as
+    * epoch micros (exact longs).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val ev = df.select(col(userCol).as("user"), col(typeCol).as("etype"),
+      unix_micros(col(tsCol)).as("us"))
+    // fold: thresholds(i) = per-user completion time of step i
+    val completions = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val candidates = prev match {
+          case None => ev.filter(col("etype") === step)
+          case Some(th) => ev.filter(col("etype") === step)
+            .join(th.select(col("user"), col("t").as("__prev_t")), Seq("user"))
+            .filter(col("us") > col("__prev_t"))
+        }
+        Some(candidates.groupBy("user").agg(min(col("us")).as("t")))
+    }.flatten
+    val counts = completions.zip(steps).zipWithIndex.map {
+      case ((th, step), i) =>
+        th.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).as("step_idx"), lit(step).as("step"), col("users"))
+    }
+    counts.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
 }

@@ -33,11 +33,19 @@ object AsOfJoin {
     * @param leftTime    event-time column on `left`
     * @param rightTime   event-time column on `right`
     * @param rightAttrs  right columns to carry onto left rows
+    * @param tolerance   optional max-staleness predicate `(leftTime,
+    *                    matchedRightTime) => keep`: when it evaluates false
+    *                    (or NULL) the match is DISCARDED — the left row
+    *                    stays with NULL attrs, exactly like no-match. The
+    *                    carried struct remembers the matched row's time, so
+    *                    this is a post-carry column test: no second window,
+    *                    no join, zero extra shuffles.
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightAttrs: Seq[String]): DataFrame = {
+           rightAttrs: Seq[String],
+           tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
 
     // SQL ASOF equality semantics: NULL = NULL is NO match, and a NULL-time
@@ -53,7 +61,10 @@ object AsOfJoin {
     // forward so all attributes always come from the SAME matched right row
     // — per-attr last(ignoreNulls) would skip a legitimately-NULL attribute
     // on the matched row and stitch values from different rows.
-    val rStructDt = right.select(struct(rightAttrs.map(col): _*)).schema.head.dataType
+    // the matched row's own time rides inside the struct as __rt so a
+    // tolerance predicate can test staleness after the carry
+    val rStructCols = rightAttrs.map(col) :+ col(rightTime).as("__rt")
+    val rStructDt = right.select(struct(rStructCols: _*)).schema.head.dataType
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -65,7 +76,7 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightAttrs.map(col): _*).as("__r"): _*)
+        struct(rStructCols: _*).as("__r"): _*)
 
     // right rows sort BEFORE left rows at equal __t (side 0 < 1), so a
     // same-timestamp right row is visible to the left row — ASOF >= ties
@@ -76,8 +87,14 @@ object AsOfJoin {
     val carried = l.unionByName(r)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
+    val matched = tolerance match {
+      case None => col("__c")
+      // when(pred, __c) with no otherwise: false OR NULL predicate → NULL
+      // struct → every attr NULL, indistinguishable from no-match
+      case Some(pred) => when(pred(col("__t"), col("__c").getField("__rt")), col("__c"))
+    }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightAttrs.map(a => col("__c").getField(a).as(a)): _*)
+        rightAttrs.map(a => matched.getField(a).as(a)): _*)
   }
 }

@@ -66,4 +66,25 @@ object Outliers {
         round((v - col("med")) / (lit(1.4826) * nullif(col("mad"), lit(0.0))), roundTo))
       .filter(abs(col("rz")) > k)
   }
+
+  /** Winsorization: clamp each value into its group's [pLo, pHi] exact
+    * percentile band — the "cap, don't drop" alternative to outlier
+    * removal (heavy tails get pinned to the fence, sample size is
+    * preserved). Adds `lo`, `hi`, and the clamped `<valueCol>_w`.
+    *
+    * Shape: ONE grouped exact-percentile aggregate + join-back (the
+    * group-cardinality relation — AQE broadcasts it when small); the clamp
+    * itself is a scan expression. Same approx_percentile swap as
+    * [[madOutliers]] at whale-group scale.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    df.join(fences, groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
 }

@@ -681,6 +681,85 @@ object CoreQueries {
           .select(col("o_orderkey"), col("idx"))
           .orderBy("o_orderkey")),
 
+    // ----- TPC-H Q3-shape: 3-way star join + grouped top-k -------------------
+    // customer(filtered dim) ⋈ orders ⋈ lineitem with date predicates on both
+    // fact branches; revenue per order; top-10. The predicates push to the
+    // parquet scans, the customer side broadcasts, orders⋈lineitem shuffles
+    // once on orderkey (PlanCheckSpec asserts all three). Per-order sums are
+    // ≤7 addends — association drift ≪ round(…,2).
+    GQ("tpch_q3ish",
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        val cut = lit("1998-06-01").cast("timestamp")
+        val cust = Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
+    // ----- TPC-H Q5-shape: 6-way snowflake join --------------------------------
+    // region→nation→supplier dims broadcast down onto the lineitem⋈orders
+    // fact shuffle; customer closes the cycle (c_nationkey = s_nationkey).
+    // Gate reports per-nation count + avg revenue: an order-count times a
+    // rounded MEAN, not a rounded total — sum drift exceeds the rounding
+    // guard at sf0.1 magnitudes (same rationale as the s9 gate).
+    GQ("tpch_q5ish",
+      Some("""SELECT n_name, count(*) AS n_rows,
+             |       round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY n_name""".stripMargin),
+      (spark, dir) => {
+        val asiaNations = Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = Tables.supplier(spark, dir)
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val ord = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("c_custkey") === col("o_custkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_rows"),
+            round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("avg_revenue"))
+          .orderBy("n_name")
+      }),
+
     // ----- SCD2 version history ----------------------------------------------
     // Each customer's order stream is the change log of a (custkey → price)
     // attribute; orderkey breaks same-day ties so versioning is total.
@@ -773,6 +852,44 @@ object CoreQueries {
           .withColumn("bin_lo", (col("bin") * 5000).cast("double"))
           .select("bin", "bin_lo", "n")
           .orderBy("bin")),
+
+    // ----- equi-depth histogram (percentile-bounded bins) --------------------
+    // The data-skew-proof sibling of profile_histogram: deciles of
+    // l_extendedprice. Fences come from ONE percentile aggregate broadcast
+    // back; bucket assignment is a scan-side list-filter count (strict '<':
+    // rows equal to a fence go to the lower bucket on both engines).
+    GQ("profile_equidepth",
+      Some("""WITH q AS (SELECT percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+             |             WITHIN GROUP (ORDER BY l_extendedprice) AS qs FROM lineitem)
+             |SELECT CAST(len(list_filter(q.qs, f -> f < l_extendedprice)) AS BIGINT) AS bucket,
+             |       count(*) AS n
+             |FROM lineitem CROSS JOIN q
+             |WHERE l_extendedprice IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (spark, dir) =>
+        Profile.equiDepthHistogram(Tables.lineitem(spark, dir), "l_extendedprice", b = 10)
+          .orderBy("bucket")),
+
+    // ----- share of total (ratio-to-report without a global window) ----------
+    // sum() OVER () with no partition is the same single-task funnel as
+    // unpartitioned row_number; the scale shape is a one-row global
+    // aggregate broadcast-cross-joined back onto the grouped relation.
+    GQ("share_of_total",
+      Some("""WITH g AS (SELECT o_orderpriority, count(*) AS n,
+             |             sum(o_totalprice) AS s FROM orders GROUP BY 1),
+             |t AS (SELECT sum(o_totalprice) AS st FROM orders)
+             |SELECT o_orderpriority, n, round(s / st, 6) AS share
+             |FROM g CROSS JOIN t ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val g = o.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+        val t = o.agg(sum(col("o_totalprice")).as("st"))
+        g.crossJoin(broadcast(t))
+          .select(col("o_orderpriority"), col("n"),
+            round(col("s") / col("st"), 6).as("share"))
+          .orderBy("o_orderpriority")
+      }),
 
     // ----- W1: lag-window delta per key --------------------------------------
     GQ("w1_lag_delta",

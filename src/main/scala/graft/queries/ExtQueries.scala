@@ -1032,6 +1032,48 @@ object ExtQueries {
           bm25Terms, k = 20, k1 = bm25K1, b = bm25B)
           .orderBy(col("bm25").desc, col("doc_id").asc)),
 
+    // ----- strict ordered funnel (view → click → purchase) -------------------
+    // Each step's completion is the EARLIEST event of that type strictly
+    // after the previous step's completion; one min-aggregate per step over
+    // a per-user relation that only shrinks down the funnel.
+    GQ("funnel_steps",
+      Some("""WITH e AS (SELECT user_id AS uid, event_type AS etype,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |s1 AS (SELECT uid, min(us) AS t FROM e WHERE etype = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.uid, min(e.us) AS t FROM e JOIN s1 USING (uid)
+             |       WHERE e.etype = 'click' AND e.us > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.uid, min(e.us) AS t FROM e JOIN s2 USING (uid)
+             |       WHERE e.etype = 'purchase' AND e.us > s2.t GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
+             |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+             |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+             |ORDER BY step_idx""".stripMargin),
+      (spark, dir) =>
+        Sessionize.funnel(Tables.events(spark, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+          .orderBy("step_idx")),
+
+    // ----- per-group winsorization (clip to [p05, p95]) ----------------------
+    // "Cap, don't drop": heavy tails pin to their group's exact-percentile
+    // fences. Fences of 2-decimal inputs carry ≤4 decimals, so round(x·10⁴)/10⁴
+    // is exact on both engines (no 5th-decimal halfway exists here).
+    GQ("winsorize_clip",
+      Some("""WITH f AS (SELECT l_returnflag AS rf,
+             |    percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+             |    percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  round(least(greatest(l_extendedprice, lo), hi) * 10000) / 10000 AS price_w
+             |FROM lineitem JOIN f ON l_returnflag = rf
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) =>
+        graft.ops.Outliers.winsorize(Tables.lineitem(spark, dir),
+          Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            (round(col("l_extendedprice_w") * 10000) / 10000).as("price_w"))
+          .orderBy("l_orderkey", "l_linenumber")),
+
     // ----- native session_window (batch form of the streaming operator) ------
     // Session boundaries are the same '> gap' islands as sessionize_stats
     // (Spark merges INCLUSIVELY at an exactly-gap-sized silence — pinned by
@@ -1111,6 +1153,43 @@ object ExtQueries {
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
           rightAttrs = Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      }),
+
+    // ----- as-of join with tolerance (max staleness) -------------------------
+    // Same backward as-of as asof_event_order, but a match older than 30
+    // days is discarded (NULL attrs, like no-match) — the "stale quote is
+    // no quote" contract. Zero extra shuffles: the matched row's time rides
+    // in the carried struct and the bound is a post-carry column test.
+    GQ("asof_tolerance",
+      Some("""WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |                     ORDER BY o_orderkey DESC) AS rn FROM orders),
+             |rr AS (SELECT * FROM r WHERE rn = 1),
+             |m AS (SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice,
+             |        epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(rr.o_orderdate) AS age_us
+             |      FROM events e ASOF LEFT JOIN rr
+             |        ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate)
+             |SELECT event_id, user_id,
+             |  CASE WHEN age_us <= 2592000000000 THEN o_orderkey END AS o_orderkey,
+             |  CASE WHEN age_us <= 2592000000000 THEN o_totalprice END AS o_totalprice
+             |FROM m ORDER BY event_id""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
+          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+        graft.ops.AsOfJoin.asOf(
+          Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+          orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightAttrs = Seq("o_orderkey", "o_totalprice"),
+          // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+          // cast to TIMESTAMP is identity and unix_micros applies
+          tolerance = Some((lt, rt) =>
+            unix_micros(lt.cast("timestamp")) - unix_micros(rt.cast("timestamp"))
+              <= lit(2592000000000L)))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
           .orderBy("event_id")
       }),

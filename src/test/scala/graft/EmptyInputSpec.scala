@@ -128,5 +128,11 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(IndexOps.globalIndex(emptyKV, "id").count() === 0)
     assert(TextOps.tokenEntropy(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.bm25TopK(emptyDocs, "doc_id", "text", Seq("x"), k = 5).count() === 0)
+    assert(Outliers.winsorize(emptyKV, Seq("g"), "v", 0.05, 0.95).count() === 0)
+    // funnel over an empty stream: every step row present, all counts 0
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(Sessionize.funnel(emptyEv, "user_id", "ts", "event_type", Seq("a", "b"))
+      .select("users").as[Long].collect().toSeq === Seq(0L, 0L))
   }
 }

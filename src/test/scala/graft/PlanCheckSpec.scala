@@ -195,4 +195,32 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"no join belongs in the window form:\n$p")
   }
+
+  test("share_of_total: global ratio via broadcast one-row agg, NOT a global window") {
+    val p = plan("share_of_total")
+    // the global total DOES funnel through one task — but only PARTIAL
+    // per-partition sums (one row each), never data rows; the forbidden
+    // shape is a Window with an empty partition spec
+    assert(!p.contains("Window"), s"sum() OVER () would single-task the data:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row total should broadcast:\n$p")
+  }
+
+  test("tpch_q3ish: date predicates push to both fact scans; dim side broadcasts") {
+    val p = plan("tpch_q3ish")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), s"l_shipdate not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"o_orderdate not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"filtered customer dim should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
+  test("tpch_q5ish: snowflake dims broadcast; no cartesian; date filter pushed") {
+    val p = plan("tpch_q5ish")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"region/nation/supplier (and customer at this SF) should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join is an equi-join:\n$p")
+  }
 }

@@ -73,6 +73,27 @@ class SessionizeTextSpec extends AnyFunSuite with SparkSpec {
     assert(lagForm === 2L, "lag form finds the same two user-1 sessions")
   }
 
+  test("funnel: strictly-after ordering; out-of-order steps never count") {
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      // u2: click BEFORE view — the click must not count; no purchase
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      // u3: view and click at the SAME instant — strict '>' rejects it
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      // u4 never views
+      (4L, ts("2024-01-01 07:00:00"), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select("step", "users").as[(String, Long)].collect().toMap
+    assert(out === Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("repeatedNgramFrac: duplicate shingles measured, short docs NULL") {
     val out = Seq(
       ("a b a b a b", 1),   // 2-grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct

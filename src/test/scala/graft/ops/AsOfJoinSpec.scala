@@ -59,4 +59,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 1)
     assert(out.select("w").as[Double].head() === 5.0, "latest prior wins")
   }
+
+  test("asOf tolerance: stale matches become NULL, fresh ones survive") {
+    import org.apache.spark.sql.functions.unix_micros
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:30:00"), 10L),  // 30 min old -> kept
+      ("A", ts("2024-01-01 12:00:01"), 11L),  // > 2h old -> discarded
+    ).toDF("k", "t", "qty")
+    val out = AsOfJoin.asOf(trades, quotes, "k", "k", "t", "t", Seq("px"),
+      tolerance = Some((lt, rt) =>
+        unix_micros(lt) - unix_micros(rt) <= org.apache.spark.sql.functions.lit(7200000000L)))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out(10L) === Some(1.0), "within tolerance: match kept")
+    assert(out(11L) === None, "stale match discarded exactly like no-match")
+  }
 }

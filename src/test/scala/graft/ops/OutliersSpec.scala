@@ -44,4 +44,18 @@ class OutliersSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0), ("c", 4L, 9.0)).toDF("g", "id", "v")
     assert(Outliers.madOutliers(df, Seq("g"), "v", k = 3.0).count() === 0L)
   }
+
+  test("winsorize: tails pin to the exact-percentile fences, interior untouched") {
+    // v = 1..5 in group a: p25 = 2.0, p75 = 4.0 (linear interpolation on
+    // exact quarter points) → 1 pins to 2, 5 pins to 4, 2..4 unchanged.
+    val df = (1 to 5).map(i => ("a", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Outliers.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .select($"id", $"v_w").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 2.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0, 5L -> 4.0))
+    // groups are independent: a one-member group clamps to itself
+    val two = df.unionByName(Seq(("b", 9L, 100.0)).toDF("g", "id", "v"))
+    val b = Outliers.winsorize(two, Seq("g"), "v", 0.25, 0.75)
+      .filter($"g" === "b").select($"v_w").as[Double].head()
+    assert(b === 100.0)
+  }
 }

@@ -69,4 +69,22 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(out("a") === ((0L, 0L, 0L)))
     assert(out("b") === ((0L, 0L, 0L)))
   }
+
+  test("equiDepthHistogram: ~equal counts on uniform AND on skewed data") {
+    val uniform = (1 to 100).map(_.toDouble).toDF("v")
+    val u = Profile.equiDepthHistogram(uniform, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u === Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+    // heavy skew: one hot value occupies whole buckets instead of emptying
+    // the others (ties at a fence collapse LEFT, so the hot value's mass
+    // lands in one bucket; an equi-WIDTH histogram would put 91% in 1 bin)
+    val skewed = ((1 to 91).map(_ => 1.0) ++ (2 to 10).map(_.toDouble)).toDF("v")
+    val s = Profile.equiDepthHistogram(skewed, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(0L) === 91L && s.values.sum === 100L)
+    // NULLs are excluded, not binned at 0
+    val withNull = uniform.unionByName(Seq(Option.empty[Double]).toDF("v"))
+    assert(Profile.equiDepthHistogram(withNull, "v", 4)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 100L)
+  }
 }
