@@ -1130,6 +1130,26 @@ object ExtQueries {
             round(graft.functions.VectorFunctions.normF(col("embedding")), 6).as("l2"))
           .orderBy("vec_id")),
 
+    // ----- per-label embedding centroid --------------------------------------
+    // Element-wise mean vector per label — the class-prototype / cluster-seed
+    // aggregate every embedding pipeline runs. Emitted LONG (label, pos, m)
+    // rather than as a reassembled array: array columns are unsortable in
+    // the comparison harness (the emb_quantize_int8 lesson) and float→string
+    // joining would couple the gate to engine number formatting.
+    // Shape at 100 TB: posexplode → ONE (label,pos) aggregate — partial
+    // map-side sums make the shuffle |labels|·dims rows, not |vectors|·dims.
+    GQ("emb_group_centroid",
+      Some("""SELECT label, i - 1 AS pos,
+             |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+             |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+             |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
+      (spark, dir) =>
+        Tables.embeddings(spark, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .orderBy("label", "pos")),
+
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
     // event time (no future leakage). Right side deduped to one row per
