@@ -124,4 +124,26 @@ object Sessionize {
     }
     counts.reduce(_.unionByName(_)).orderBy("step_idx")
   }
+
+  /** Cohort retention: users bucket into the epoch-week of their FIRST
+    * event (the cohort); each (cohort_week, week_offset) cell counts the
+    * distinct users of that cohort active `offset` weeks later — the
+    * retention triangle every growth dashboard draws.
+    *
+    * Shape at 100 TB: distinct (user, week) first — the activity relation
+    * shrinks to at most users×weeks before anything joins; cohort is one
+    * min-aggregate on the same key; the cell count is countDistinct AFTER
+    * the pre-distinct, so the final aggregate's partial side dedups cheaply.
+    * Everything keys on user then (cohort, offset); no window.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      weekSeconds: Long = 604800L): DataFrame = {
+    val uw = df.select(col(userCol).as("user"),
+        expr(s"unix_micros($tsCol) div 1000000 div $weekSeconds").as("w"))
+      .distinct()
+    val cohort = uw.groupBy("user").agg(min(col("w")).as("cw"))
+    uw.join(cohort, Seq("user"))
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count_distinct(col("user")).as("active_users"))
+  }
 }

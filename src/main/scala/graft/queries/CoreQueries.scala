@@ -891,6 +891,32 @@ object CoreQueries {
           .orderBy("o_orderpriority")
       }),
 
+    // ----- declarative data-quality rule check -------------------------------
+    // deequ/dbt-test pattern: k named predicates in ONE wide aggregation
+    // over ONE scan, exploded to a long report. Violation = predicate false
+    // OR NULL. The 0–0.08 discount band deliberately fires (~15% of rows).
+    GQ("dq_check",
+      Some("""WITH s AS (SELECT count(*) AS n,
+             |  sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v0,
+             |  sum(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS v1,
+             |  sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v2,
+             |  sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v3
+             |  FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'discount_band' AS rule, n AS n_rows, CAST(v1 AS BIGINT) AS n_violations,
+             |         round(v1 / nullif(n, 0), 6) AS violation_rate FROM s
+             |  UNION ALL SELECT 'price_positive', n, CAST(v2 AS BIGINT), round(v2 / nullif(n, 0), 6) FROM s
+             |  UNION ALL SELECT 'quantity_in_range', n, CAST(v0 AS BIGINT), round(v0 / nullif(n, 0), 6) FROM s
+             |  UNION ALL SELECT 'shipdate_complete', n, CAST(v3 AS BIGINT), round(v3 / nullif(n, 0), 6) FROM s)
+             |ORDER BY rule""".stripMargin),
+      (spark, dir) =>
+        Quality.check(Tables.lineitem(spark, dir), Seq(
+          "quantity_in_range" -> col("l_quantity").between(1, 50),
+          "discount_band" -> col("l_discount").between(0, 0.08),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "shipdate_complete" -> col("l_shipdate").isNotNull))
+          .orderBy("rule")),
+
     // ----- W1: lag-window delta per key --------------------------------------
     GQ("w1_lag_delta",
       Some("""SELECT o_custkey, o_orderkey,

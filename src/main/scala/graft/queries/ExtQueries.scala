@@ -1130,6 +1130,22 @@ object ExtQueries {
             round(graft.functions.VectorFunctions.normF(col("embedding")), 6).as("l2"))
           .orderBy("vec_id")),
 
+    // ----- cohort retention triangle -----------------------------------------
+    // Users cohort by the epoch-week of their first event; each cell counts
+    // distinct users of the cohort active `offset` weeks later. Activity
+    // pre-distincts to (user, week) before any join or count.
+    GQ("cohort_retention",
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS w FROM events),
+             |c AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1)
+             |SELECT c.cw AS cohort_week, e.w - c.cw AS week_offset,
+             |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+      (spark, dir) =>
+        Sessionize.cohortRetention(Tables.events(spark, dir), "user_id", "ts")
+          .orderBy("cohort_week", "week_offset")),
+
     // ----- per-label embedding centroid --------------------------------------
     // Element-wise mean vector per label — the class-prototype / cluster-seed
     // aggregate every embedding pipeline runs. Emitted LONG (label, pos, m)

@@ -94,6 +94,28 @@ class SessionizeTextSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("cohortRetention: first-week cohorts, offsets count distinct users") {
+    val ev = Seq(
+      // u1 active weeks 0,1,2 (per 100s "week"); u2 joins week 0, returns week 2
+      (1L, ts("2024-01-01 00:00:10"), 0.0), (1L, ts("2024-01-01 00:01:50"), 0.0),
+      (1L, ts("2024-01-01 00:03:25"), 0.0),
+      (2L, ts("2024-01-01 00:00:30"), 0.0), (2L, ts("2024-01-01 00:03:30"), 0.0),
+      // u3's first event is in week 2 -> its own cohort, offset 0
+      (3L, ts("2024-01-01 00:03:40"), 0.0),
+      // duplicate activity in one week must not double-count
+      (3L, ts("2024-01-01 00:03:50"), 0.0),
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.cohortRetention(ev, "user_id", "ts", weekSeconds = 100L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1 % 100, r._2) -> r._3).toMap
+    // epoch weeks are huge at step 100s; normalize cohort mod 100 for the map
+    val base = out.keys.map(_._1).min
+    def at(c: Long, o: Long) = out((base + c, o))
+    assert(at(0, 0) === 2L, "u1+u2 cohort week 0")
+    assert(at(0, 1) === 1L, "only u1 back in week 1")
+    assert(at(0, 2) === 2L, "u1 and u2 back in week 2")
+    assert(at(2, 0) === 1L, "u3 is its own later cohort")
+  }
+
   test("repeatedNgramFrac: duplicate shingles measured, short docs NULL") {
     val out = Seq(
       ("a b a b a b", 1),   // 2-grams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct
