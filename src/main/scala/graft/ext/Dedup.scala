@@ -454,4 +454,29 @@ object Dedup {
       .withColumn("cosine", cosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Blocked fuzzy-match join: pairs of documents whose normalized prefixes
+    * are within `maxDist` edit distance, candidate-limited to a shared
+    * BLOCK key (the first whitespace token) — the record-linkage pattern
+    * that keeps an edit-distance join from going O(n²): levenshtein only
+    * runs inside blocks, and the block join is a plain hash equi-join.
+    *
+    * Prefix truncation bounds the per-pair cost (levenshtein is O(len²));
+    * like the Jaccard hub cap, the block key is the explicit knob trading
+    * recall (cross-block near-matches are missed by design) for a shuffle
+    * keyed on something bounded.
+    */
+  def fuzzyPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, prefixLen: Int = 40): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, "need maxDist >= 0, prefixLen > 0")
+    val d = df.select(col(idCol).as("id"),
+      substring(trim(col(textCol)), 1, prefixLen).as("pfx"),
+      split_part(trim(col(textCol)), lit(" "), lit(1)).as("blk"))
+    val a = d.withColumnsRenamed(Map("id" -> "id_a", "pfx" -> "pfx_a"))
+    val b = d.withColumnsRenamed(Map("id" -> "id_b", "pfx" -> "pfx_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -50,4 +50,33 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Snapshot diff: classify every key as added / removed / changed between
+    * two table versions, carrying old and new values side by side —
+    * the audit step before any CDC apply, and the cheapest way to answer
+    * "what did yesterday's load actually change".
+    *
+    * Unchanged rows (every compare column null-safe-equal) are dropped.
+    * ONE full outer hash join on the key; comparisons are scan-side. NULL
+    * vs non-NULL in a compare column IS a change (`<=>` semantics).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compare at least one column")
+    val o = oldDf.select((keyCol +: compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"old_$c").toMap)
+      .withColumnRenamed(keyCol, "__ko")
+    val n = newDf.select((keyCol +: compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"new_$c").toMap)
+      .withColumnRenamed(keyCol, "__kn")
+    val same = compareCols.map(c => col(s"old_$c") <=> col(s"new_$c")).reduce(_ && _)
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .withColumn("change",
+        when(col("__ko").isNull, "added")
+          .when(col("__kn").isNull, "removed")
+          .otherwise("changed"))
+      .filter(col("__ko").isNull || col("__kn").isNull || !same)
+      .withColumn(keyCol, coalesce(col("__ko"), col("__kn")))
+      .drop("__ko", "__kn")
+  }
 }

@@ -760,6 +760,43 @@ object CoreQueries {
           .orderBy("n_name")
       }),
 
+    // ----- snapshot diff (added / removed / changed) -------------------------
+    // The audit step before a CDC apply: one full outer hash join on the
+    // key, scan-side null-safe compares, unchanged keys dropped. The new
+    // snapshot is synthesized with the same %10 slices as cdc_merge so all
+    // three change paths fire at every SF.
+    GQ("snapshot_diff",
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+             |n AS (SELECT o_orderkey AS k,
+             |        CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+             |             ELSE o_totalprice END AS v
+             |      FROM orders WHERE o_orderkey % 10 <> 1
+             |      UNION ALL SELECT o_orderkey + 100000000, 1.0
+             |      FROM orders WHERE o_orderkey % 10 = 2)
+             |SELECT coalesce(o.k, n.k) AS o_orderkey,
+             |  CASE WHEN o.k IS NULL THEN 'added'
+             |       WHEN n.k IS NULL THEN 'removed' ELSE 'changed' END AS change,
+             |  round(o.v, 2) AS old_price, round(n.v, 2) AS new_price
+             |FROM o FULL JOIN n ON o.k = n.k
+             |WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
+             |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val orders = Tables.orders(spark, dir)
+        val o = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+        val n = orders.filter(col("o_orderkey") % 10 =!= 1)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000)
+              .otherwise(col("o_totalprice")).as("price"))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              lit(1.0).as("price")))
+        Merge.snapshotDiff(o, n, "o_orderkey", Seq("price"))
+          .select(col("o_orderkey"), col("change"),
+            round(col("old_price"), 2).as("old_price"),
+            round(col("new_price"), 2).as("new_price"))
+          .orderBy("o_orderkey")
+      }),
+
     // ----- SCD2 version history ----------------------------------------------
     // Each customer's order stream is the change log of a (custkey → price)
     // attribute; orderkey breaks same-day ties so versioning is total.

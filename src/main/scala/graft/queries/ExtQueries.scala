@@ -1130,6 +1130,23 @@ object ExtQueries {
             round(graft.functions.VectorFunctions.normF(col("embedding")), 6).as("l2"))
           .orderBy("vec_id")),
 
+    // ----- blocked fuzzy-match join (edit distance) --------------------------
+    // Record-linkage pattern: levenshtein only runs INSIDE first-token
+    // blocks, so the candidate join is a plain hash equi-join and the
+    // O(len²) distance touches block-local pairs only.
+    GQ("fuzzy_join_blocked",
+      Some("""WITH d AS (SELECT doc_id, substr(trim(text), 1, 40) AS pfx,
+             |             split_part(trim(text), ' ', 1) AS blk FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.pfx, b.pfx) <= 12
+             |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.fuzzyPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",
+          maxDist = 12, prefixLen = 40)
+          .orderBy("id_a", "id_b")),
+
     // ----- cohort retention triangle -----------------------------------------
     // Users cohort by the epoch-week of their first event; each cell counts
     // distinct users of the cohort active `offset` weeks later. Activity

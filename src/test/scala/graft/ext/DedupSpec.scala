@@ -214,4 +214,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs((1L, 4L)) === 0.707107)
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("fuzzyPairsBlocked: edit distance inside blocks only; cross-block missed by design") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delth"),   // same block, 1 substitution on the prefix
+      (3L, "alpha completely different words here"), // same block, far
+      (4L, "beta alpha gamma delta"),   // near 1 but DIFFERENT first token
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet === Set((1L, 2L)), s"got $out")
+    assert(out((1L, 2L)) === 1L)
+  }
 }

@@ -49,4 +49,23 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     val currents = out.collect { case ((k, _), (_, _, true)) => k }
     assert(currents.toSeq.sorted === Seq(1L, 2L), "exactly one current version per key")
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped, NULL is a change") {
+    val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)), (4L, Option.empty[Double]))
+      .toDF("k", "v")
+    val niu = Seq((1L, Some(10.0)),  // unchanged -> dropped
+      (2L, Some(25.0)),              // changed
+      (4L, Some(40.0)),              // NULL -> value IS a change
+      (5L, Some(50.0)))              // added; 3 removed
+      .toDF("k", "v")
+    val out = Merge.snapshotDiff(old, niu, "k", Seq("v"))
+      .select("k", "change", "old_v", "new_v")
+      .as[(Long, String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      2L -> (("changed", Some(20.0), Some(25.0))),
+      3L -> (("removed", Some(30.0), None)),
+      4L -> (("changed", None, Some(40.0))),
+      5L -> (("added", None, Some(50.0)))))
+  }
 }
