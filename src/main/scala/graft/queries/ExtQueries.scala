@@ -814,6 +814,42 @@ object ExtQueries {
     // dropDuplicates state must absorb 10k replayed keys — the aggregate
     // equals the plain batch GROUP BY over the original events iff no
     // duplicate survived and no original was lost.
+    // ----- streaming CDC apply (continuous MERGE via foreachBatch) -----------
+    // Three single-file change drops (U/D/I, the cdc_merge slices) arrive in
+    // three micro-batches; each merges into the parquet snapshot with a
+    // write-then-swap. Final table must equal the one-shot batch merge —
+    // same oracle shape as cdc_merge.
+    GQ("stream_cdc_apply",
+      Some("""WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders),
+             |chg AS (
+             |  SELECT o_orderkey, o_totalprice + 1000 AS price, 'U' AS op
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D' FROM orders WHERE o_orderkey % 10 = 1
+             |  UNION ALL SELECT o_orderkey + 100000000, 1.0, 'I' FROM orders WHERE o_orderkey % 10 = 2),
+             |kept AS (SELECT s.o_orderkey, s.o_totalprice AS price FROM snap s
+             |         WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = s.o_orderkey)),
+             |merged AS (SELECT o_orderkey, price FROM kept
+             |           UNION ALL SELECT o_orderkey, price FROM chg WHERE op <> 'D')
+             |SELECT o_orderkey, round(price, 2) AS price
+             |FROM merged ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import graft.streaming.StreamOps
+        val landing = StreamOps.ordersChangesLanding(spark, dir)
+        val base = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+        val snap = s"$base/snapshot"
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .write.mode("overwrite").parquet(snap)
+        val changes = spark.readStream
+          .schema("o_orderkey BIGINT, price DOUBLE, op STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+        StreamOps.applyChangesStream(changes, snap, s"$base/ckpt", "o_orderkey", "op")
+        spark.read.parquet(snap)
+          .select(col("o_orderkey"), round(col("price"), 2).as("price"))
+          .orderBy("o_orderkey")
+      }),
+
     GQ("stream_dedup_counts",
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),

@@ -265,4 +265,69 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Streaming CDC apply — the continuous-MERGE pattern: every micro-batch
+    * of change rows (key, attrs…, op) is merged into the parquet snapshot
+    * at `snapshotPath` via [[graft.ops.Merge.applyChanges]], written to a
+    * temp dir and atomically swapped in. Later triggers see earlier
+    * triggers' merges (read-inside-foreachBatch), so a key updated in
+    * batch 1 and deleted in batch 3 ends deleted — the cross-trigger
+    * sequencing a one-shot batch MERGE can't express.
+    *
+    * Replayed batches (restart after a crash between commit and swap)
+    * re-merge the same changes — applyChanges is idempotent per change-set
+    * (re-upsert = same row, re-delete = no-op), so the swap converges.
+    *
+    * This gate-scale form rewrites the WHOLE snapshot per trigger. At
+    * 100 TB the snapshot is key-partitioned and each batch rewrites only
+    * the partitions its change keys touch (semi-join the partition list,
+    * swap per partition) — same merge, bounded I/O. `outFiles` right-sizes
+    * the rewrite (shuffle-partition-many tiny files triple the per-trigger
+    * cost at bench scale).
+    */
+  def applyChangesStream(changes: DataFrame, snapshotPath: String,
+                         checkpoint: String, keyCol: String, opCol: String,
+                         outFiles: Int = 4): Unit = {
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val merged = graft.ops.Merge.applyChanges(
+          ss.read.parquet(snapshotPath), batch, keyCol, opCol)
+        val tmp = snapshotPath + "_tmp"
+        merged.coalesce(outFiles).write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** CDC change landing over orders: three single-file drops (updates,
+    * deletes, inserts — the cdc_merge %10 slices) written in mtime order,
+    * so `maxFilesPerTrigger=1` delivers each change class in its own
+    * micro-batch and the apply stream exercises cross-trigger merging.
+    */
+  def ordersChangesLanding(spark: SparkSession, dir: String): String =
+    landings.getOrElseUpdate(s"$dir#cdc", {
+      import org.apache.spark.sql.functions._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+        s"${ProcessHandle.current().pid()}_cdc_${dir.hashCode.toHexString}"
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val u = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("price"),
+          lit("U").as("op"))
+      val d = o.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), lit(null).cast("double").as("price"),
+          lit("D").as("op"))
+      val i = o.filter(col("o_orderkey") % 10 === 2)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1.0).as("price"), lit("I").as("op"))
+      Seq(u, d, i).foreach(_.coalesce(1).write.mode("append").parquet(path))
+      path
+    })
 }

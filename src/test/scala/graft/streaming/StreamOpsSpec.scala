@@ -153,6 +153,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(sink).count() === 2, "idle restart re-emitted rows")
   }
 
+  test("applyChangesStream: cross-trigger merge — update in batch 1, delete of the SAME key in batch 2") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-cdc-spec").toString
+    val snap = s"$base/snapshot"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(snap)
+    val landing = s"$base/changes"
+    // file 1: update k=1; file 2 (later mtime → later trigger): delete k=1,
+    // insert k=3. A one-shot applyChanges can't take two ops on one key —
+    // the stream applies them in trigger order.
+    Seq((1L, Some(11.0), "U")).toDF("k", "v", "op")
+      .coalesce(1).write.mode("append").parquet(landing)
+    Seq((1L, Option.empty[Double], "D"), (3L, Some(30.0), "I")).toDF("k", "v", "op")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val changes = spark.readStream.schema("k BIGINT, v DOUBLE, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    StreamOps.applyChangesStream(changes, snap, s"$base/ckpt", "k", "op")
+    val got = spark.read.parquet(snap).as[(Long, Double)].collect().toMap
+    assert(got === Map(2L -> 20.0, 3L -> 30.0),
+      "k=1 updated then deleted must END deleted; k=3 inserted; k=2 untouched")
+  }
+
   test("runningUserStats accumulates per-key state across a batch") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     StreamOps.runToMemory(
