@@ -102,4 +102,26 @@ object AggOps {
         col("__graft_e.score").as(scoreCol),
         (col("__graft_pos") + 1).as("rn")): _*)
   }
+
+  /** Incremental aggregate maintenance: per-key mergeable state
+    * (n, sum, min, max — avg derives as sum/n) built once per batch and
+    * MERGED into the standing state, so a daily delta updates a 100 TB
+    * rollup at delta cost instead of a full recompute. The same
+    * sketch-once-merge-forever contract as [[hllSketches]], realized with
+    * plain algebraic aggregates.
+    */
+  def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+
+  /** Merge two states built by [[buildAggState]] over the same keys —
+    * associative and commutative, so states chain across any number of
+    * delta batches. Keys present in only one side pass through unchanged
+    * (count/sum of the absent side contribute nothing).
+    */
+  def mergeAggState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
 }

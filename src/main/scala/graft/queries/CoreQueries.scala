@@ -928,6 +928,29 @@ object CoreQueries {
           .orderBy("o_orderpriority")
       }),
 
+    // ----- incremental aggregate maintenance ---------------------------------
+    // The standing rollup is built from the even-key half, the odd-key half
+    // arrives as a delta batch, and mergeAggState must land exactly on the
+    // direct full-table aggregate (the oracle). avg derives from merged
+    // sums; mn/mx are raw parquet doubles (bit-exact both engines).
+    GQ("incremental_agg",
+      Some("""SELECT o_orderpriority, count(o_totalprice) AS n,
+             |  round(sum(o_totalprice) / count(o_totalprice), 4) AS avg_price,
+             |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val state = AggOps.buildAggState(
+          o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderpriority"), "o_totalprice")
+        val delta = AggOps.buildAggState(
+          o.filter(col("o_orderkey") % 2 === 1), Seq("o_orderpriority"), "o_totalprice")
+        AggOps.mergeAggState(state, delta, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n"),
+            round(col("s") / col("n"), 4).as("avg_price"),
+            col("mn"), col("mx"))
+          .orderBy("o_orderpriority")
+      }),
+
     // ----- declarative data-quality rule check -------------------------------
     // deequ/dbt-test pattern: k named predicates in ONE wide aggregation
     // over ONE scan, exploded to a long report. Violation = predicate false

@@ -154,6 +154,26 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(out.size === 3)
   }
 
+  test("agg-state merge == direct aggregate; keys in one side pass through") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", 7.0)).toDF("g", "v")
+    val s1 = AggOps.buildAggState(df.filter($"v" <= 3.0), Seq("g"), "v") // a only
+    val s2 = AggOps.buildAggState(df.filter($"v" > 3.0), Seq("g"), "v")  // b, c
+    val merged = AggOps.mergeAggState(s1, s2, Seq("g"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val direct = AggOps.buildAggState(df, Seq("g"), "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(merged === direct)
+    assert(merged("a") === ((2L, 4.0, 1.0, 3.0)), "overlapping key: counts and sums add")
+    assert(merged("c") === ((1L, 7.0, 7.0, 7.0)), "one-sided key passes through")
+    // associativity: ((s1 ⊕ s2) ⊕ s2') == direct over the tripled 'a' slice
+    val s3 = AggOps.buildAggState(Seq(("a", 5.0)).toDF("g", "v"), Seq("g"), "v")
+    val chained = AggOps.mergeAggState(AggOps.mergeAggState(s1, s2, Seq("g")), s3, Seq("g"))
+      .filter($"g" === "a").as[(String, Long, Double, Double, Double)].head()
+    assert(chained === (("a", 3L, 9.0, 1.0, 5.0)))
+  }
+
   test("resampleInterp: observed buckets exact, gaps on the straight line") {
     // key 1: observed buckets 0 (v=2.0 — later event in bucket wins) and
     // 300 (v=8.0); gaps at 100, 200 interpolate to 4.0, 6.0.
