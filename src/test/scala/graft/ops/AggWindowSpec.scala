@@ -174,6 +174,36 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(chained === (("a", 3L, 9.0, 1.0, 5.0)))
   }
 
+  test("agg-state merge ≡ direct (property: random values, random split)") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(-100, 100)))
+    (0 until 5).foreach { i =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .map { case (g, v) => (s"g$g", v.toDouble) }
+      val df = xs.toDF("g", "v")
+      val split = xs.indices.map(_ % 2 == 0)
+      val left = xs.zip(split).collect { case (x, true) => x }.toDF("g", "v")
+      val right = xs.zip(split).collect { case (x, false) => x }.toDF("g", "v")
+      val m = AggOps.mergeAggState(
+        AggOps.buildAggState(left, Seq("g"), "v"),
+        AggOps.buildAggState(right, Seq("g"), "v"), Seq("g"))
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      val d = AggOps.buildAggState(df, Seq("g"), "v")
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(m === d, s"seed ${7 + i}")
+    }
+  }
+
+  test("globalIndex property: contiguous 1..n and order-preserving on random keys") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L)).map(_.distinct)
+    (0 until 5).foreach { i =>
+      val keys = gen.apply(Gen.Parameters.default, Seed(21L + i)).get
+      val out = IndexOps.globalIndex(keys.toDF("k"), "k", numBuckets = 7)
+        .as[(Long, Long)].collect().sortBy(_._2)
+      assert(out.map(_._2).toSeq === (1L to keys.length).toSeq, s"seed ${21 + i}: not contiguous")
+      assert(out.map(_._1).toSeq === keys.sorted.toSeq, s"seed ${21 + i}: order broken")
+    }
+  }
+
   test("resampleInterp: observed buckets exact, gaps on the straight line") {
     // key 1: observed buckets 0 (v=2.0 — later event in bucket wins) and
     // 300 (v=8.0); gaps at 100, 200 interpolate to 4.0, 6.0.
