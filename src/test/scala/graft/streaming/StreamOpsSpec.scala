@@ -173,6 +173,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     val got = spark.read.parquet(snap).as[(Long, Double)].collect().toMap
     assert(got === Map(2L -> 20.0, 3L -> 30.0),
       "k=1 updated then deleted must END deleted; k=3 inserted; k=2 untouched")
+
+    // RESTART with the same checkpoint and no new files: committed batches
+    // must not re-apply, the snapshot is byte-for-byte the same state
+    val changes2 = spark.readStream.schema("k BIGINT, v DOUBLE, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    StreamOps.applyChangesStream(changes2, snap, s"$base/ckpt", "k", "op")
+    assert(spark.read.parquet(snap).as[(Long, Double)].collect().toMap ===
+      Map(2L -> 20.0, 3L -> 30.0), "idle restart must not re-merge committed changes")
   }
 
   test("runningUserStats accumulates per-key state across a batch") {
