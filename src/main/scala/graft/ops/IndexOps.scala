@@ -34,8 +34,14 @@ object IndexOps {
     * non-null numeric column and a total order (unique values) — equal keys
     * would make the global rank ambiguous on any engine.
     */
+  /** `relativeError` only skews bucket BALANCE (a 0.01 error on a 1/64
+    * boundary misplaces ≤1% of rows into the neighbor bucket), never the
+    * output — the exact per-bucket counts correct any sketch error. The
+    * default is deliberately loose: a tighter sketch costs a slower
+    * first pass for no output difference.
+    */
   def globalIndex(df: DataFrame, orderCol: String, outName: String = "idx",
-                  numBuckets: Int = 64, relativeError: Double = 0.001): DataFrame = {
+                  numBuckets: Int = 64, relativeError: Double = 0.01): DataFrame = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     // phase 1: boundary sketch. Distinct-sorted; duplicate quantiles (heavy
     // hitters / tiny inputs) would only create empty buckets, drop them.

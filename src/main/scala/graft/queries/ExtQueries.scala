@@ -839,12 +839,18 @@ object ExtQueries {
         val snap = s"$base/snapshot"
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_totalprice").as("price"))
-          .write.mode("overwrite").parquet(snap)
-        val changes = spark.readStream
-          .schema("o_orderkey BIGINT, price DOUBLE, op STRING")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(landing)
-        StreamOps.applyChangesStream(changes, snap, s"$base/ckpt", "o_orderkey", "op")
+          .coalesce(4).write.mode("overwrite").parquet(snap)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          // per-trigger work is a broadcast anti-join over a small snapshot:
+          // 32 shuffle partitions are pure task overhead here
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val changes = spark.readStream
+            .schema("o_orderkey BIGINT, price DOUBLE, op STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+          StreamOps.applyChangesStream(changes, snap, s"$base/ckpt", "o_orderkey", "op")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.read.parquet(snap)
           .select(col("o_orderkey"), round(col("price"), 2).as("price"))
           .orderBy("o_orderkey")
