@@ -59,6 +59,7 @@ object Bench {
     graft.streaming.StreamOps.eventsLanding(spark, sfDir)
     graft.streaming.StreamOps.eventsLandingWithSentinel(spark, sfDir)
     graft.streaming.StreamOps.eventsLandingWithDuplicates(spark, sfDir)
+    graft.streaming.StreamOps.ordersChangesLanding(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // deterministic (sorted) execution order so JVM warm-up lands on the
     // same first query every round and per-query numbers compare across runs
