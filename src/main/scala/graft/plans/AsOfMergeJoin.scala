@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, GenericInternalRow, IsNotNull, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The as-of join as a FIRST-CLASS physical operator — the (c) extension
+  * path of SURVEY §7: a custom `LogicalPlan` node, a `SparkStrategy`, and a
+  * `SparkPlan` that declares its distribution/ordering requirements and
+  * merges both sides in one pass.
+  *
+  * Why this exists next to [[graft.ops.AsOfJoin]] (the union+window form):
+  * the window form pays a UNION of both sides through one shuffle plus
+  * window-carry state over the merged relation. This exec instead tells
+  * Catalyst exactly what it needs — both children hash-clustered on the
+  * join key and sorted by (key, time) — and then streams the two sorted
+  * iterators with a classic merge: O(1) state (one carried row), zero
+  * row-widening, and the planner is free to satisfy the requirements from
+  * existing partitionings (a bucketed or pre-sorted child shuffles
+  * NOTHING, which the union form can never express).
+  *
+  * Semantics match `AsOfJoin.asOf` exactly: latest right row with
+  * `rightTime <= leftTime` per key (ties visible), NULL right keys/times
+  * never match (pre-filtered), NULL left keys/times get no match, all
+  * carried attrs come from the SAME matched row.
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        rightAttrs: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ rightAttrs.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, attrs) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, attrs, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
+                             leftTime: Attribute, rightTime: Attribute,
+                             rightAttrs: Seq[Attribute],
+                             left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ rightAttrs.map(_.withNullability(true))
+
+  // both sides clustered on the key: EnsureRequirements co-partitions the
+  // children (and skips the exchange entirely when a child already
+  // satisfies it — the bucketed-scan win)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // per-partition (key, time) order is what makes the single-pass merge valid
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val attrs = rightAttrs
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, time) probes and the attr payload, bound to each side's schema
+      val lkt = UnsafeProjection.create(Seq(leftKey, leftTime), lOut)
+      val rkt = UnsafeProjection.create(Seq(rightKey, rightTime), rOut)
+      val rPayload = UnsafeProjection.create(attrs, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullPayload = new GenericInternalRow(attrs.length)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      // carried = the most recent right row consumed (its key + payload);
+      // copies are mandatory: projections reuse their buffers
+      var carriedKey: Any = null
+      var carriedPayload: InternalRow = null
+
+      // lexicographic (key, time) compare; caller guarantees non-null sides
+      def cmp(a: InternalRow, b: InternalRow): Int = {
+        val c = keyOrd.compare(a.get(0, keyDt), b.get(0, keyDt))
+        if (c != 0) c else timeOrd.compare(a.get(1, timeDt), b.get(1, timeDt))
+      }
+
+      lIter.map { lRow =>
+        val lkRow = lkt(lRow)
+        if (lkRow.isNullAt(0) || lkRow.isNullAt(1)) {
+          // NULL left key/time: no match by contract
+          resultProj(joined(lRow, nullPayload))
+        } else {
+          // advance the right side through every row at-or-before (key, time);
+          // right NULL key/time rows were pre-filtered by the logical build
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkRow = rkt(rBuf.head)
+            if (cmp(rkRow, lkRow) <= 0) {
+              carriedKey = rkRow.get(0, keyDt) match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                case v => v
+              }
+              carriedPayload = rPayload(rBuf.next()).copy()
+            } else advancing = false
+          }
+          val matched = carriedPayload != null &&
+            keyOrd.compare(carriedKey, lkRow.get(0, keyDt)) == 0
+          resultProj(joined(lRow, if (matched) carriedPayload else nullPayload))
+        }
+      }
+    }
+  }
+}
+
+/** Library entry point: builds the logical node from analyzed children,
+  * registers the strategy on the session (idempotent), and hands back a
+  * DataFrame. Column-name based, like every other graft operator.
+  */
+object AsOfMergeJoin {
+
+  def registerStrategy(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightAttrs: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    registerStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val rk = attr(rPlan, rightKey)
+    val rt = attr(rPlan, rightTime)
+    require(attr(lPlan, leftKey).dataType == rk.dataType,
+      "as-of key types must match")
+    require(attr(lPlan, leftTime).dataType == rt.dataType,
+      "as-of time types must match")
+    // SQL ASOF contract: NULL-key/time right rows can never be "the most
+    // recent" — drop them before the merge (same as the window form)
+    val rFiltered = Filter(And(IsNotNull(rk), IsNotNull(rt)), rPlan)
+    val node = AsOfJoinNode(lPlan, rFiltered,
+      attr(lPlan, leftKey), rk, attr(lPlan, leftTime), rt,
+      rightAttrs.map(attr(rPlan, _)))
+    GraftPlanShim.ofRows(spark, node)
+  }
+}

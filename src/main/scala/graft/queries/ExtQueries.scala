@@ -1252,6 +1252,35 @@ object ExtQueries {
           .orderBy("event_id")
       }),
 
+    // ----- as-of join via the CUSTOM PHYSICAL OPERATOR -----------------------
+    // Same query as asof_event_order, executed by AsOfMergeJoinExec (custom
+    // LogicalPlan + Strategy + SparkPlan): children clustered on the key,
+    // sorted (key, time), one-pass merge with O(1) carried state — no
+    // union, no window. Must hash-match the identical DuckDB ASOF oracle.
+    GQ("asof_event_order_merge",
+      Some("""WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |                     ORDER BY o_orderkey DESC) AS rn FROM orders),
+             |rr AS (SELECT * FROM r WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+             |FROM events e ASOF LEFT JOIN rr
+             |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
+             |ORDER BY e.event_id""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
+          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        graft.plans.AsOfMergeJoin.asOf(
+          Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+          orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightAttrs = Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      }),
+
     // ----- as-of join with tolerance (max staleness) -------------------------
     // Same backward as-of as asof_event_order, but a match older than 30
     // days is discarded (NULL attrs, like no-match) — the "stale quote is

@@ -1,0 +1,78 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+import graft.ops.{AggOps, AsOfJoin}
+
+/** The custom-physical-operator as-of join must be row-identical to the
+  * union+window form on every contract point, and its plan must be the
+  * declared shape: the custom exec fed by clustered+sorted children.
+  */
+class AsOfMergeJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hand fixture: ties visible, per-key carry, no-match rows NULL") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 11:00:00"), 2.0),
+      ("B", ts("2024-01-01 10:30:00"), 9.0),
+    ).toDF("k", "t", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:59:00"), 10L), // before any quote -> null
+      ("A", ts("2024-01-01 10:00:00"), 11L), // tie -> 10:00 quote visible
+      ("A", ts("2024-01-01 10:59:59"), 12L),
+      ("A", ts("2024-01-01 12:00:00"), 13L),
+      ("B", ts("2024-01-01 11:00:00"), 14L),
+      ("C", ts("2024-01-01 11:00:00"), 15L), // no key -> null
+    ).toDF("k", "t", "qty")
+    val out = AsOfMergeJoin.asOf(trades, quotes, "k", "k", "t", "t", Seq("px"))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(10L -> None, 11L -> Some(1.0), 12L -> Some(1.0),
+      13L -> Some(2.0), 14L -> Some(9.0), 15L -> None))
+  }
+
+  test("merge exec ≡ union+window form on testdata (events × orders)") {
+    // o_orderdate parquet-reads as TIMESTAMP_NTZ; the merge exec's contract
+    // demands identical time types (UTC session: the cast is identity)
+    val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, sfDir),
+      Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val window = AsOfJoin.asOf(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+    val merge = AsOfMergeJoin.asOf(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+    assert(merge.count() === events.count(), "exactly the left rows")
+    assert(merge.exceptAll(window).isEmpty && window.exceptAll(merge).isEmpty,
+      "custom exec must be row-identical to the window form")
+  }
+
+  test("plan shape: custom exec present, children clustered and sorted") {
+    val quotes = Seq(("A", 10L, 1.0)).toDF("k", "t", "px")
+    val trades = Seq(("A", 11L, 5L)).toDF("k", "t", "qty")
+    val df = AsOfMergeJoin.asOf(trades, quotes, "k", "k", "t", "t", Seq("px"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfMergeJoin"), s"custom exec missing:\n$p")
+    assert(p.contains("Sort"), s"EnsureRequirements must insert the (key,time) sorts:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"the whole point: no union, no window state:\n$p")
+  }
+
+  test("NULL left key gets no match; NULL-attr right rows carry as NULL") {
+    val quotes = Seq((Some("A"), 10L, Option.empty[Double]),
+      (Some("A"), 5L, Some(1.0))).toDF("k", "t", "px")
+    val trades = Seq((Some("A"), 20L, 1L), (Option.empty[String], 20L, 2L))
+      .toDF("k", "t", "qty")
+    val out = AsOfMergeJoin.asOf(trades, quotes, "k", "k", "t", "t", Seq("px"))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === None, "matched row's own NULL px stays NULL (no backfill)")
+    assert(out(2L) === None, "NULL left key never matches")
+  }
+}
