@@ -28,6 +28,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `rightTime <= leftTime` per key (ties visible), NULL right keys/times
   * never match (pre-filtered), NULL left keys/times get no match, all
   * carried attrs come from the SAME matched row.
+  *
+  * Measured trade (sf0.1, local[32]): on unbucketed inputs the codegen'd
+  * window form wins (~0.35 s vs ~1.3 s — this exec's merge loop is
+  * interpreted). On CO-BUCKETED children the exec plans with ZERO
+  * exchanges (AsOfMergeJoinSpec proves it) while the union form always
+  * pays its full shuffle — at fact-scale inputs the exchange dominates,
+  * which is why this operator exists.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,

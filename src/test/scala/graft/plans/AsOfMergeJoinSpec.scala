@@ -65,6 +65,40 @@ class AsOfMergeJoinSpec extends AnyFunSuite with SparkSpec {
       s"the whole point: no union, no window state:\n$p")
   }
 
+  test("the exec's raison d'être: co-bucketed children join with ZERO exchanges") {
+    // the union+window form can NEVER elide its shuffle (the union of both
+    // sides has no pre-existing partitioning); the custom exec declares
+    // ClusteredDistribution per child, so bucketed tables satisfy it as-is
+    spark.sql("CREATE DATABASE IF NOT EXISTS asof_db")
+    Seq("trades_b", "quotes_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS asof_db.$t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"asof_db.db/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Tables.events(spark, sfDir).select($"user_id", $"ts", $"value")
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("asof_db.trades_b")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey", "o_orderdate")
+      .saveAsTable("asof_db.quotes_b")
+    val df = AsOfMergeJoin.asOf(
+      spark.table("asof_db.trades_b"), spark.table("asof_db.quotes_b"),
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_totalprice"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      s"co-bucketed as-of must read bucket-local, shuffle NOTHING:\n$p")
+    assert(p.contains("AsOfMergeJoin") && p.contains("Bucketed: true"),
+      s"custom exec over bucketed scans expected:\n$p")
+    assert(df.count() === spark.table("asof_db.trades_b").count())
+  }
+
   test("NULL left key gets no match; NULL-attr right rows carry as NULL") {
     val quotes = Seq((Some("A"), 10L, Option.empty[Double]),
       (Some("A"), 5L, Some(1.0))).toDF("k", "t", "px")
