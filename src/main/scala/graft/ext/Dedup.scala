@@ -472,11 +472,15 @@ object Dedup {
     val d = df.select(col(idCol).as("id"),
       substring(trim(col(textCol)), 1, prefixLen).as("pfx"),
       split_part(trim(col(textCol)), lit(" "), lit(1)).as("blk"))
-    val a = d.withColumnsRenamed(Map("id" -> "id_a", "pfx" -> "pfx_a"))
-    val b = d.withColumnsRenamed(Map("id" -> "id_b", "pfx" -> "pfx_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
-      .filter(col("dist") <= maxDist)
+    val a = d.withColumnsRenamed(Map("id" -> "id_a", "pfx" -> "pfx_a", "blk" -> "blk_a"))
+    val b = d.withColumnsRenamed(Map("id" -> "id_b", "pfx" -> "pfx_b", "blk" -> "blk_b"))
+    // thresholded levenshtein (banded DP, early exit: O(len·k) not O(len²),
+    // returns -1 above the bound) INSIDE the join condition: non-matching
+    // pairs die in the join without ever constructing an output row
+    val dist = levenshtein(col("pfx_a"), col("pfx_b"), maxDist)
+    a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b")
+        && dist >= 0)
+      .withColumn("dist", dist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 }
