@@ -134,5 +134,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       .toDF("user_id", "ts", "event_type")
     assert(Sessionize.funnel(emptyEv, "user_id", "ts", "event_type", Seq("a", "b"))
       .select("users").as[Long].collect().toSeq === Seq(0L, 0L))
+    assert(Sessionize.cohortRetention(emptyEv.drop("event_type")
+      .withColumn("ts", col("ts")), "user_id", "ts").count() === 0)
+    assert(Dedup.fuzzyPairsBlocked(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(graft.ops.Merge.snapshotDiff(emptyKV, emptyKV, "id", Seq("v")).count() === 0)
+    assert(graft.ops.Profile.equiDepthHistogram(emptyKV, "v", 4).count() === 0)
+    assert(AggOps.mergeAggState(
+      AggOps.buildAggState(emptyKV, Seq("g"), "v"),
+      AggOps.buildAggState(emptyKV, Seq("g"), "v"), Seq("g")).count() === 0)
+    // custom physical operator: empty left side, empty right side
+    val tl = Seq((1L, 2L, 3L)).toDF("k", "t", "q")
+    val tr = Seq((1L, 2L, 3L)).toDF("k", "t", "w")
+    assert(graft.plans.AsOfMergeJoin.asOf(tl.filter(col("k") < 0), tr,
+      "k", "k", "t", "t", Seq("w")).count() === 0)
+    assert(graft.plans.AsOfMergeJoin.asOf(tl, tr.filter(col("k") < 0),
+      "k", "k", "t", "t", Seq("w")).select("w").as[Option[Long]].head().isEmpty)
   }
 }
