@@ -196,6 +196,21 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       s"no join belongs in the window form:\n$p")
   }
 
+  test("emb_group_centroid: ONE aggregate pair — partials shuffle labels·dims, not vectors·dims") {
+    val p = plan("emb_group_centroid")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"centroid must shuffle once, on (label,pos):\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"map-side partial aggregation must precede the exchange:\n$p")
+  }
+
+  test("cohort_retention: no window, no cartesian — distinct/agg/join pipeline only") {
+    val p = plan("cohort_retention")
+    assert(!p.contains("Window"), s"cohorting must not window the event stream:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join is a keyed equi-join:\n$p")
+  }
+
   test("share_of_total: global ratio via broadcast one-row agg, NOT a global window") {
     val p = plan("share_of_total")
     // the global total DOES funnel through one task — but only PARTIAL
