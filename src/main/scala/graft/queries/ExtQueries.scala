@@ -1189,6 +1189,41 @@ object ExtQueries {
           maxDist = 12, prefixLen = 40)
           .orderBy("id_a", "id_b")),
 
+    // ----- per-source corpus curation report ---------------------------------
+    // The daily data-curation dashboard: docs, tokens, exact-dup rate
+    // (distinct fingerprints), mean length per source. Built as a TWO-LEVEL
+    // aggregate — (source, fingerprint) partials, then per-source rollup —
+    // so the distinct count never plans the multi-distinct Expand that
+    // doubles every input row (the Profile.summarize discipline;
+    // PlanCheckSpec asserts no Expand).
+    GQ("corpus_report",
+      Some("""WITH f AS (SELECT source,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS tc, n_chars
+             |  FROM documents),
+             |g AS (SELECT source, fp, count(*) AS c, CAST(sum(tc) AS BIGINT) AS t,
+             |        CAST(sum(n_chars) AS BIGINT) AS ch
+             |      FROM f GROUP BY 1, 2)
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             |  CAST(sum(t) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_unique,
+             |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS avg_chars
+             |FROM g GROUP BY source ORDER BY source""".stripMargin),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("source"), TextOps.fingerprint(col("text")).as("fp"),
+            TextOps.tokenCount(col("text")).as("tc"), col("n_chars"))
+          .groupBy("source", "fp")
+          .agg(count(lit(1)).as("c"), sum(col("tc")).cast("long").as("t"),
+            sum(col("n_chars")).cast("long").as("ch"))
+          .groupBy("source")
+          .agg(sum(col("c")).cast("long").as("n_docs"),
+            sum(col("t")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_unique"),
+            round(sum(col("ch")).cast("double") / sum(col("c")).cast("double"), 4)
+              .as("avg_chars"))
+          .orderBy("source")),
+
     // ----- cohort retention triangle -----------------------------------------
     // Users cohort by the epoch-week of their first event; each cell counts
     // distinct users of the cohort active `offset` weeks later. Activity

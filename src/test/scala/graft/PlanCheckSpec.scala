@@ -204,6 +204,14 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       s"map-side partial aggregation must precede the exchange:\n$p")
   }
 
+  test("corpus_report: distinct-count via two-level agg — no multi-distinct Expand") {
+    val p = plan("corpus_report")
+    assert(!p.contains("Expand"),
+      s"mixing count(DISTINCT) with plain aggs must not Expand every row:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"two keyed exchanges max ((source,fp) then source):\n$p")
+  }
+
   test("cohort_retention: no window, no cartesian — distinct/agg/join pipeline only") {
     val p = plan("cohort_retention")
     assert(!p.contains("Window"), s"cohorting must not window the event stream:\n$p")
