@@ -166,6 +166,20 @@ object AsOfMergeJoin {
       "as-of key types must match")
     require(attr(lPlan, leftTime).dataType == rt.dataType,
       "as-of time types must match")
+    // the merge loop carries the matched key across iterator steps; atomic
+    // values are immutable (UTF8String explicitly cloned) but array/struct
+    // keys would alias the projection's reused buffer — reject them rather
+    // than corrupt silently
+    def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.MapType
+           | _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
+    require(atomic(rk.dataType),
+      s"as-of join key must be an atomic type, got ${rk.dataType.sql}")
+    require(atomic(rt.dataType),
+      s"as-of time must be an atomic type, got ${rt.dataType.sql}")
     // SQL ASOF contract: NULL-key/time right rows can never be "the most
     // recent" — drop them before the merge (same as the window form)
     val rFiltered = Filter(And(IsNotNull(rk), IsNotNull(rt)), rPlan)
