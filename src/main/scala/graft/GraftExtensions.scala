@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
+import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -59,6 +59,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items_mg"),
       (es: Seq[Expression]) => { requireArity("freq_items_mg", es, 2)
         FreqItems(es(0), intLit(es(1))) }),
+    ("percentile_compact",
+      new ExpressionInfo(classOf[PercentileCompact].getName, "percentile_compact"),
+      (es: Seq[Expression]) => { requireArity("percentile_compact", es, 2)
+        PercentileCompact(es(0), doubleArrayLit(es(1))) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =
@@ -77,6 +81,21 @@ object GraftExtensions {
         org.apache.spark.sql.types.StringType)
     require(!arr.contains(null), "lexicon entries must not be NULL")
     arr.toSeq.map(_.toString)
+  }
+
+  /** Evaluate a foldable array-of-doubles argument (e.g. `array(0.25, 0.5)`). */
+  private def doubleArrayLit(e: Expression): Seq[Double] = {
+    require(e.foldable, "probs argument must be a literal array of doubles")
+    val v = e.eval(null)
+    require(v != null, "probs argument must not be NULL")
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq
+      case dt => throw new IllegalArgumentException(
+        s"probs must be array<double>, got ${dt.sql}")
+    }
   }
 
   /** Register on an already-built session. */

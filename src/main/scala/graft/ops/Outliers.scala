@@ -43,24 +43,37 @@ object Outliers {
     * 50%, not 0) — the estimator of choice when the spikes you hunt are
     * also the rows poisoning the statistics.
     *
-    * Shape: two grouped exact-percentile aggregates with join-backs (the
-    * group-cardinality relations — AQE broadcasts them when small). Exact
-    * medians ARE a sort-based aggregate; at whale-group scale swap
-    * `approx_percentile` in, same shape.
+    * Shape: two exact-median fence relations with join-backs (the
+    * group-cardinality relations — AQE broadcasts them when small). The
+    * medians come from [[graft.functions.PercentileCompact]] — a single
+    * pass per fence with a flat primitive buffer, severalfold faster than
+    * the built-in `percentile`'s boxed value-histogram and bit-identical to
+    * it. Buffer state is still O(group size): for whale-scale groups
+    * (≳10⁸ values each) set `boundedState = true` to route through
+    * [[QuantileSelect.groupPercentile]] — two-round distributed selection,
+    * O(n_g/accuracy) state, same bits, roughly twice the scan work.
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  k: Double, roundTo: Int = 4): DataFrame = {
+                  k: Double, roundTo: Int = 4,
+                  boundedState: Boolean = false): DataFrame = {
     val v = col(valueCol)
-    // NOTE: no localCheckpoint here even though three consumers re-run the
-    // upstream plan — measured at sf0.1 the eager materialization costs
+    // NOTE: no localCheckpoint of DF here even though three consumers re-run
+    // the upstream plan — measured at sf0.1 the eager materialization costs
     // MORE than re-scanning a pruned parquet branch (checkpoint breaks
     // whole-stage fusion and blocks). Callers with an expensive upstream
-    // should checkpoint BEFORE calling, as CorpusClean.run does.
-    val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    // should checkpoint BEFORE calling, as CorpusClean.run does. The FENCE
+    // relations on the bounded path ARE checkpointed: one row per group, and
+    // without it the med machinery re-executes inside every mad subtree.
+    def fences(in: DataFrame, value: Column, out: String): DataFrame =
+      if (boundedState)
+        QuantileSelect.groupPercentile(in, groupCols, value, 0.5, out)
+          .localCheckpoint()
+      else in.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.PercentileCompact
+          .percentileCompact(value, 0.5).as(out))
+    val med = fences(df, v, "med")
     val withMed = df.join(med, groupCols)
-    val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    val mad = fences(withMed, abs(v - col("med")), "mad")
     withMed.join(mad, groupCols)
       .withColumn("rz",
         round((v - col("med")) / (lit(1.4826) * nullif(col("mad"), lit(0.0))), roundTo))
@@ -74,15 +87,21 @@ object Outliers {
     *
     * Shape: ONE grouped exact-percentile aggregate + join-back (the
     * group-cardinality relation — AQE broadcasts it when small); the clamp
-    * itself is a scan expression. Same approx_percentile swap as
-    * [[madOutliers]] at whale-group scale.
+    * itself is a scan expression. Both fences ride one
+    * [[graft.functions.PercentileCompact]] buffer (flat primitive state,
+    * bit-identical to the built-in); same
+    * [[QuantileSelect.groupPercentile]] swap as [[madOutliers]] at
+    * whale-group scale.
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
     val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
-        expr(s"percentile($valueCol, $pHi)").as("hi"))
+      .agg(graft.functions.PercentileCompact
+        .percentileCompact(col(valueCol), Seq(pLo, pHi)).as("__f"))
+      .select(col("*"), col("__f").getItem(0).as("lo"),
+        col("__f").getItem(1).as("hi"))
+      .drop("__f")
     df.join(fences, groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("lo")), col("hi")))

@@ -75,22 +75,20 @@ object Profile {
     * equi-width `floor(x/width)` histogram — one hot region can't empty
     * every other bin).
     *
-    * Shape at 100 TB: one percentile aggregate collects the b−1 fences to
-    * the driver (bounded state — b−1 doubles, the globalIndex contract),
-    * which are inlined as literal comparisons: the bucketing pass is pure
-    * codegen'd scan + one count aggregate. (A broadcast-cross-join of the
-    * one-row fence relation was measured 6× slower — BroadcastNestedLoopJoin
-    * leaves whole-stage codegen.) Exact percentile is itself sort-based —
-    * swap `approx_percentile` at whale scale, same shape. Rows equal to a
-    * fence go to the LOWER bucket (strict `<`), so bucket ranges stay
-    * contiguous under ties.
+    * Shape at 100 TB: the b−1 EXACT fences come from
+    * [[QuantileSelect.exactPercentiles]] (two-round distributed selection —
+    * bounded state everywhere, never the whole-column value-histogram
+    * aggregate built-in `percentile` pays) and are inlined as literal
+    * comparisons: the bucketing pass is pure codegen'd scan + one count
+    * aggregate. (A broadcast-cross-join of the one-row fence relation was
+    * measured 6× slower — BroadcastNestedLoopJoin leaves whole-stage
+    * codegen.) Rows equal to a fence go to the LOWER bucket (strict `<`),
+    * so bucket ranges stay contiguous under ties.
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String, b: Int): DataFrame = {
     require(b >= 2, "need at least 2 buckets")
-    val probs = (1 until b).map(j => j.toDouble / b).mkString("array(", ",", ")")
-    val fenceRow = df.agg(expr(s"percentile($valueCol, $probs)")).head()
-    val fences: Seq[Double] =
-      if (fenceRow.isNullAt(0)) Seq.empty else fenceRow.getSeq[Double](0)
+    val fences: Seq[Double] = QuantileSelect.exactPercentiles(
+      df, valueCol, (1 until b).map(j => j.toDouble / b))
     // bucket = number of fences strictly below the value (x > f ⇔ f < x)
     val bucket = fences.foldLeft(lit(0))((acc, f) =>
       acc + when(col(valueCol) > lit(f), 1).otherwise(0))

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact percentiles WITHOUT the value-histogram aggregate.
+  *
+  * Spark's built-in exact `percentile` materializes a value→count map of the
+  * whole column per partition (`OpenHashMap` state): on near-unique doubles
+  * the aggregate state IS the column — the one shape that cannot survive a
+  * 100× scale-up. This implements classic two-round distributed selection
+  * instead:
+  *
+  *   round 1  `approx_percentile` brackets each requested rank with a
+  *            [lo, hi] VALUE band; the sketch's guaranteed rank error
+  *            (±n/accuracy) bounds the band population to ~8·n/accuracy rows;
+  *   round 2  one narrow scan counts rows strictly below each `lo` and
+  *            (after a cardinality guard) collects the band's values — the
+  *            exact order statistics at floor/ceil(p·(n−1)) are read off the
+  *            sorted band and interpolated with the same
+  *            `(higher−pos)·v_lo + (pos−lower)·v_hi` formula Spark's exact
+  *            `percentile` uses, so results are bit-identical to it (and to
+  *            DuckDB `percentile_cont`, the a9-proven pairing).
+  *
+  * State is bounded everywhere: the sketch is O(accuracy·log n), the band is
+  * O(n/accuracy) — pick accuracy ≈ √n at whale scale and no participant ever
+  * holds more than ~√n values. Heavy ties at a fence can still inflate a band
+  * past `bandCap`; the guard detects any bracket/cap miss and falls back to
+  * the built-in exact aggregate (correct, just the slow shape).
+  *
+  * Non-NaN numeric domain (NaN's comparison semantics differ between the
+  * sketch and the ordering; the built-in has the same caveat). Callers with
+  * an expensive upstream should cache it — the selection runs 2–3 actions
+  * over `df` (same contract as [[Profile.summarize]]).
+  */
+object QuantileSelect {
+
+  /** Exact `percentile(valueCol, probs)` as driver-side values (for callers
+    * that inline fences as literals — the globalIndex/equi-depth pattern).
+    * Empty result ⇔ no non-null rows.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+                       accuracy: Int = 10000,
+                       bandCap: Long = 4000000L): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be in [0, 1]")
+    val v = col(valueCol).cast("double")
+    val margin = 4.0 / accuracy
+    val loP = probs.map(p => math.max(0.0, p - margin))
+    val hiP = probs.map(p => math.min(1.0, p + margin))
+    // Scala toString renders shortest-round-trip doubles — the SQL parser
+    // recovers identical bits
+    val brSql = (loP ++ hiP).mkString("array(", ",", ")")
+    val r1 = df.agg(count(v).as("n"),
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), $brSql, $accuracy)")
+        .as("br")).head()
+    val n = r1.getLong(0)
+    if (n == 0L) return Seq.empty
+    val br = r1.getSeq[Double](1)
+    val lo = br.take(probs.size)
+    val hi = br.drop(probs.size)
+
+    def inBand(j: Int): Column = v >= lit(lo(j)) && v <= lit(hi(j))
+    val countAggs = probs.indices.flatMap { j =>
+      Seq(coalesce(sum(when(v < lit(lo(j)), 1L)), lit(0L)).as(s"below_$j"),
+        coalesce(sum(when(inBand(j), 1L)), lit(0L)).as(s"band_$j"))
+    }
+    val c = df.agg(countAggs.head, countAggs.tail: _*).head()
+    val below = probs.indices.map(j => c.getLong(2 * j))
+    val bandN = probs.indices.map(j => c.getLong(2 * j + 1))
+
+    val positions = probs.map(_ * (n - 1))
+    val covered = probs.indices.forall { j =>
+      val lower = math.floor(positions(j)).toLong
+      val higher = math.ceil(positions(j)).toLong
+      below(j) <= lower && higher < below(j) + bandN(j) && bandN(j) <= bandCap
+    } && bandN.sum <= bandCap
+    if (!covered) {
+      // bracket miss (heavy ties / sketch edge) — the built-in exact
+      // aggregate is the deterministic safety net
+      val psSql = probs.mkString("array(", ",", ")")
+      val row = df.agg(
+        expr(s"percentile(CAST($valueCol AS DOUBLE), $psSql)")).head()
+      return if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+    }
+
+    // collect the union of all bands through a codegen'd range filter (the
+    // counts pass above already proved the result fits `bandCap`) and slice
+    // per-band on the driver — measured ~2× cheaper than collect_list
+    // aggregates (ObjectHashAggregate leaves whole-stage codegen)
+    val bandRows = df.filter(probs.indices.map(inBand).reduce(_ || _))
+      .select(v.as("__v")).collect()
+    val all = bandRows.map(_.getDouble(0))
+    java.util.Arrays.sort(all)
+    probs.indices.map { j =>
+      val pos = positions(j)
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      val vals = all.filter(x => x >= lo(j) && x <= hi(j))
+      val vLo = vals((lower - below(j)).toInt)
+      if (lower == higher) vLo
+      else (higher - pos) * vLo + (pos - lower) * vals((higher - below(j)).toInt)
+    }
+  }
+
+  /** Exact per-group `percentile(valueExpr, prob)` as a fence RELATION
+    * (groupCols + `outCol`) — the join-back shape [[Outliers.madOutliers]]
+    * uses. Fully relational: no driver state at any group cardinality; the
+    * per-group aggregate state is the O(n_g/accuracy) band, not the value
+    * histogram. A bracket miss raises a loud error (never a silently wrong
+    * fence) — rerun with higher accuracy; all-null groups yield NULL like
+    * the built-in.
+    */
+  def groupPercentile(df: DataFrame, groupCols: Seq[String], valueExpr: Column,
+                      prob: Double, outCol: String,
+                      accuracy: Int = 10000): DataFrame = {
+    require(prob >= 0.0 && prob <= 1.0, "prob must be in [0, 1]")
+    require(groupCols.nonEmpty, "group by at least one column")
+    val g = groupCols.map(col)
+    val work = df.select(g :+ valueExpr.cast("double").as("__v"): _*)
+    val margin = 4.0 / accuracy
+    val pLo = math.max(0.0, prob - margin)
+    val pHi = math.min(1.0, prob + margin)
+    val sketch = work.groupBy(g: _*).agg(
+      expr(s"approx_percentile(__v, array($pLo, $pHi), $accuracy)").as("__br"))
+    // fence relation is one row per group — AQE broadcasts it; the probe
+    // side is NOT re-shuffled, and the second aggregate's map-side partials
+    // (two sums + the band list) keep the exchange tiny
+    val joined = work.join(sketch, groupCols)
+      .withColumn("__lo", col("__br").getItem(0))
+      .withColumn("__hi", col("__br").getItem(1))
+    val vv = col("__v")
+    val agg = joined.groupBy(g: _*).agg(
+      count(vv).as("__n"),
+      coalesce(sum(when(vv < col("__lo"), 1L)), lit(0L)).as("__below"),
+      sort_array(collect_list(when(vv >= col("__lo") && vv <= col("__hi"), vv)))
+        .as("__band"))
+
+    val nM1 = (col("__n") - 1).cast("double")
+    val pos = lit(prob) * nM1
+    val lower = floor(pos)
+    val higher = ceil(pos)
+    val idxLo = (lower - col("__below") + 1).cast("int")
+    val idxHi = (higher - col("__below") + 1).cast("int")
+    val okCoverage = col("__below") <= lower &&
+      (higher - col("__below")) < size(col("__band"))
+    val vLo = element_at(col("__band"), idxLo)
+    val vHi = element_at(col("__band"), idxHi)
+    val fence = when(col("__n") === 0L, lit(null).cast("double"))
+      .when(!okCoverage, raise_error(lit(
+        s"graft.QuantileSelect.groupPercentile($outCol): rank bracket miss " +
+          s"(heavy ties at the fence?) — rerun with accuracy > $accuracy"))
+        .cast("double"))
+      .when(lower === higher, vLo)
+      .otherwise((higher - pos) * vLo + (pos - lower) * vHi)
+    agg.select(g :+ fence.as(outCol): _*)
+  }
+}
