@@ -408,27 +408,34 @@ object Dedup {
     * batch). This is the production loop — each run appends its survivors'
     * fingerprints to the history table and never re-reads old text.
     *
-    * Shape at 100 TB: the batch shuffles 16-byte digests (not documents)
-    * for the in-batch dedup; the history side is a semi-join on the same
-    * digest — broadcastable while the DAILY increment's history partition
-    * stays small, hash-join otherwise. No O(n²) anywhere.
+    * Shape at 100 TB: the in-batch survivor is a `min_by` hash aggregate on
+    * the 16-byte digest — map-side partials collapse each partition to one
+    * candidate per fingerprint BEFORE the single exchange (a window
+    * row_number would shuffle every row, then sort). The history anti-join
+    * runs AFTER the aggregate, on the already-deduped (smaller) side, and
+    * reuses its hash partitioning — broadcast while the DAILY increment's
+    * history partition stays small, partition-aligned hash-join otherwise.
+    * No O(n²), no sort, one exchange of the batch.
     */
   def dedupIncremental(batch: DataFrame, idCol: String, textCol: String,
                        historyFps: DataFrame): DataFrame = {
     // NULL-text rows have a NULL fingerprint: the anti join keeps them all
     // past the history check (NULL never matches — anti-join/NOT EXISTS
     // semantics, which the oracle mirrors), then they dedup among
-    // themselves as one group. Exactly ONE survivor per fingerprint even
-    // for full-row duplicates (row_number, not min-id equality — a replayed
-    // identical row must not survive twice). Temp names are graft-prefixed
-    // so a caller's own columns can't be clobbered.
+    // themselves as one group (groupBy collects NULL keys into one group).
+    // Exactly ONE survivor per fingerprint even for full-row duplicates
+    // (min_by yields a single struct — a replayed identical row must not
+    // survive twice). Anti-join-then-dedup and dedup-then-anti-join commute
+    // (a fingerprint is either fully dropped or keeps its min-id row), so
+    // the aggregate runs first on purpose. Temp names are graft-prefixed so
+    // a caller's own columns can't be clobbered.
     val fp = "__graft_fp"
     batch.withColumn(fp, TextOps.fingerprint(col(textCol)))
+      .groupBy(col(fp))
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol))
+        .as("__graft_row"))
       .join(historyFps.select(col("fp").as(fp)), Seq(fp), "left_anti")
-      .withColumn("__graft_rn",
-        row_number().over(Window.partitionBy(col(fp)).orderBy(col(idCol).asc)))
-      .filter(col("__graft_rn") === 1)
-      .drop(fp, "__graft_rn")
+      .select(col("__graft_row.*"))
   }
 
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.

@@ -66,6 +66,17 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       "window form must not join at all")
   }
 
+  test("dedup_incremental: ONE exchange of the batch (min_by partial agg), " +
+    "no window sort of full rows") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("Window"), s"survivor must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"no map-side partial aggregation before the exchange:\n$p")
+    // batch agg exchange + (at most) the tiny history side of the anti join
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
     val p = plan("dedup_embedding_cosine")
     assert(p.contains("float_vector_dot"), s"custom expression not used:\n$p")
