@@ -147,14 +147,17 @@ object TextOps {
     * Shape at scale: one shuffle to (doc, term) counts, one term-keyed
     * aggregate for document frequency (computed from the tf relation, which
     * is already deduped — never re-shuffles the raw token stream), corpus
-    * size joined in as a broadcast scalar, and a per-doc window for the
-    * top-k. Ranking uses the ROUNDED score (6 dp) so a 1-ulp `ln`
-    * difference between engines cannot flip the order.
+    * size joined in as a broadcast scalar, and a per-doc top-k AGGREGATE:
+    * each doc's scored terms are collected, comparator-sorted and sliced
+    * in-group — a window row_number here would shuffle AND globally sort
+    * every scored term; the aggregate's state is one doc's own terms
+    * (bounded by document length) and there is no sort node in the plan.
+    * Ranking uses the ROUNDED score (6 dp) so a 1-ulp `ln` difference
+    * between engines cannot flip the order.
     *
     * Output: (doc_id, term, tfidf, rank), rank 1-based.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -164,10 +167,17 @@ object TextOps {
       .withColumn("tfidf",
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 6))
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("doc_id", "term", "tfidf", "rank")
+    // (tfidf desc, term asc) as a DEFAULT ascending struct sort on
+    // (−tfidf, term): no comparator lambda (a per-comparison interpreted
+    // CaseWhen). Scores are rounded finite doubles, so negation is a total
+    // order flip (−0.0 entries only ever tie with each other).
+    scored.groupBy("doc_id")
+      .agg(collect_list(struct(negate(col("tfidf")).as("neg"),
+        col("term").as("term"), col("tfidf").as("tfidf"))).as("__ts"))
+      .select(col("doc_id"),
+        posexplode(slice(array_sort(col("__ts")), 1, k)))
+      .select(col("doc_id"), col("col.term").as("term"),
+        col("col.tfidf").as("tfidf"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Chunk documents into fixed-width token windows with stride — the
@@ -195,20 +205,36 @@ object TextOps {
     * the Gopher/MassiveText repetition battery ([[repeatedNgramFrac]] is the
     * duplicate-fraction half). Ties broken to the lexicographically smallest
     * gram so the winner is deterministic cross-engine. NULL when the doc has
-    * no n-grams. One (doc, gram) aggregate + a per-doc top-1 window.
+    * no n-grams.
+    *
+    * Shape: ZERO shuffles. The top gram is per-row arithmetic — sort the
+    * doc's own shingle array and take the longest equal-run (first run wins
+    * a tie, which IS the smallest gram in a sorted array). The previous
+    * explode → (doc, gram) count aggregate → per-doc top-1 window shuffled
+    * the whole exploded n-gram relation twice and sorted it; a document's
+    * mode n-gram never needed to leave the document's row.
     */
   def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = df
-      .select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"),
-        explode(shingles(col(textCol), n)).as("gram"))
-      .groupBy("doc_id", "n_chars", "gram").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)
-    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val sorted = sort_array(shingles(col(textCol), n))
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(null).cast("string").as("best"), lit(0L).as("best_run"))
+    val walk = aggregate(sorted, zero, (acc, g) => {
+      // run length of the current gram; prev is NULL on the first element,
+      // so the equality is NULL → otherwise(1) starts the first run
+      val run = when(acc.getField("prev") === g, acc.getField("run") + 1L)
+        .otherwise(1L)
+      struct(g.as("prev"), run.as("run"),
+        when(run > acc.getField("best_run"), g)
+          .otherwise(acc.getField("best")).as("best"),
+        when(run > acc.getField("best_run"), run)
+          .otherwise(acc.getField("best_run")).as("best_run"))
+    })
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"),
+        walk.as("__w"))
       .select(col("doc_id"),
-        round((col("c") * length(col("gram"))).cast("double") / col("n_chars"), 6)
-          .as("top_gram_char_frac"))
-    df.select(col(idCol).as("doc_id")).join(top, Seq("doc_id"), "left")
+        round((col("__w.best_run") * length(col("__w.best"))).cast("double")
+          / col("n_chars"), 6).as("top_gram_char_frac"))
   }
 
   /** Document fingerprint: digest of the whitespace-normalized, lowercased

@@ -77,6 +77,19 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("txt_top_ngram_frac: zero shuffles, zero windows — per-row sorted-run " +
+    "arithmetic") {
+    val p = plan("txt_top_ngram_frac")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"mode n-gram must not leave the document's row:\n$p")
+  }
+
+  test("txt_tfidf_top_terms: per-doc top-k is an aggregate, not a window sort") {
+    val p = plan("txt_tfidf_top_terms")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
     val p = plan("dedup_embedding_cosine")
     assert(p.contains("float_vector_dot"), s"custom expression not used:\n$p")
