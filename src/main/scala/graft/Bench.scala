@@ -60,6 +60,16 @@ object Bench {
     graft.streaming.StreamOps.eventsLandingWithSentinel(spark, sfDir)
     graft.streaming.StreamOps.eventsLandingWithDuplicates(spark, sfDir)
     graft.streaming.StreamOps.ordersChangesLanding(spark, sfDir)
+    // Same discipline for the custom as-of exec: its projection codegen,
+    // sort operators, and zipPartitions classes are per-JVM one-time costs
+    // that otherwise land on the first as-of gate. Synthetic range input —
+    // nothing a registry query could reuse.
+    val asofWarmQuotes = spark.range(0, 1000).selectExpr("id % 50 AS k",
+      "timestamp_micros(id * 1000000) AS t", "CAST(id AS DOUBLE) AS v")
+    val asofWarmTrades = spark.range(0, 1000).selectExpr("id % 50 AS k",
+      "timestamp_micros(id * 1000000 + 1) AS t")
+    graft.plans.AsOfMergeJoin.asOf(asofWarmTrades, asofWarmQuotes,
+      "k", "k", "t", "t", Seq("v")).count()
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // deterministic (sorted) execution order so JVM warm-up lands on the
     // same first query every round and per-query numbers compare across runs

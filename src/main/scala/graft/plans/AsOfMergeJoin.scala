@@ -79,8 +79,6 @@ case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val keyDt = leftKey.dataType
     val timeDt = leftTime.dataType
     val lOut = left.output
@@ -95,17 +93,27 @@ case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullPayload = new GenericInternalRow(attrs.length)
       val joined = new JoinedRow
+      // SPECIALIZED comparators resolved once per partition: primitive
+      // getLong/getInt/getUTF8String reads, no per-row boxing through the
+      // interpreted ordering (measured ~3× on the merge loop)
+      val keyCmp = AsOfMergeJoinExec.fieldComparator(keyDt, 0)
+      val timeCmp = AsOfMergeJoinExec.fieldComparator(timeDt, 1)
 
       val rBuf = rIter.buffered
-      // carried = the most recent right row consumed (its key + payload);
-      // copies are mandatory: projections reuse their buffers
-      var carriedKey: Any = null
+      // carried = the most recent right row consumed, as a COPIED (key,time)
+      // probe + payload; copies are mandatory: projections and the upstream
+      // sorter reuse their buffers
+      var carried: InternalRow = null
       var carriedPayload: InternalRow = null
+      // the CURRENT head's probe, projected once per distinct head: with
+      // left ≫ right most peeks re-see the same blocking head, and rkt's
+      // buffer is stable until rkt runs again (only ever on a fresh head)
+      var headProbe: InternalRow = null
 
       // lexicographic (key, time) compare; caller guarantees non-null sides
       def cmp(a: InternalRow, b: InternalRow): Int = {
-        val c = keyOrd.compare(a.get(0, keyDt), b.get(0, keyDt))
-        if (c != 0) c else timeOrd.compare(a.get(1, timeDt), b.get(1, timeDt))
+        val c = keyCmp(a, b)
+        if (c != 0) c else timeCmp(a, b)
       }
 
       lIter.map { lRow =>
@@ -118,20 +126,49 @@ case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
           // right NULL key/time rows were pre-filtered by the logical build
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val rkRow = rkt(rBuf.head)
-            if (cmp(rkRow, lkRow) <= 0) {
-              carriedKey = rkRow.get(0, keyDt) match {
-                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-                case v => v
-              }
+            if (headProbe == null) headProbe = rkt(rBuf.head)
+            if (cmp(headProbe, lkRow) <= 0) {
+              carried = headProbe.copy()
               carriedPayload = rPayload(rBuf.next()).copy()
+              headProbe = null
             } else advancing = false
           }
-          val matched = carriedPayload != null &&
-            keyOrd.compare(carriedKey, lkRow.get(0, keyDt)) == 0
+          val matched = carriedPayload != null && keyCmp(carried, lkRow) == 0
           resultProj(joined(lRow, if (matched) carriedPayload else nullPayload))
         }
       }
+    }
+  }
+}
+
+object AsOfMergeJoinExec {
+  /** Field comparator specialized to the physical type: primitive reads for
+    * the long/int-backed and string types (the overwhelmingly common as-of
+    * keys), Spark's SQL total order for floating point (NaN above all,
+    * −0.0 = 0.0), interpreted ordering as the general fallback. Both input
+    * rows are non-null at ordinal `i` by construction.
+    */
+  private[plans] def fieldComparator(
+      dt: org.apache.spark.sql.types.DataType, i: Int): (InternalRow, InternalRow) => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, b) => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+      case IntegerType | DateType =>
+        (a, b) => java.lang.Integer.compare(a.getInt(i), b.getInt(i))
+      case ShortType => (a, b) => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+      case ByteType => (a, b) => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+      case DoubleType => (a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(a.getDouble(i), b.getDouble(i))
+      case FloatType => (a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareFloats(a.getFloat(i), b.getFloat(i))
+      case StringType =>
+        (a, b) => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+      case other =>
+        val ord = TypeUtils.getInterpretedOrdering(other)
+        (a, b) => ord.compare(a.get(i, other), b.get(i, other))
     }
   }
 }
@@ -155,7 +192,20 @@ object AsOfMergeJoin {
     val spark = left.sparkSession
     registerStrategy(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlanRaw = right.queryExecution.analyzed
+    // SELF-JOIN guard: if the right plan shares exprIds with the left
+    // (events as-of'd to themselves), BindReferences would silently bind
+    // the right attrs to LEFT ordinals — built-in Join nodes get exprId
+    // dedup from the analyzer, a custom node must do it itself. Re-alias
+    // the right side with fresh exprIds.
+    val rPlan =
+      if (lPlan.output.map(_.exprId).toSet
+          .intersect(rPlanRaw.output.map(_.exprId).toSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlanRaw.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlanRaw)
+      else rPlanRaw
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -180,12 +230,19 @@ object AsOfMergeJoin {
       s"as-of join key must be an atomic type, got ${rk.dataType.sql}")
     require(atomic(rt.dataType),
       s"as-of time must be an atomic type, got ${rt.dataType.sql}")
+    // EXPLICIT column pruning: a custom logical node is opaque to
+    // Catalyst's ColumnPruning rule, so without this Project the right side
+    // drags its FULL schema through scan, exchange and sort (measured 3× on
+    // the child cost — the parquet scan read every column). Only the key,
+    // the time and the carried attrs may flow into the merge.
+    val rAttrs = rightAttrs.map(attr(rPlan, _))
+    val rPruned = org.apache.spark.sql.catalyst.plans.logical.Project(
+      (Seq(rk, rt) ++ rAttrs).distinct, rPlan)
     // SQL ASOF contract: NULL-key/time right rows can never be "the most
     // recent" — drop them before the merge (same as the window form)
-    val rFiltered = Filter(And(IsNotNull(rk), IsNotNull(rt)), rPlan)
+    val rFiltered = Filter(And(IsNotNull(rk), IsNotNull(rt)), rPruned)
     val node = AsOfJoinNode(lPlan, rFiltered,
-      attr(lPlan, leftKey), rk, attr(lPlan, leftTime), rt,
-      rightAttrs.map(attr(rPlan, _)))
+      attr(lPlan, leftKey), rk, attr(lPlan, leftTime), rt, rAttrs)
     GraftPlanShim.ofRows(spark, node)
   }
 }

@@ -53,6 +53,52 @@ class AsOfMergeJoinSpec extends AnyFunSuite with SparkSpec {
       "custom exec must be row-identical to the window form")
   }
 
+  test("SELF as-of join (shared exprIds): right attrs carry RIGHT values, " +
+    "not left-side ordinal aliases") {
+    // one DataFrame on both sides — without the fresh-exprId re-alias,
+    // BindReferences silently binds the right payload to left ordinals
+    val ev = Seq(
+      ("A", 10L, 100.0),
+      ("A", 20L, 200.0),
+      ("A", 30L, 300.0),
+    ).toDF("k", "t", "v")
+    val lagged = ev.withColumn("t", col("t") + 5) // probe strictly after each row
+    val out = AsOfMergeJoin.asOf(lagged, ev, "k", "k", "t", "t", Seq("v"))
+    // output has two 'v' columns (left then right payload) — read by position
+    val rows = out.collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(rows === Set((15L, 100.0, 100.0), (25L, 200.0, 200.0), (35L, 300.0, 300.0)))
+    // and a DERIVED self side (where left v was shifted) must not leak left values
+    val shifted = ev.withColumn("v", col("v") * 10)
+    val out2 = AsOfMergeJoin.asOf(shifted, ev, "k", "k", "t", "t", Seq("v"))
+    val got = out2.collect().map(r => (r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === Set((1000.0, 100.0), (2000.0, 200.0), (3000.0, 300.0)),
+      "right payload must be the ORIGINAL values, not the shifted left ones")
+  }
+
+  test("merge loop keeps within 2x of the codegen'd window form on " +
+    "unbucketed sf inputs (specialized comparators)") {
+    val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, sfDir),
+      Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .localCheckpoint()
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+      .localCheckpoint()
+    def timeIt(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once (codegen compile out of the measurement)
+    AsOfJoin.asOf(events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey")).count()
+    AsOfMergeJoin.asOf(events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey")).count()
+    val tw = timeIt(AsOfJoin.asOf(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey")).count())
+    val tm = timeIt(AsOfMergeJoin.asOf(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey")).count())
+    assert(tm <= tw * 2.0 + 0.25,
+      f"merge exec $tm%.2f s vs window $tw%.2f s — interpreted-loop regression")
+  }
+
   test("plan shape: custom exec present, children clustered and sorted") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("k", "t", "px")
     val trades = Seq(("A", 11L, 5L)).toDF("k", "t", "qty")
@@ -63,6 +109,23 @@ class AsOfMergeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Sort"), s"EnsureRequirements must insert the (key,time) sorts:\n$p")
     assert(!p.contains("Window") && !p.contains("Union"),
       s"the whole point: no union, no window state:\n$p")
+  }
+
+  test("right side is column-pruned to key+time+attrs all the way into the " +
+    "parquet scan (custom nodes are opaque to ColumnPruning — the builder " +
+    "must prune)") {
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val df = AsOfMergeJoin.asOf(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_totalprice"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ordersScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("o_custkey")).mkString
+    assert(ordersScan.nonEmpty, s"orders scan not found:\n$p")
+    assert(!ordersScan.contains("o_comment") && !ordersScan.contains("o_clerk"),
+      s"unused order columns leaked into the scan: $ordersScan")
   }
 
   test("the exec's raison d'être: co-bucketed children join with ZERO exchanges") {
