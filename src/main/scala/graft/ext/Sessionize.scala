@@ -138,8 +138,14 @@ object Sessionize {
     */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
                       weekSeconds: Long = 604800L): DataFrame = {
+    // FLOOR division, not `div`: Spark's div truncates toward zero while
+    // the week bucket must floor (DuckDB's `//` does) — they differ exactly
+    // on pre-1970 timestamps (negative epoch micros). pmod is non-negative,
+    // so (a − pmod(a, b)) div b is exact integer floor division.
+    val wkMicros = weekSeconds * 1000000L
     val uw = df.select(col(userCol).as("user"),
-        expr(s"unix_micros($tsCol) div 1000000 div $weekSeconds").as("w"))
+        expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${wkMicros}L))" +
+          s" div ${wkMicros}L").as("w"))
       .distinct()
     val cohort = uw.groupBy("user").agg(min(col("w")).as("cw"))
     uw.join(cohort, Seq("user"))

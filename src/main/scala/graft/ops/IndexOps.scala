@@ -33,6 +33,14 @@ object IndexOps {
   /** 1-based contiguous index in `orderCol` order. `orderCol` must be a
     * non-null numeric column and a total order (unique values) — equal keys
     * would make the global rank ambiguous on any engine.
+    *
+    * The input plan is EXECUTED THREE TIMES (quantile sketch, exact bucket
+    * counts, final query): `df` must be deterministic across actions —
+    * parquet scans and pure transforms are; `rand()`, unstable sampling, or
+    * a source mutating between actions are not, and would silently gap or
+    * duplicate indices. For such inputs pass `stabilize = true`, which
+    * materializes the bucketed relation once (localCheckpoint) and derives
+    * all three passes from the frozen copy.
     */
   /** `relativeError` only skews bucket BALANCE (a 0.01 error on a 1/64
     * boundary misplaces ≤1% of rows into the neighbor bucket), never the
@@ -41,8 +49,16 @@ object IndexOps {
     * first pass for no output difference.
     */
   def globalIndex(df: DataFrame, orderCol: String, outName: String = "idx",
-                  numBuckets: Int = 64, relativeError: Double = 0.01): DataFrame = {
+                  numBuckets: Int = 64, relativeError: Double = 0.01,
+                  stabilize: Boolean = false): DataFrame = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    if (stabilize) {
+      // freeze ONCE up front: the sketch, the counts and the final pass all
+      // read the same materialized rows, so a non-deterministic input
+      // cannot disagree with itself between actions
+      return globalIndex(df.localCheckpoint(), orderCol, outName,
+        numBuckets, relativeError, stabilize = false)
+    }
     // phase 1: boundary sketch. Distinct-sorted; duplicate quantiles (heavy
     // hitters / tiny inputs) would only create empty buckets, drop them.
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray

@@ -1173,16 +1173,31 @@ object ExtQueries {
           .orderBy("vec_id")),
 
     // ----- blocked fuzzy-match join (edit distance) --------------------------
-    // Record-linkage pattern: levenshtein only runs INSIDE first-token
-    // blocks, so the candidate join is a plain hash equi-join and the
-    // O(len²) distance touches block-local pairs only.
+    // Record-linkage pattern: levenshtein only runs inside first-token
+    // blocks PLUS a deletion-neighborhood (FastSS) secondary block that
+    // recovers first-token-typo pairs (tokens within ~1 edit share a
+    // deletion variant); candidate joins are plain hash equi-joins and the
+    // O(len²) distance touches block-local pairs exactly once each.
     GQ("fuzzy_join_blocked",
       Some("""WITH d AS (SELECT doc_id, substr(trim(text), 1, 40) AS pfx,
-             |             split_part(trim(text), ' ', 1) AS blk FROM documents)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-             |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-             |WHERE levenshtein(a.pfx, b.pfx) <= 12
+             |             split_part(trim(text), ' ', 1) AS b1 FROM documents),
+             |tv AS (SELECT b1, vk
+             |       FROM (SELECT DISTINCT b1 FROM d),
+             |            UNNEST(list_distinct(list_append(
+             |              [substr(b1, 1, g-1) || substr(b1, g+1, 1000000)
+             |               for g in range(1, least(len(b1), 24) + 1)], b1))) AS u(vk)
+             |       WHERE vk <> ''),
+             |nt AS (SELECT DISTINCT a.b1 AS t_a, b.b1 AS t_b
+             |       FROM tv a JOIN tv b ON a.vk = b.vk AND a.b1 <> b.b1),
+             |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |             a.pfx AS pfx_a, b.pfx AS pfx_b
+             |      FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+             |      UNION ALL
+             |      SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
+             |      FROM d a JOIN nt ON a.b1 = nt.t_a
+             |                JOIN d b ON b.b1 = nt.t_b AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS dist
+             |FROM c WHERE levenshtein(pfx_a, pfx_b) <= 12
              |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
         Dedup.fuzzyPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",

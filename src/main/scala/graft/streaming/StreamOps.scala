@@ -278,6 +278,15 @@ object StreamOps {
     * re-merge the same changes — applyChanges is idempotent per change-set
     * (re-upsert = same row, re-delete = no-op), so the swap converges.
     *
+    * The swap itself is rename-aside, never delete-first: the live
+    * snapshot moves to `_old`, the fresh one renames in, then `_old` is
+    * dropped. Every rename's return value is REQUIRED — a failed swap
+    * aborts the batch before the checkpoint commits its offsets — and a
+    * crash inside the swap window (snapshot aside, fresh not yet in) is
+    * healed at the next trigger by the aside-restore guard. The filesystem
+    * is resolved from the SNAPSHOT PATH, not the default FS, so an
+    * s3a://-style snapshot works under a file:// default.
+    *
     * This gate-scale form rewrites the WHOLE snapshot per trigger. At
     * 100 TB the snapshot is key-partitioned and each batch rewrites only
     * the partitions its change keys touch (semi-join the partition list,
@@ -292,14 +301,30 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        val aside = new org.apache.hadoop.fs.Path(snapshotPath + "_old")
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
+        val fs = dst.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        // heal a crash that landed inside a previous swap window: the old
+        // snapshot sits aside and dst is gone — put it back before reading
+        if (!fs.exists(dst) && fs.exists(aside))
+          require(fs.rename(aside, dst),
+            s"snapshot recovery failed: cannot restore $aside to $dst")
         val merged = graft.ops.Merge.applyChanges(
           ss.read.parquet(snapshotPath), batch, keyCol, opCol)
-        val tmp = snapshotPath + "_tmp"
-        merged.coalesce(outFiles).write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        merged.coalesce(outFiles).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(aside, true) // leftover from a completed earlier swap
+        require(fs.rename(dst, aside),
+          s"snapshot swap failed: cannot move live $dst aside")
+        if (!fs.rename(tmp, dst)) {
+          // restore the live snapshot, then abort the batch BEFORE the
+          // checkpoint commits — state stays consistent, the batch replays
+          require(fs.rename(aside, dst),
+            s"snapshot swap failed AND restore failed — manual recovery at $snapshotPath")
+          throw new IllegalStateException(
+            s"snapshot swap failed: cannot move fresh $tmp into $dst (restored old)")
+        }
+        fs.delete(aside, true)
         ()
       }
       .start()

@@ -227,4 +227,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === Set((1L, 2L)), s"got $out")
     assert(out((1L, 2L)) === 1L)
   }
+
+  test("fuzzyPairsBlocked deletion-neighborhood blocking: a first-token " +
+    "typo is recovered; single-key blocking provably misses it") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "thw quick brown fox jumps"), // the typo IS the first token
+      (3L, "unrelated sentence entirely here"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.fuzzyPairsBlocked(docs, "doc_id", "text", maxDist = 3,
+        dualBlock = false).count() === 0L,
+      "sanity: first-token blocking cannot see a first-token typo")
+    val dual = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dual === Set((1L, 2L, 1L)))
+    // short tokens: 1-edit pair found via shared deletion variant, the
+    // unrelated token pairs with nothing
+    val shorts = Seq((1L, "one x"), (2L, "two x"), (3L, "onx x")).toDF("doc_id", "text")
+    val sp = Dedup.fuzzyPairsBlocked(shorts, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sp === Set((1L, 3L, 1L)), s"got $sp")
+  }
 }
