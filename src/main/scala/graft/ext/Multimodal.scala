@@ -10,11 +10,22 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schemas, encoders, partition-level
   * batched processing via `mapPartitions` (the Scala analogue of
   * `mapInPandas`: one iterator per partition, amortized per-batch setup, no
-  * per-row codec init, no driver collect). The codec itself is a STUB: this
-  * container has no image/audio libraries, so `FakeCodec` derives
-  * deterministic pseudo-metadata/features from the bytes. Swapping in a real
-  * codec (javacv, TwelveMonkeys, ffmpeg-cli) changes only `FakeCodec`'s
-  * body — every signature, schema, and plan shape stays.
+  * per-row codec init, no driver collect). Codecs are pluggable behind
+  * [[Multimodal.MediaCodec]]:
+  *
+  *   - [[Multimodal.ImageIoCodec]] — a REAL image codec on `javax.imageio`
+  *     (JDK built-in, zero added dependencies): decodes JPEG/PNG/GIF/BMP
+  *     bytes to true dimensions and format, resizes through Graphics2D
+  *     with bilinear filtering and re-encodes PNG, and extracts grid-mean
+  *     luminance features from the decoded pixels.
+  *   - [[Multimodal.FakeCodec]] — the deterministic stub (metadata as a
+  *     pure function of the byte length) kept for video-style frame
+  *     sampling (no JDK video codec exists) and for fixtures where the
+  *     oracle must reproduce the values without a decoder.
+  *
+  * Audio/video stay stubbed — the container has no such codec and the JDK
+  * ships none; swapping in javacv/ffmpeg changes only a `MediaCodec`
+  * implementation, never a signature, schema, or plan shape.
   */
 object Multimodal {
 
@@ -32,11 +43,115 @@ object Multimodal {
   case class ResizedMedia(mediaId: Long, width: Int, height: Int,
                           nBytes: Long, payload: Array[Byte])
 
+  /** Pluggable codec contract; implementations must be serializable (they
+    * ship inside mapPartitions closures).
+    */
+  trait MediaCodec extends Serializable {
+    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta
+    def resize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedMedia
+    def extractFeatures(id: Long, bytes: Array[Byte], dim: Int): MediaFeatures
+  }
+
+  /** REAL image codec on `javax.imageio` (JDK built-in). Undecodable
+    * payloads yield `format = "undecodable"` with zeroed dimensions rather
+    * than an exception — a corrupt blob in a 100 TB corpus must not kill
+    * the job; filter on the format column downstream.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def reader(bytes: Array[Byte]):
+        Option[(javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) { val r = readers.next(); r.setInput(iis); Some((r, iis)) }
+      else { iis.close(); None }
+    }
+
+    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta =
+      reader(bytes) match {
+        case Some((r, iis)) =>
+          try MediaMeta(id, bytes.length.toLong,
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0),
+            // allowSearch: GIFs report true frame counts; single-frame
+            // formats report 1
+            math.max(r.getNumImages(true), 1))
+          catch { case _: java.io.IOException => undecodable(id, bytes) }
+          finally { r.dispose(); iis.close() }
+        case None => undecodable(id, bytes)
+      }
+
+    private def undecodable(id: Long, bytes: Array[Byte]): MediaMeta =
+      MediaMeta(id, bytes.length.toLong, "undecodable", 0, 0, 0)
+
+    /** Aspect-preserving clamp into (maxW, maxH), never upscaling; bilinear
+      * Graphics2D scale, PNG re-encode (lossless — the library must not
+      * silently degrade payloads it only resized).
+      */
+    def resize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedMedia = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return ResizedMedia(id, 0, 0, 0L, Array.empty[Byte])
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+      val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val payload = bos.toByteArray
+      ResizedMedia(id, w, h, payload.length.toLong, payload)
+    }
+
+    /** Grid-mean luminance features: the decoded image is partitioned into
+      * `dim` vertical strips and each strip's mean luma (Rec. 601) becomes
+      * one component, L1-normalized — a real, content-dependent embedding
+      * (solid colors, gradients and textures separate), cheap enough for a
+      * scan-side pass.
+      */
+    def extractFeatures(id: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return MediaFeatures(id, new Array[Float](dim))
+      val acc = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299f * ((rgb >> 16) & 0xFF) +
+            0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)
+          val bin = math.min(dim - 1, x * dim / w)
+          acc(bin) += luma; counts(bin) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < dim) { if (counts(j) > 0) acc(j) /= counts(j); j += 1 }
+      val s = math.max(acc.sum, 1e-9f)
+      j = 0
+      while (j < dim) { acc(j) /= s; j += 1 }
+      MediaFeatures(id, acc)
+    }
+  }
+
   /** STUB codec — deterministic fakes in place of a real decoder.
     * Every value is a pure function of the payload bytes, so tests and
     * oracle queries are reproducible.
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     private val formats = Array("jpeg", "png", "webp")
     def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length.toLong
@@ -81,35 +196,67 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("mediaId"),
       col(payloadCol).cast("binary").as("payload"))
 
+  /** Deterministic REAL-image media table: each id becomes an actual PNG
+    * (encoded with `javax.imageio` inside the partition) whose dimensions
+    * and fill are pure arithmetic in the id — so an oracle can predict the
+    * decoded width/height WITHOUT a decoder, and a decode gate proves the
+    * true encode→decode round-trip. Width = id%64+16, height = id%48+16,
+    * horizontal gradient seeded by id.
+    */
+  def syntheticImageTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64).toInt + 16
+        val h = (id % 48).toInt + 16
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          val c = ((id * 31 + x * 7) % 256).toInt
+          var y = 0
+          while (y < h) { img.setRGB(x, y, (c << 16) | (c << 8) | c); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaBlob(id, bos.toByteArray)
+      }
+    }.toDF("mediaId", "payload")
+  }
+
   /** Decode metadata per blob. Batched per partition: codec "setup" happens
     * once per partition iterator, not per row — the shape that matters when
     * the real codec has expensive init.
     */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, media: DataFrame,
+                 codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaBlob].mapPartitions { it =>
       // real impl: open codec context here, close via iterator completion
-      it.map(b => FakeCodec.decodeMeta(b.mediaId, b.payload))
+      it.map(b => codec.decodeMeta(b.mediaId, b.payload))
     }
   }
 
   /** Feature extraction per blob → fixed-dim float vector, ready for
     * [[SimSearch]] over the resulting `features` column.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int,
+                      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaBlob].mapPartitions { it =>
-      it.map(b => FakeCodec.extractFeatures(b.mediaId, b.payload, dim))
+      it.map(b => codec.extractFeatures(b.mediaId, b.payload, dim))
     }
   }
 
   /** Resize every blob into a bounding box, batched per partition like
     * [[decodeMeta]] (real impl: one scaler context per partition).
     */
-  def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+  def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int,
+             codec: MediaCodec = FakeCodec): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaBlob].mapPartitions { it =>
-      it.map(b => FakeCodec.resize(b.mediaId, b.payload, maxW, maxH))
+      it.map(b => codec.resize(b.mediaId, b.payload, maxW, maxH))
     }
   }
 
@@ -118,9 +265,10 @@ object Multimodal {
     * rows. Real impl would emit decoded frame tensors; the plan shape
     * (generator → rows, no shuffle) is identical.
     */
-  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
-    decodeMeta(spark, media)
+    decodeMeta(spark, media, codec)
       .select(col("mediaId"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frameIdx"))
   }

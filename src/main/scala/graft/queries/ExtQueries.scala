@@ -930,6 +930,45 @@ object ExtQueries {
         Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
       }),
 
+    // ----- multimodal REAL codec (javax.imageio) -----------------------------
+    // Payloads are ACTUAL PNGs encoded in-partition with dimensions that are
+    // pure arithmetic in the id — the oracle predicts width/height WITHOUT a
+    // decoder, so a hash match proves the true encode→decode round-trip.
+    GQ("mm_decode_meta_real",
+      Some("""SELECT doc_id AS media_id, 'png' AS format,
+             |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+             |  CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+             |  CAST(1 AS INTEGER) AS n_frames
+             |FROM documents WHERE doc_id < 1000 ORDER BY media_id""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticImageTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
+        Multimodal.decodeMeta(spark, media, Multimodal.ImageIoCodec)
+          .select(col("mediaId").as("media_id"), col("format"),
+            col("width"), col("height"), col("nFrames").as("n_frames"))
+          .orderBy("media_id")
+      }),
+
+    // Real bilinear resize into a 32×32 box: the clamp arithmetic
+    // (min(1, 32/w, 32/h), floor) is IEEE-identical in both engines, so the
+    // decoded-then-resized dimensions are oracle-predictable too.
+    GQ("mm_resize_real",
+      Some("""WITH m AS (SELECT doc_id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+             |           FROM documents WHERE doc_id < 1000),
+             |s AS (SELECT doc_id, LEAST(1.0, 32.0 / w, 32.0 / h) AS sc, w, h FROM m)
+             |SELECT doc_id AS media_id,
+             |  CAST(GREATEST(1, FLOOR(w * sc)) AS INTEGER) AS width,
+             |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS height
+             |FROM s ORDER BY media_id""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticImageTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
+        Multimodal.resize(spark, media, maxW = 32, maxH = 32,
+            codec = Multimodal.ImageIoCodec)
+          .select(col("mediaId").as("media_id"), col("width"), col("height"))
+          .orderBy("media_id")
+      }),
+
     // ----- skew: salted two-phase aggregate ----------------------------------
     // Oracle is the PLAIN group-by — the point is that the salted rewrite is
     // row-identical while bounding per-task hot-key volume.

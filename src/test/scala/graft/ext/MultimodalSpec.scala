@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkSpec, Tables}
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
 
   private def media = Multimodal.asMediaTable(
     Tables.documents(spark, sfDir).limit(20), "doc_id", "text")
@@ -63,5 +64,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       val (id, idx) = (r.getLong(0), r.getInt(1))
       assert(idx % 6 === 0 && idx < metas(id))
     }
+  }
+
+  test("ImageIoCodec decodes a REAL PNG: true dimensions, format, 1 frame") {
+    val ids = Seq(5L, 100L, 163L).toDF("id")
+    val media = Multimodal.syntheticImageTable(spark, ids, "id")
+    val metas = Multimodal.decodeMeta(spark, media, Multimodal.ImageIoCodec)
+      .collect().map(m => m.mediaId -> m).toMap
+    for (id <- Seq(5L, 100L, 163L)) {
+      val m = metas(id)
+      assert(m.format === "png")
+      assert(m.width === (id % 64).toInt + 16, s"id $id width")
+      assert(m.height === (id % 48).toInt + 16, s"id $id height")
+      assert(m.nFrames === 1)
+      assert(m.nBytes > 0)
+    }
+  }
+
+  test("ImageIoCodec resize: payload is a REAL PNG that re-decodes to the " +
+    "claimed (clamped, aspect-preserved) dimensions; small images untouched") {
+    val ids = Seq(47L, 2L).toDF("id") // 47 → 63×15... (47%64+16=63, 47%48+16=63x... compute in-test
+    val media = Multimodal.syntheticImageTable(spark, ids, "id")
+    val out = Multimodal.resize(spark, media, maxW = 32, maxH = 32,
+      codec = Multimodal.ImageIoCodec).collect().map(r => r.mediaId -> r).toMap
+    for (id <- Seq(47L, 2L)) {
+      val w0 = (id % 64).toInt + 16; val h0 = (id % 48).toInt + 16
+      val scale = math.min(1.0, math.min(32.0 / w0, 32.0 / h0))
+      val r = out(id)
+      assert(r.width === math.max(1, math.floor(w0 * scale).toInt))
+      assert(r.height === math.max(1, math.floor(h0 * scale).toInt))
+      // the resized payload must itself be a decodable PNG of those dims
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth === r.width && img.getHeight === r.height)
+    }
+  }
+
+  test("ImageIoCodec: corrupt bytes are 'undecodable', never an exception; " +
+    "features are content-dependent") {
+    val junk = Seq((1L, "this is not an image".getBytes("UTF-8")))
+      .toDF("mediaId", "payload")
+    val m = Multimodal.decodeMeta(spark, junk, Multimodal.ImageIoCodec).head()
+    assert(m.format === "undecodable" && m.width === 0 && m.nFrames === 0)
+    // dark (id 0 gradient) vs other gradient phase → different features
+    val media = Multimodal.syntheticImageTable(spark, Seq(3L, 40L).toDF("id"), "id")
+    val f = Multimodal.extractFeatures(spark, media, dim = 8,
+      codec = Multimodal.ImageIoCodec).collect().map(x => x.mediaId -> x.features).toMap
+    assert(f(3L).toSeq !== f(40L).toSeq, "different images, different features")
+    assert(math.abs(f(3L).sum - 1.0f) < 1e-3, "L1 normalized")
   }
 }
