@@ -7,24 +7,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
 
-/** Session extension registering graft's native expressions for SQL use:
+/** ONE-LINE installer for every graft Catalyst extension point — the whole
+  * library activates from configuration alone, no code changes:
   *
   * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or programmatically:
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
-  * spark.sql("SELECT float_vector_dot(a, b) FROM vectors")
-  * spark.sql("SELECT shingle_hashes(text, 3) FROM documents")
-  * spark.sql("SELECT minhash_sketch(shingle_hashes(text, 3), 128) FROM documents")
   * }}}
   *
-  * [[GraftExtensions.register]] does the same on an existing session (the
-  * path used by queries running under the driver's session, which graft
-  * does not construct).
+  * Installs the native SQL functions (float_vector_dot, shingle_hashes,
+  * minhash_sketch, simhash64, lexicon_hits, topk_pairs, freq_items_mg,
+  * percentile_compact), the [[graft.plans.AsOfJoinStrategy]] planner
+  * strategy (so [[graft.plans.AsOfMergeJoin.asOf]] plans without its
+  * fallback self-registration), and the
+  * [[graft.plans.ThresholdedLevenshteinRule]] optimizer rule
+  * (auto-thresholds `levenshtein(a, b) <= k` predicates into the banded
+  * early-exit form).
+  *
+  * [[GraftExtensions.register]] does the functions on an existing session
+  * (the path used by queries running under the driver's session, which
+  * graft does not construct); strategy and rule have their own idempotent
+  * `register`/`registerStrategy` on-session installers.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshteinRule)
+  }
 }
 
 object GraftExtensions {

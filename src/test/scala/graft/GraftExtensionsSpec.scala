@@ -1,53 +1,74 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Native expressions exposed to SQL via the session extension /
-  * registry.
+/** The one-line installer contract: a session built with NOTHING but
+  * `spark.sql.extensions=graft.GraftExtensions` gets the SQL functions, the
+  * as-of planner strategy, and the thresholded-levenshtein optimizer rule —
+  * no per-feature register calls.
   */
 class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
 
-  test("float_vector_dot and shingle_hashes callable from spark.sql") {
-    GraftExtensions.register(spark)
-    val dot = spark.sql(
-      "SELECT float_vector_dot(CAST(array(1.0, 2.0) AS array<float>), " +
-        "CAST(array(3.0, 4.0) AS array<float>)) AS d")
-      .head().getDouble(0)
-    assert(dot === 11.0)
-
-    val n = spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
-      .head().getInt(0)
-    assert(n === 2, "two distinct 3-gram shingles in a 4-token doc")
-
-    val hits = spark.sql(
-      "SELECT lexicon_hits(split('the cat and the dog', ' '), array('the', 'and')) AS h")
-      .head().getInt(0)
-    assert(hits === 3, "two 'the' + one 'and'")
+  private def withExtSession[A](f: SparkSession => A): A = {
+    // a NEW SparkSession (shared SparkContext) built through the installer.
+    // `spark.sql.extensions=<class>` is read from the STATIC SparkContext
+    // conf, which a suite-shared context predates — so exercise the same
+    // class programmatically: `new GraftExtensions` (reflective 0-arg
+    // construction, exactly what the conf path does) + withExtensions
+    // (exactly how the conf path applies it). Restore the suite session
+    // afterwards.
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(classOf[GraftExtensions].getDeclaredConstructor()
+        .newInstance())
+      .config("spark.sql.shuffle.partitions", 4)
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
   }
 
-  test("topk_pairs aggregate callable from spark.sql") {
-    GraftExtensions.register(spark)
-    val out = spark.sql(
-      """SELECT g, topk_pairs(s, id, 2) AS tk FROM VALUES
-        |  (1, CAST(0.9 AS DOUBLE), CAST(10 AS BIGINT)),
-        |  (1, CAST(0.95 AS DOUBLE), CAST(12 AS BIGINT)),
-        |  (1, CAST(0.1 AS DOUBLE), CAST(13 AS BIGINT)) AS t(g, s, id)
-        |GROUP BY g""".stripMargin)
-      .selectExpr("tk[0].id", "tk[1].id").head()
-    assert((out.getLong(0), out.getLong(1)) === (12L, 10L))
-  }
+  test("config-only session: SQL functions, planner strategy, optimizer " +
+    "rule all active") {
+    withExtSession { s =>
+      import s.implicits._
+      // 1. native SQL functions resolve
+      Seq((1.0, 5L), (3.0, 6L), (2.0, 7L)).toDF("score", "id")
+        .createOrReplaceTempView("ext_scores")
+      val top = s.sql(
+        "SELECT topk_pairs(score, id, 2) AS t FROM ext_scores").head()
+      assert(top.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) === Seq(6L, 7L))
+      assert(s.sql("SELECT percentile_compact(CAST(id AS DOUBLE), array(0.5D)) " +
+        "FROM ext_scores").head().getSeq[Double](0) === Seq(6.0))
 
-  test("SQL results match the Column API forms") {
-    GraftExtensions.register(spark)
-    import spark.implicits._
-    val df = Tables.embeddings(spark, sfDir).limit(20)
-    df.createOrReplaceTempView("emb_ext")
-    val viaSql = spark.sql(
-      "SELECT vec_id, float_vector_dot(embedding, embedding) AS d FROM emb_ext")
-      .as[(Long, Double)].collect().toMap
-    val viaApi = df.select($"vec_id",
-      graft.functions.VectorFunctions.dotF($"embedding", $"embedding").as("d"))
-      .as[(Long, Double)].collect().toMap
-    assert(viaSql === viaApi)
+      // 2. planner strategy injected: the as-of node plans WITHOUT the
+      // builder's experimental-methods fallback having to add it
+      assert(s.sessionState.planner.strategies
+          .exists(_ eq graft.plans.AsOfJoinStrategy),
+        "AsOfJoinStrategy missing from the session's planner strategies")
+      val quotes = Seq(("A", 10L, 1.0)).toDF("k", "t", "px")
+      val trades = Seq(("A", 11L, 5L)).toDF("k", "t", "qty")
+      val asof = graft.plans.AsOfMergeJoin.asOf(
+        trades, quotes, "k", "k", "t", "t", Seq("px"))
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+      assert(asof.select("px").head().getDouble(0) === 1.0)
+
+      // 3. optimizer rule injected: lev <= k rewrites to the banded form
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val df = docs.filter(
+        levenshtein(substring($"text", 1, 12), lit("key agg row")) <= 4)
+      val thresholded = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case l: Levenshtein => l.threshold })
+      assert(thresholded.exists(_.isDefined),
+        s"optimizer rule did not rewrite:\n${df.queryExecution.optimizedPlan}")
+    }
   }
 }
