@@ -418,6 +418,33 @@ object CoreQueries {
           .orderBy("l_returnflag")
       }),
 
+    // K2 — TWO-LEVEL partitioned write (dataproc=*/setor=* — the reference's
+    // refined-stocks layout) through the same sink, read back and
+    // aggregated per (dataproc, setor) leaf: both partition columns must
+    // round-trip through their directory encoding, and every leaf count
+    // must match the source. The physical nesting itself (setor dirs under
+    // the dataproc dir) is GoldenPipelineSpec's assertion.
+    GQ("k2_two_level_write",
+      Some("""SELECT '2024-01-15' AS dataproc, o_orderpriority AS setor,
+             |       count(*) AS n
+             |FROM orders GROUP BY setor ORDER BY setor""".stripMargin),
+      (spark, dir) => {
+        import spark.implicits._
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k2_roundtrip_${ProcessHandle.current().pid()}"
+        graft.io.ParquetIO.writePartitioned(
+          Tables.orders(spark, dir)
+            .select(col("o_orderkey"),
+              col("o_orderpriority").as("setor"))
+            .withColumn("dataproc", lit("2024-01-15"))
+            .repartition(col("dataproc"), col("setor")),
+          out, Seq("dataproc", "setor"), overwrite = true)
+        graft.io.ParquetIO.readPartitioned(spark, out)
+          .groupBy($"dataproc".cast("string").as("dataproc"),
+            $"setor".cast("string").as("setor"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("setor")
+      }),
+
     // K3 — catalog-mediated write: external partitioned table registered in
     // the catalog, rows appended THROUGH the table (insertInto), scanned
     // back via the catalog (S5). Fresh per-process location + drop/recreate

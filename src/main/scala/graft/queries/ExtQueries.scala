@@ -46,6 +46,32 @@ object ExtQueries {
       |FROM s GROUP BY user_id, seq
       |ORDER BY user_id, start_s""".stripMargin
 
+  /** Recall-scored ANN gate body: per-probe result counts survive only
+    * while the ANN result's mean recall@k against the in-query brute-force
+    * truth clears `floor` — the one-row mean relation broadcasts onto the
+    * per-probe rows, so a quality collapse empties the output and fails
+    * the driver's hash check.
+    */
+  private def annRecallGate(spark: org.apache.spark.sql.SparkSession,
+                            emb: org.apache.spark.sql.DataFrame,
+                            probes: org.apache.spark.sql.DataFrame,
+                            approx: org.apache.spark.sql.DataFrame,
+                            k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
+    val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+      .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
+    val perProbe = approx.select(col("probe_id"), col("nbr_id"))
+      .join(exact, Seq("probe_id", "nbr_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+    val mean = perProbe.agg(
+      (sum(col("__hits")).cast("double") / (count(lit(1)) * k)).as("__mean_recall"))
+    perProbe.crossJoin(broadcast(mean))
+      .filter(col("__mean_recall") >= floor)
+      .select(col("probe_id"), col("n_results"))
+      .orderBy("probe_id")
+  }
+
   // shared by txt_top_bigrams (exact) and txt_top_bigrams_approx (MG
   // candidates + exact recount): both must produce the identical top-20
   private val topBigramsSql =
@@ -539,26 +565,35 @@ object ExtQueries {
           .orderBy("probe_id", "rank")
       }),
 
-    GQ("ann_topk_ivf", None,
+    // IVF/LSH are RECALL-SCORED oracle gates, not rows-only: the query
+    // joins the ANN result against the in-query brute-force truth, and the
+    // final filter keeps rows only while mean recall@5 clears the floor
+    // (0.4 — measured 0.46-0.54 on the near-uniform testdata embeddings
+    // with these params; seeds are fixed, so the value is deterministic).
+    // A quality collapse empties the result and the hash check fails — the
+    // driver now pins ANN QUALITY, not just a row count.
+    GQ("ann_topk_ivf",
+      Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        val probes = emb.filter(col("vec_id") < 10)
+        val approx = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 4)
-          .select(col("probe_id"), col("nbr_id"), col("cosine"),
-            col("rank").cast("long").as("rank"))
-          .orderBy("probe_id", "rank")
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
       }),
 
-    GQ("ann_topk_lsh", None,
+    GQ("ann_topk_lsh",
+      Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
+        val probes = emb.filter(col("vec_id") < 10)
         // 4 planes: testdata embeddings are near-uniform, finer buckets
         // collapse recall (see SimSearchSpec)
-        SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        val approx = SimSearch.lshTopK(emb, probes, "vec_id", "embedding",
           k = 5, numPlanes = 4, dim = 64)
-          .select(col("probe_id"), col("nbr_id"), col("cosine"),
-            col("rank").cast("long").as("rank"))
-          .orderBy("probe_id", "rank")
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
       }),
 
     // ----- end-to-end corpus cleaning ----------------------------------------
