@@ -1264,7 +1264,12 @@ object ExtQueries {
              |       WHERE vk <> ''),
              |nt AS (SELECT DISTINCT a.b1 AS t_a, b.b1 AS t_b
              |       FROM tv a JOIN tv b ON a.vk = b.vk AND a.b1 <> b.b1),
-             |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |c AS MATERIALIZED (
+             |      -- MATERIALIZED: without it DuckDB reorders the near
+             |      -- branch into an inequality join carrying the outer
+             |      -- levenshtein predicate — 12.5M full DPs (measured 83 s
+             |      -- for an empty near set)
+             |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |             a.pfx AS pfx_a, b.pfx AS pfx_b
              |      FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
              |      UNION ALL
