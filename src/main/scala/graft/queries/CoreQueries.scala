@@ -1113,40 +1113,76 @@ object CoreQueries {
         SetOps.unionAll(Seq(r, n)).orderBy("kind", "name")
       }),
 
-    // ----- §2b approx distinct (HLL++) — implementation-specific sketch, no
-    // SQL oracle; driver records rows-only check, exactness covered in specs.
-    GQ("hll_approx_distinct", None,
-      (spark, dir) =>
-        AggOps.approxDistinct(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey")
-          .orderBy("l_returnflag")),
+    // ----- §2b approx distinct (HLL++) — ACCURACY-SCORED oracle gate: the
+    // sketch's estimate isn't SQL-reproducible, but the EXACT count is, so
+    // the gate emits exact counts only while the HLL++ estimate stays
+    // within 3·rsd of them (rsd 0.05 → 15%) — an estimator regression
+    // empties the result and fails the hash check.
+    GQ("hll_approx_distinct",
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val approx = AggOps.approxDistinct(li, Seq("l_returnflag"), "l_partkey")
+        val exact = li.groupBy("l_returnflag")
+          .agg(count_distinct(col("l_partkey")).as("n_distinct"))
+        exact.join(approx, Seq("l_returnflag"))
+          .filter(abs(col("approx_l_partkey_count") - col("n_distinct"))
+            <= col("n_distinct") * 0.15)
+          .select("l_returnflag", "n_distinct")
+          .orderBy("l_returnflag")
+      }),
 
     // grouped APPROXIMATE percentiles — the documented 100 TB swap for
-    // a9_percentiles' exact interpolation: approx_percentile merges
-    // per-partition digests (ordinary partial aggregation, no full sort /
-    // no all-values shuffle). Rows-only: the digest's estimates aren't
-    // reproducible in DuckDB; AggWindowSpec bounds them against the exact
-    // per-group quantiles instead.
-    GQ("a9b_percentiles_approx", None,
-      (spark, dir) =>
-        Tables.orders(spark, dir).groupBy("o_orderpriority")
+    // a9_percentiles' exact interpolation. Same accuracy-scored gating: the
+    // digest's estimates aren't SQL-reproducible, so the gate emits the
+    // EXACT per-group quantiles (quantile_cont-checkable) only while the
+    // approx values sit within 2% of them (the AggWindowSpec bound).
+    GQ("a9b_percentiles_approx",
+      Some("""SELECT o_orderpriority,
+             |       quantile_cont(o_totalprice, 0.5) AS p50,
+             |       quantile_cont(o_totalprice, 0.95) AS p95
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val approx = Tables.orders(spark, dir).groupBy("o_orderpriority")
           .agg(
             expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("pcts"))
           .select(col("o_orderpriority"),
-            col("pcts").getItem(0).as("p50"), col("pcts").getItem(1).as("p95"))
-          .orderBy("o_orderpriority")),
+            col("pcts").getItem(0).as("a50"), col("pcts").getItem(1).as("a95"))
+        val exact = Tables.orders(spark, dir).groupBy("o_orderpriority")
+          .agg(graft.functions.PercentileCompact
+            .percentileCompact(col("o_totalprice"), Seq(0.5, 0.95)).as("__q"))
+          .select(col("o_orderpriority"),
+            col("__q").getItem(0).as("p50"), col("__q").getItem(1).as("p95"))
+        exact.join(approx, Seq("o_orderpriority"))
+          .filter(abs(col("a50") - col("p50")) <= abs(col("p50")) * 0.02 &&
+            abs(col("a95") - col("p95")) <= abs(col("p95")) * 0.02)
+          .select("o_orderpriority", "p50", "p95")
+          .orderBy("o_orderpriority")
+      }),
 
     // mergeable-sketch rollup: per-(flag,status) DataSketches HLL sketches
     // union-merged up to per-flag estimates — the persist-sketches-once,
     // roll-up-forever pattern (sketch union is exact over sketch state;
-    // AggWindowSpec asserts merged == direct and both ≈ exact). Rows-only:
-    // the sketch binary isn't reproducible in the oracle engine.
-    GQ("hll_sketch_merge", None,
-      (spark, dir) =>
-        AggOps.hllMergeEstimate(
-            AggOps.hllSketches(Tables.lineitem(spark, dir),
-              Seq("l_returnflag", "l_linestatus"), "l_partkey"),
-            Seq("l_returnflag"))
-          .orderBy("l_returnflag")),
+    // AggWindowSpec asserts merged == direct). Accuracy-scored oracle gate
+    // like hll_approx_distinct: exact per-flag counts survive only while
+    // the MERGED-sketch estimate stays within 15% of them.
+    GQ("hll_sketch_merge",
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val merged = AggOps.hllMergeEstimate(
+          AggOps.hllSketches(li, Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+          Seq("l_returnflag"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(count_distinct(col("l_partkey")).as("n_distinct"))
+        exact.join(merged, Seq("l_returnflag"))
+          .filter(abs(col("approx_distinct") - col("n_distinct"))
+            <= col("n_distinct") * 0.15)
+          .select("l_returnflag", "n_distinct")
+          .orderBy("l_returnflag")
+      }),
 
     // ----- J4/J5 — existence joins. left_semi/left_anti never materialize
     // the right side's columns and have EXISTS / NOT EXISTS semantics

@@ -410,20 +410,54 @@ object ExtQueries {
           n = 3, threshold = 0.4)
           .orderBy("id_a", "id_b")),
 
-    // The capped heuristic alternative: hub shingles (doc freq ≥
-    // cap) are dropped from candidate generation, bounding the O(Σdf²)
-    // blowup. Full set sizes are kept, so jaccard is underestimated — the
-    // result is a SUBSET of the exact pairs at the same threshold (asserted
-    // in DedupSpec); rows-only here because the subset is cap-dependent.
-    GQ("dedup_ngram_jaccard_capped", None,
+    // The capped heuristic alternative: hub shingles (doc freq ≥ cap) are
+    // dropped from candidate generation AND intersection counts while full
+    // set sizes are kept, so jaccard is underestimated — a SUBSET of the
+    // exact pairs. The cap semantics are pure relational algebra, so the
+    // oracle mirrors them exactly (anti-join the hub shingles, full sizes
+    // in the denominator).
+    GQ("dedup_ngram_jaccard_capped",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |hub AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+             |        WHERE df >= 50),
+             |shc AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hub USING (s)),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+             |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4, maxDocFreq = Some(50L))
           .orderBy("id_a", "id_b")),
 
-    // Sketch family — rows-only (hash families not reproducible in SQL);
-    // recall vs the exact operators asserted in DedupSpec.
-    GQ("dedup_minhash_lsh", None,
+    // MinHash+LSH carries the EXACT oracle directly: banded candidates +
+    // exact verification emit true-jaccard pairs (a subset of the exact
+    // relation), and with this hash family the subset is the WHOLE relation
+    // (recall 1.0, deterministic — DedupSpec floors it at 0.95). Any missed
+    // band/sketch regression drops pairs and fails the hash check; no
+    // second exact computation runs inside the gate.
+    GQ("dedup_minhash_lsh",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+             |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
         Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4, numHashes = 128, bands = 64)
@@ -960,7 +994,15 @@ object ExtQueries {
         Multimodal.decodeMeta(spark, media).toDF().orderBy("mediaId")
       }),
 
-    GQ("mm_frame_sample", None,
+    // FakeCodec frame count is pure byte-length arithmetic, so the stride
+    // sampler's full output IS oracle-expressible (generate_series).
+    GQ("mm_frame_sample",
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) % 24 + 1 AS nf
+             |           FROM documents)
+             |SELECT doc_id AS mediaId,
+             |       CAST(unnest(generate_series(0, nf - 1, 6)) AS INTEGER) AS frameIdx
+             |FROM m
+             |ORDER BY mediaId, frameIdx""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
         Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
@@ -1043,8 +1085,22 @@ object ExtQueries {
           .orderBy("event_id")
       }),
 
-    // ----- multimodal resize (rows-only; spec asserts the contract) ----------
-    GQ("mm_resize", None,
+    // ----- multimodal resize — FakeCodec's clamp is pure byte-length
+    // arithmetic (IEEE-identical LEAST/FLOOR on both engines), so the full
+    // resize contract is oracle-gated; the REAL-codec twin is mm_resize_real.
+    GQ("mm_resize",
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n,
+             |             octet_length(encode(text)) % 640 + 1 AS w,
+             |             octet_length(encode(text)) % 480 + 1 AS h
+             |           FROM documents),
+             |s AS (SELECT doc_id, n, w, h,
+             |        LEAST(1.0, 64.0 / w, 64.0 / h) AS sc FROM m)
+             |SELECT doc_id AS mediaId,
+             |  CAST(GREATEST(1, FLOOR(w * sc)) AS INTEGER) AS width,
+             |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS height,
+             |  CAST(CASE WHEN n = 0 THEN 0
+             |            ELSE GREATEST(1, FLOOR(n * sc * sc)) END AS BIGINT) AS nBytes
+             |FROM s ORDER BY mediaId""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
         Multimodal.resize(spark, media, maxW = 64, maxH = 64)
