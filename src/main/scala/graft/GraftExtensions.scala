@@ -96,19 +96,26 @@ object GraftExtensions {
     arr.toSeq.map(_.toString)
   }
 
-  /** Evaluate a foldable array-of-doubles argument (e.g. `array(0.25, 0.5)`). */
+  /** Evaluate a foldable numeric-array argument (e.g. `array(0.25, 0.5)`)
+    * as doubles. Un-suffixed literals parse as DECIMAL, so the natural
+    * spelling must work — cast any numeric array rather than demanding the
+    * D-suffixed form.
+    */
   private def doubleArrayLit(e: Expression): Seq[Double] = {
-    require(e.foldable, "probs argument must be a literal array of doubles")
-    val v = e.eval(null)
-    require(v != null, "probs argument must not be NULL")
-    e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, _) =>
-        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray().toSeq
+    import org.apache.spark.sql.types._
+    require(e.foldable, "probs argument must be a literal array of numbers")
+    val cast = e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_: NumericType, n) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, ArrayType(DoubleType, n))
       case dt => throw new IllegalArgumentException(
-        s"probs must be array<double>, got ${dt.sql}")
+        s"probs must be a numeric array, got ${dt.sql}")
     }
+    val v = cast.eval(null)
+    require(v != null, "probs argument must not be NULL")
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
   }
 
   /** Register on an already-built session. */

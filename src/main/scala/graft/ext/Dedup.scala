@@ -425,15 +425,20 @@ object Dedup {
     // themselves as one group (groupBy collects NULL keys into one group).
     // Exactly ONE survivor per fingerprint even for full-row duplicates
     // (min_by yields a single struct — a replayed identical row must not
-    // survive twice). Anti-join-then-dedup and dedup-then-anti-join commute
-    // (a fingerprint is either fully dropped or keeps its min-id row), so
-    // the aggregate runs first on purpose. Temp names are graft-prefixed so
-    // a caller's own columns can't be clobbered.
+    // survive twice). The min_by ORDER is (id IS NULL first, id asc) — the
+    // row_number form's NULLS FIRST semantics; a bare min_by(_, id) would
+    // SKIP null-ordering rows entirely and an all-null-id group would
+    // surface as a corrupt all-NULL struct. Anti-join-then-dedup and
+    // dedup-then-anti-join commute (a fingerprint is either fully dropped
+    // or keeps its min-id row), so the aggregate runs first on purpose.
+    // Temp names are graft-prefixed so a caller's own columns can't be
+    // clobbered.
     val fp = "__graft_fp"
+    val ord = struct(
+      when(col(idCol).isNull, 0).otherwise(1).as("__nn"), col(idCol).as("__id"))
     batch.withColumn(fp, TextOps.fingerprint(col(textCol)))
       .groupBy(col(fp))
-      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol))
-        .as("__graft_row"))
+      .agg(min_by(struct(batch.columns.map(col): _*), ord).as("__graft_row"))
       .join(historyFps.select(col("fp").as(fp)), Seq(fp), "left_anti")
       .select(col("__graft_row.*"))
   }

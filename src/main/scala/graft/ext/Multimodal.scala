@@ -58,6 +58,12 @@ object Multimodal {
     * the job; filter on the format column downstream.
     */
   object ImageIoCodec extends MediaCodec {
+    // byte-array inputs never need ImageIO's temp-FILE cache streams — the
+    // default useCache=true creates and deletes a disk-backed cache file
+    // per image, pure wasted I/O in a per-row hot loop (per-JVM setting,
+    // applied once at object init on each executor)
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def reader(bytes: Array[Byte]):
         Option[(javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream)] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -67,8 +73,17 @@ object Multimodal {
       else { iis.close(); None }
     }
 
+    // NonFatal, not just IOException: JDK ImageIO plugins throw
+    // RuntimeExceptions (ArrayIndexOutOfBounds, CMMException, …) on
+    // malformed files — any of those escaping would fail the task and kill
+    // the job, exactly what the undecodable contract forbids
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
     def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta =
-      reader(bytes) match {
+      (try reader(bytes)
+      catch { case scala.util.control.NonFatal(_) => None }) match {
         case Some((r, iis)) =>
           try MediaMeta(id, bytes.length.toLong,
             r.getFormatName.toLowerCase(java.util.Locale.ROOT),
@@ -76,7 +91,7 @@ object Multimodal {
             // allowSearch: GIFs report true frame counts; single-frame
             // formats report 1
             math.max(r.getNumImages(true), 1))
-          catch { case _: java.io.IOException => undecodable(id, bytes) }
+          catch { case scala.util.control.NonFatal(_) => undecodable(id, bytes) }
           finally { r.dispose(); iis.close() }
         case None => undecodable(id, bytes)
       }
@@ -89,9 +104,7 @@ object Multimodal {
       * silently degrade payloads it only resized).
       */
     def resize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedMedia = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+      val img = readImage(bytes)
       if (img == null) return ResizedMedia(id, 0, 0, 0L, Array.empty[Byte])
       val scale = math.min(1.0,
         math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
@@ -118,9 +131,7 @@ object Multimodal {
       * scan-side pass.
       */
     def extractFeatures(id: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+      val img = readImage(bytes)
       if (img == null) return MediaFeatures(id, new Array[Float](dim))
       val acc = new Array[Float](dim)
       val counts = new Array[Int](dim)

@@ -17,18 +17,36 @@ import org.apache.spark.sql.types._
 final class DoubleBuf(var arr: Array[Double], var n: Int) {
   def this() = this(new Array[Double](16), 0)
 
+  // growth and serialization sizes are computed in LONG and gated: past
+  // ~2.6e8 values per group the 4+8n byte frame exceeds Int.MaxValue and
+  // naive doubling wraps negative — fail with the real advice instead
+  private def grow(needed: Long): Unit = {
+    require(needed <= DoubleBuf.MaxValues,
+      s"percentile_compact group exceeds ${DoubleBuf.MaxValues} values — " +
+        "use QuantileSelect (bounded-state selection) for whale-scale groups")
+    val target = math.min(DoubleBuf.MaxValues,
+      math.max(needed, arr.length.toLong * 2)).toInt
+    arr = java.util.Arrays.copyOf(arr, target)
+  }
+
   def add(v: Double): Unit = {
-    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    if (n == arr.length) grow(n + 1L)
     arr(n) = v
     n += 1
   }
 
   def merge(o: DoubleBuf): Unit = {
-    if (n + o.n > arr.length)
-      arr = java.util.Arrays.copyOf(arr, math.max(n + o.n, arr.length * 2))
+    if (n.toLong + o.n > arr.length) grow(n.toLong + o.n)
     System.arraycopy(o.arr, 0, arr, n, o.n)
     n += o.n
   }
+}
+
+object DoubleBuf {
+  /** (Int.MaxValue − 8) / 8, minus frame header: the largest group a single
+    * serialized buffer can carry.
+    */
+  val MaxValues: Long = (Int.MaxValue.toLong - 16) / 8
 }
 
 /** `percentile_compact(v, array(p…))`: EXACT percentiles with a compact

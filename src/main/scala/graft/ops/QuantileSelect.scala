@@ -125,8 +125,13 @@ object QuantileSelect {
       expr(s"approx_percentile(__v, array($pLo, $pHi), $accuracy)").as("__br"))
     // fence relation is one row per group — AQE broadcasts it; the probe
     // side is NOT re-shuffled, and the second aggregate's map-side partials
-    // (two sums + the band list) keep the exchange tiny
-    val joined = work.join(sketch, groupCols)
+    // (two sums + the band list) keep the exchange tiny. NULL-SAFE join
+    // keys: groupBy keeps a NULL-key group, and a plain equi-join here
+    // would silently drop it — the built-in grouped percentile does not.
+    val sk = sketch.withColumnsRenamed(
+      groupCols.map(c => c -> s"__gk_$c").toMap)
+    val joined = work.join(sk,
+        groupCols.map(c => col(c) <=> col(s"__gk_$c")).reduce(_ && _))
       .withColumn("__lo", col("__br").getItem(0))
       .withColumn("__hi", col("__br").getItem(1))
     val vv = col("__v")

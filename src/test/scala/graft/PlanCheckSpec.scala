@@ -70,8 +70,8 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     "no window sort of full rows") {
     val p = plan("dedup_incremental")
     assert(!p.contains("Window"), s"survivor must be an aggregate, not a window:\n$p")
-    assert(p.contains("partial_min_by") || p.contains("partial_"),
-      s"no map-side partial aggregation before the exchange:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"no map-side partial min_by before the exchange:\n$p")
     // batch agg exchange + (at most) the tiny history side of the anti join
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")

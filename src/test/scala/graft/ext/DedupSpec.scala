@@ -187,6 +187,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val keptN = Dedup.dedupIncremental(nulls, "doc_id", "text", history)
       .select("doc_id").as[Long].collect().sorted
     assert(keptN.toSeq === Seq(30L, 32L))
+
+    // NULL ids follow the row_number form's NULLS FIRST: a null-id row
+    // wins its group, and an ALL-null-id group emits its real row — never
+    // a corrupt all-NULL struct (min_by skips null ORDERING values, so the
+    // order key must fold nullness in explicitly)
+    val nullIds = Seq((Option.empty[Long], "same text"), (Some(40L), "same text"),
+      (Option.empty[Long], "only nulls")).toDF("doc_id", "text")
+    val keptIds = Dedup.dedupIncremental(nullIds, "doc_id", "text",
+      history.limit(0)).select("doc_id", "text")
+      .as[(Option[Long], String)].collect().toSet
+    assert(keptIds === Set((None, "same text"), (None, "only nulls")))
   }
 
   test("gopherQualityFilter: each rule drops its violator independently") {

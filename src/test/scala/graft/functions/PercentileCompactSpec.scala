@@ -54,16 +54,19 @@ class PercentileCompactSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(2.5))
   }
 
-  test("SQL registration: percentile_compact(v, array(...)) works") {
+  test("SQL registration: percentile_compact(v, array(...)) works, " +
+    "including the natural un-suffixed (decimal-literal) probs spelling") {
     graft.GraftExtensions.register(spark)
     (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("pc_sql")
-    val got = spark.sql(
-      "SELECT percentile_compact(CAST(v AS DOUBLE), array(0.25D, 0.75D)) FROM pc_sql")
-      .head().getSeq[Double](0)
-    val want = spark.sql(
-      "SELECT percentile(v, array(0.25D, 0.75D)) FROM pc_sql")
-      .head().getSeq[Double](0)
-    assert(got === want)
+    for (probs <- Seq("array(0.25D, 0.75D)", "array(0.25, 0.75)")) {
+      val got = spark.sql(
+        s"SELECT percentile_compact(CAST(v AS DOUBLE), $probs) FROM pc_sql")
+        .head().getSeq[Double](0)
+      val want = spark.sql(
+        s"SELECT percentile(v, array(0.25D, 0.75D)) FROM pc_sql")
+        .head().getSeq[Double](0)
+      assert(got === want, s"probs spelling $probs")
+    }
   }
 
   test("survives shuffle-side serialization (many partitions, tiny groups)") {

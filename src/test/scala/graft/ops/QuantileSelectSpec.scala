@@ -69,6 +69,17 @@ class QuantileSelectSpec extends AnyFunSuite with SparkSpec {
     assert(got("gsolo").contains(42.0))
   }
 
+  test("grouped: NULL group-key group is kept, like the built-in") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0)).toDF("g", "v")
+    val got = QuantileSelect.groupPercentile(df, Seq("g"), col("v"), 0.5, "med")
+      .as[(Option[String], Double)].collect().toMap
+    val want = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+      .as[(Option[String], Double)].collect().toMap
+    assert(got === want)
+    assert(got(None) === 15.0, "NULL-key group must not be dropped by the fence join")
+  }
+
   test("grouped heavy ties: constant group matches built-in") {
     val df = ((1 to 1000).map(_ => ("c", 7.0)) ++
       (1 to 1000).map(i => ("m", i.toDouble))).toDF("g", "v")
