@@ -70,12 +70,24 @@ object QuantileSelect {
     val bandN = probs.indices.map(j => c.getLong(2 * j + 1))
 
     val positions = probs.map(_ * (n - 1))
-    val covered = probs.indices.forall { j =>
+    val bracketed = probs.indices.forall { j =>
       val lower = math.floor(positions(j)).toLong
       val higher = math.ceil(positions(j)).toLong
-      below(j) <= lower && higher < below(j) + bandN(j) && bandN(j) <= bandCap
-    } && bandN.sum <= bandCap
-    if (!covered) {
+      below(j) <= lower && higher < below(j) + bandN(j)
+    }
+    val fits = probs.indices.forall(j => bandN(j) <= bandCap) &&
+      bandN.sum <= bandCap
+    if (bracketed && !fits) {
+      // bands outgrew the cap because the SKETCH was too coarse for this n
+      // (expected: band ≈ 8n/accuracy rows) — at whale scale the answer is
+      // a finer sketch, never the value-histogram aggregate. One adaptive
+      // retry with accuracy sized to the observed n; ties past that are a
+      // genuine data property and fall through to the built-in below.
+      val finer = math.min(10000000L, 8L * n / math.max(bandCap / 2, 1L)).toInt
+      if (finer > accuracy)
+        return exactPercentiles(df, valueCol, probs, finer, bandCap)
+    }
+    if (!bracketed || !fits) {
       // bracket miss (heavy ties / sketch edge) — the built-in exact
       // aggregate is the deterministic safety net
       val psSql = probs.mkString("array(", ",", ")")

@@ -43,6 +43,18 @@ class QuantileSelectSpec extends AnyFunSuite with SparkSpec {
     assert(got === builtin("qs_ties", "v"))
   }
 
+  test("coarse sketch vs small band cap: adaptive accuracy retry stays " +
+    "exact (never the value-histogram fallback at scale)") {
+    val rng = new scala.util.Random(17)
+    val df = (1 to 50000).map(_ => rng.nextDouble() * 1e6).toDF("v")
+    df.createOrReplaceTempView("qs_retry")
+    // accuracy 100 → expected band ≈ 8n/100 = 4000 rows per fence, over the
+    // 2000 cap: the first round must re-sketch finer, not give up
+    val got = QuantileSelect.exactPercentiles(df, "v", probs,
+      accuracy = 100, bandCap = 2000)
+    assert(got === builtin("qs_retry", "v"))
+  }
+
   test("tiny n (below sketch resolution): still exact") {
     val df = Seq(3.0, 1.0, 2.0).toDF("v")
     df.createOrReplaceTempView("qs_tiny")
