@@ -150,4 +150,23 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(graft.plans.AsOfMergeJoin.asOf(tl, tr.filter(col("k") < 0),
       "k", "k", "t", "t", Seq("w")).select("w").as[Option[Long]].head().isEmpty)
   }
+
+  test("round-6 operators survive empty inputs") {
+    val emptyKV = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(graft.ops.QuantileSelect.exactPercentiles(
+      emptyKV, "v", Seq(0.5)) === Seq.empty)
+    assert(graft.ops.QuantileSelect.groupPercentile(
+      emptyKV, Seq("g"), col("v"), 0.5, "med").count() === 0)
+    assert(Outliers.madOutliers(emptyKV, Seq("g"), "v", 3.0,
+      boundedState = true).count() === 0)
+    assert(ext.Multimodal.syntheticImageTable(spark,
+      emptyDocs, "doc_id").count() === 0)
+    assert(ext.Multimodal.decodeMeta(spark,
+      ext.Multimodal.asMediaTable(emptyDocs, "doc_id", "text"),
+      ext.Multimodal.ImageIoCodec).count() === 0)
+    // dual-block fuzzy join: empty input reaches both the exact and the
+    // deletion-variant branches
+    assert(Dedup.fuzzyPairsBlocked(emptyDocs, "doc_id", "text", 3,
+      dualBlock = true).count() === 0)
+  }
 }
