@@ -52,7 +52,9 @@ object DoubleBuf {
 /** `percentile_compact(v, array(p…))`: EXACT percentiles with a compact
   * primitive buffer — bit-identical results to Spark's built-in exact
   * `percentile` (same `(higher−pos)·v_lo + (pos−lower)·v_hi` interpolation
-  * at `pos = p·(n−1)`), at a fraction of its cost.
+  * at `pos = p·(n−1)`), at a fraction of its cost. Sole bit-level caveat:
+  * a zero-valued rank always returns +0.0, where the built-in's sign is
+  * insertion-order-dependent (see [[PercentileCompact.update]]).
   *
   * The built-in keeps an `OpenHashMap[AnyRef, Long]` of every distinct
   * value per group (boxed keys, ~50 B/entry, hash-probe per row); on
@@ -88,7 +90,15 @@ case class PercentileCompact(valueExpr: Expression, probs: Seq[Double],
 
   override def update(buffer: DoubleBuf, input: InternalRow): DoubleBuf = {
     val v = valueExpr.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Double])
+    // signed-zero normalization (Spark's own NormalizeFloatingNumbers
+    // discipline): the built-in keeps -0.0 and 0.0 as distinct map keys
+    // under an ordering that calls them EQUAL, so the sign it returns at a
+    // zero-valued rank is insertion-order-dependent; this kernel always
+    // answers +0.0 there (values are == either way)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      buffer.add(if (d == 0.0) 0.0 else d)
+    }
     buffer
   }
 
@@ -104,7 +114,11 @@ case class PercentileCompact(valueExpr: Expression, probs: Seq[Double],
       val pos = p * (buffer.n - 1)
       val lower = math.floor(pos).toInt
       val higher = math.ceil(pos).toInt
-      if (lower == higher) a(lower)
+      // the EQUAL-NEIGHBORS shortcut matches the built-in exactly: without
+      // it, w·x + (1−w)·x loses a ulp at the extremes (0.5·minSubnormal
+      // rounds to zero twice) and the answer is no longer the order
+      // statistic both ranks agree on
+      if (lower == higher || a(lower) == a(higher)) a(lower)
       else (higher - pos) * a(lower) + (pos - lower) * a(higher)
     })
   }

@@ -93,7 +93,8 @@ object QuantileSelect {
       val psSql = probs.mkString("array(", ",", ")")
       val row = df.agg(
         expr(s"percentile(CAST($valueCol AS DOUBLE), $psSql)")).head()
-      return if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+      return if (row.isNullAt(0)) Seq.empty
+      else row.getSeq[Double](0).map(d => if (d == 0.0) 0.0 else d)
     }
 
     // collect the union of all bands through a codegen'd range filter (the
@@ -102,7 +103,11 @@ object QuantileSelect {
     // aggregates (ObjectHashAggregate leaves whole-stage codegen)
     val bandRows = df.filter(probs.indices.map(inBand).reduce(_ || _))
       .select(v.as("__v")).collect()
-    val all = bandRows.map(_.getDouble(0))
+    // signed zeros normalize to +0.0 (the PercentileCompact discipline —
+    // the built-in's sign at a zero rank is insertion-order-dependent)
+    val all = bandRows.map { r =>
+      val d = r.getDouble(0); if (d == 0.0) 0.0 else d
+    }
     java.util.Arrays.sort(all)
     probs.indices.map { j =>
       val pos = positions(j)
@@ -110,8 +115,10 @@ object QuantileSelect {
       val higher = math.ceil(pos).toLong
       val vals = all.filter(x => x >= lo(j) && x <= hi(j))
       val vLo = vals((lower - below(j)).toInt)
-      if (lower == higher) vLo
-      else (higher - pos) * vLo + (pos - lower) * vals((higher - below(j)).toInt)
+      val vHi = vals((higher - below(j)).toInt)
+      // equal-neighbors shortcut — see PercentileCompact.eval
+      if (lower == higher || vLo == vHi) vLo
+      else (higher - pos) * vLo + (pos - lower) * vHi
     }
   }
 
@@ -129,7 +136,10 @@ object QuantileSelect {
     require(prob >= 0.0 && prob <= 1.0, "prob must be in [0, 1]")
     require(groupCols.nonEmpty, "group by at least one column")
     val g = groupCols.map(col)
-    val work = df.select(g :+ valueExpr.cast("double").as("__v"): _*)
+    // signed zeros normalize to +0.0 on ingestion (see exactPercentiles)
+    val vCast = valueExpr.cast("double")
+    val work = df.select(
+      g :+ when(vCast === 0.0, lit(0.0)).otherwise(vCast).as("__v"): _*)
     val margin = 4.0 / accuracy
     val pLo = math.max(0.0, prob - margin)
     val pHi = math.min(1.0, prob + margin)
@@ -168,7 +178,8 @@ object QuantileSelect {
         s"graft.QuantileSelect.groupPercentile($outCol): rank bracket miss " +
           s"(heavy ties at the fence?) — rerun with accuracy > $accuracy"))
         .cast("double"))
-      .when(lower === higher, vLo)
+      // equal-neighbors shortcut — see PercentileCompact.eval
+      .when(lower === higher || vLo === vHi, vLo)
       .otherwise((higher - pos) * vLo + (pos - lower) * vHi)
     agg.select(g :+ fence.as(outCol): _*)
   }
