@@ -28,6 +28,14 @@ object Bench {
     sb.append("\"").toString
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private var warmStreamDir: String = _
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,7 +78,8 @@ object Bench {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        val wsDir = java.nio.file.Files.createTempDirectory("graft_warm_stream_").toString
+        warmStreamDir = java.nio.file.Files.createTempDirectory("graft_warm_stream_").toString
+        val wsDir = warmStreamDir
         spark.range(0, 100).selectExpr("id AS event_id",
           "id * 1000000000 AS ts", "id % 7 AS user_id",
           "CAST(id % 3 AS STRING) AS event_type", "CAST(id AS DOUBLE) AS value",
@@ -96,7 +105,16 @@ object Bench {
           graft.streaming.StreamOps.pairsWithin(st, st, 600),
           "graft_warm_ssj_sink",
           org.apache.spark.sql.streaming.OutputMode.Append())
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // the warm-up landing dir and memory sinks are scaffolding, not
+        // bench state — leaving them accumulates tmp garbage across runs
+        // on the same machine and keeps 4 unused memory sinks resident
+        Seq("graft_warm_stream_sink", "graft_warm_state_sink",
+          "graft_warm_dedup_sink", "graft_warm_ssj_sink")
+          .foreach(spark.catalog.dropTempView)
+        if (warmStreamDir != null) deleteRecursively(new java.io.File(warmStreamDir))
+      }
     }
     // Same discipline for the custom as-of exec: its projection codegen,
     // sort operators, and zipPartitions classes are per-JVM one-time costs
@@ -122,8 +140,14 @@ object Bench {
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failure must be VISIBLE, never a fast fake timing: record the
-      // error message per query and poison the total
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      // error message per query and poison the total.
+      // Materialize via the compiled plan's own RDD, NOT .count(): a count
+      // on top lets Catalyst prune every unreferenced projection, so
+      // map-only queries (p1, p2, txt_redact_pii, emb_quantize_int8, …)
+      // were being timed as bare scans while the DuckDB oracle pays for a
+      // full fetchall. toRdd evaluates every output column of the plan as
+      // declared — the same work Verify pays — without adding hash overhead.
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
