@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *      the order key (sketch-sized driver state, not data);
   *   2. each row is assigned a contiguous range bucket by comparing against
   *      the broadcast boundary literals (no shuffle);
-  *   3. a narrow `groupBy(bucket).count` yields per-bucket row counts
-  *      (≤ numBuckets rows to the driver), whose running sum gives each
-  *      bucket's global offset;
+  *   3. a narrow `groupBy(bucket).count` yields per-bucket row counts whose
+  *      running sum (a window over ≤ numBuckets rows) gives each bucket's
+  *      global offset — broadcast-joined back, never collected;
   *   4. `row_number` partitioned BY BUCKET (a ~1/numBuckets slice, not the
   *      world) plus the bucket's offset is the global index.
+  *
+  * Steps 2–4 are ONE action (one job): the offsets relation is a side
+  * aggregate of the same scan, not a separate driver round-trip.
   *
   * The output is exactly the global rank regardless of where the sampled
   * boundaries land: buckets are contiguous ranges of the order key, every
@@ -34,8 +37,8 @@ object IndexOps {
     * non-null numeric column and a total order (unique values) — equal keys
     * would make the global rank ambiguous on any engine.
     *
-    * The input plan is EXECUTED THREE TIMES (quantile sketch, exact bucket
-    * counts, final query): `df` must be deterministic across actions —
+    * The input plan is EXECUTED TWICE (quantile sketch; final query, which
+    * scans it twice within one job): `df` must be deterministic across actions —
     * parquet scans and pure transforms are; `rand()`, unstable sampling, or
     * a source mutating between actions are not, and would silently gap or
     * duplicate indices. For such inputs pass `stabilize = true`, which
@@ -61,32 +64,44 @@ object IndexOps {
     }
     // phase 1: boundary sketch. Distinct-sorted; duplicate quantiles (heavy
     // hitters / tiny inputs) would only create empty buckets, drop them.
-    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
-    val boundaries =
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    // approx_percentile (codegen'd aggregate) over the pruned single-column
+    // scan — measurably cheaper than DataFrameStatFunctions.approxQuantile,
+    // whose QuantileSummaries run on the pre-codegen RDD path
+    val boundaries: Array[Double] =
       if (numBuckets == 1) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, relativeError).distinct.sorted
-    // bucket = number of boundaries strictly below the key. Rows equal to a
-    // boundary all land in the same bucket, so ranges stay contiguous.
-    val bucketOf = boundaries.foldLeft(lit(0))((acc, b) =>
-      acc + when(col(orderCol) > lit(b), 1).otherwise(0))
+      else {
+        val acc = math.max(100, (1.0 / relativeError).toInt)
+        val row = df.select(expr(
+          s"approx_percentile(CAST(`$orderCol` AS DOUBLE), " +
+            probs.mkString("array(", ",", ")") + s", $acc)").as("q")).head()
+        if (row.isNullAt(0)) Array.empty[Double]
+        else row.getSeq[Double](0).toArray.distinct.sorted
+      }
+    // bucket = number of boundaries strictly below the key (binary-search
+    // codegen expression — a chained CASE WHEN fold is 63 nested exprs that
+    // janino compiles in whole seconds). Rows equal to a boundary all land
+    // in the same bucket, so ranges stay contiguous.
+    val bucketOf = graft.functions.SortedLowerBound.bucket(
+      col(orderCol).cast("double"), boundaries.toSeq)
     val withBucket = df.withColumn("__gx_bucket", bucketOf)
-    // phase 2: exact per-bucket counts -> running offsets (driver state is
-    // <= numBuckets longs; the data itself never leaves the executors)
-    val counts = withBucket.groupBy("__gx_bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (b, n) => val o = b -> acc; acc += n; o }.toMap
-    }
-    val offsetExpr =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.toSeq.sortBy(_._1).flatMap { case (b, o) =>
-          Seq(lit(b), lit(o)) }: _*),
-        col("__gx_bucket"))
+    // phase 2+3 FUSED into the final query (no driver collect): exact
+    // per-bucket counts aggregate relationally, a window over the <=
+    // numBuckets count rows turns them into running offsets (a 64-row
+    // single-partition sort — free), and the offset relation broadcast-joins
+    // back on the bucket id. One action total after the sketch, and no
+    // per-row literal-map construction (the previous element_at(map(...))
+    // form rebuilt a 2·numBuckets-entry map object PER ROW — measured as
+    // the dominant cost of the final pass at sf0.1).
+    val wOff = Window.orderBy(col("__gx_bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBucket.groupBy("__gx_bucket").count()
+      .select(col("__gx_bucket").as("__gx_ob"),
+        coalesce(sum(col("count")).over(wOff), lit(0L)).as("__gx_off"))
     val w = Window.partitionBy("__gx_bucket").orderBy(col(orderCol).asc)
     withBucket
-      .withColumn(outName, offsetExpr + row_number().over(w).cast("long"))
-      .drop("__gx_bucket")
+      .join(broadcast(offsets), col("__gx_bucket") === col("__gx_ob"))
+      .withColumn(outName, col("__gx_off") + row_number().over(w).cast("long"))
+      .drop("__gx_bucket", "__gx_ob", "__gx_off")
   }
 }

@@ -89,9 +89,10 @@ object Profile {
     require(b >= 2, "need at least 2 buckets")
     val fences: Seq[Double] = QuantileSelect.exactPercentiles(
       df, valueCol, (1 until b).map(j => j.toDouble / b))
-    // bucket = number of fences strictly below the value (x > f ⇔ f < x)
-    val bucket = fences.foldLeft(lit(0))((acc, f) =>
-      acc + when(col(valueCol) > lit(f), 1).otherwise(0))
+    // bucket = number of fences strictly below the value — binary-search
+    // codegen expression, not a b-deep CASE WHEN fold (see SortedLowerBound)
+    val bucket = graft.functions.SortedLowerBound.bucket(
+      col(valueCol).cast("double"), fences.distinct.sorted)
     // NULLs are outside every percentile band (the percentile aggregate
     // already ignores them) — excluded rather than silently binned at 0
     df.filter(col(valueCol).isNotNull)

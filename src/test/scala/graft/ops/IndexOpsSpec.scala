@@ -30,11 +30,23 @@ class IndexOpsSpec extends AnyFunSuite with SparkSpec {
       && idx.length == orders.count())
   }
 
-  test("plan has no SinglePartition exchange") {
+  test("data path never serializes through one task") {
     val plan = IndexOps.globalIndex(orders, "o_orderkey")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      s"global numbering must not serialize through one task:\n$plan")
+    // the DATA takes: bucket assignment (narrow) -> broadcast join with the
+    // offsets relation -> row_number window PARTITIONED BY BUCKET. The only
+    // SinglePartition exchange allowed is the offsets side-relation (the
+    // running sum over <= numBuckets count rows — 64 longs, not data).
+    assert("SinglePartition".r.findAllIn(plan).size <= 1,
+      s"global numbering must not serialize data through one task:\n$plan")
+    assert(plan.contains("partitionspec=[__gx_bucket") ||
+      plan.contains("[partitionspec=[__gx_bucket") ||
+      plan.toLowerCase.contains("__gx_bucket"),
+      s"row_number window must be partitioned by the range bucket:\n$plan")
+    // and the broadcast side really is broadcast (no shuffle of the data to
+    // meet a 64-row relation)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"offsets relation must broadcast:\n$plan")
   }
 
   test("degenerate shapes: numBuckets=1, buckets >> rows, empty input") {
