@@ -48,10 +48,16 @@ object Outliers {
     * medians come from [[graft.functions.PercentileCompact]] — a single
     * pass per fence with a flat primitive buffer, severalfold faster than
     * the built-in `percentile`'s boxed value-histogram and bit-identical to
-    * it. Buffer state is still O(group size): for whale-scale groups
-    * (≳10⁸ values each) set `boundedState = true` to route through
+    * it. STATE TRADE, explicitly: the compact buffer is O(group ROWS) at
+    * 8 B/row where the built-in's distinct-value map is O(group DISTINCTS)
+    * at ~50 B/entry — on near-unique doubles (the common case) the buffer
+    * wins severalfold, but a LOW-CARDINALITY whale group (say 10⁹ rows of
+    * integer-valued prices) fits the built-in's map and NOT the buffer,
+    * which raises a loud capacity error at ~2.6×10⁸ rows/group. For such
+    * groups set `boundedState = true` to route through
     * [[QuantileSelect.groupPercentile]] — two-round distributed selection,
-    * O(n_g/accuracy) state, same bits, roughly twice the scan work.
+    * O(n_g/accuracy) state at ANY row count or cardinality, same bits,
+    * roughly twice the scan work.
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double, roundTo: Int = 4,
@@ -89,19 +95,28 @@ object Outliers {
     * group-cardinality relation — AQE broadcasts it when small); the clamp
     * itself is a scan expression. Both fences ride one
     * [[graft.functions.PercentileCompact]] buffer (flat primitive state,
-    * bit-identical to the built-in); same
-    * [[QuantileSelect.groupPercentile]] swap as [[madOutliers]] at
-    * whale-group scale.
+    * bit-identical to the built-in); the buffer is O(group rows) with a
+    * loud capacity error at ~2.6×10⁸ rows/group — same state trade and
+    * same [[QuantileSelect.groupPercentile]] escape hatch as
+    * [[madOutliers]] for whale-scale groups of any cardinality.
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                pLo: Double, pHi: Double): DataFrame = {
+                pLo: Double, pHi: Double,
+                boundedState: Boolean = false): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
-    val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(graft.functions.PercentileCompact
-        .percentileCompact(col(valueCol), Seq(pLo, pHi)).as("__f"))
-      .select(col("*"), col("__f").getItem(0).as("lo"),
-        col("__f").getItem(1).as("hi"))
-      .drop("__f")
+    val fences =
+      if (boundedState)
+        QuantileSelect.groupPercentile(df, groupCols, col(valueCol), pLo, "lo")
+          .join(QuantileSelect.groupPercentile(df, groupCols, col(valueCol),
+            pHi, "hi"), groupCols)
+          .localCheckpoint() // one row per group; freeze so the med machinery
+                             // doesn't re-execute inside every consumer subtree
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.PercentileCompact
+          .percentileCompact(col(valueCol), Seq(pLo, pHi)).as("__f"))
+        .select(col("*"), col("__f").getItem(0).as("lo"),
+          col("__f").getItem(1).as("hi"))
+        .drop("__f")
     df.join(fences, groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("lo")), col("hi")))

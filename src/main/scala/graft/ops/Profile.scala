@@ -85,8 +85,20 @@ object Profile {
     * codegen.) Rows equal to a fence go to the LOWER bucket (strict `<`),
     * so bucket ranges stay contiguous under ties.
     */
-  def equiDepthHistogram(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+  /** MULTI-ACTION CONTRACT: the fence selection executes `df` 2–3 times
+    * (sketch, counts+band, possible fallback) and the bucketing pass once
+    * more — `df` must be deterministic across actions. Parquet scans and
+    * pure transforms are; `rand()`-derived columns or unstable sampling are
+    * NOT and would yield fences that disagree with the pass that bins
+    * against them. For such inputs pass `stabilize = true`, which
+    * materializes `df` once (localCheckpoint) and derives every pass from
+    * the frozen copy — the same escape hatch as
+    * [[IndexOps.globalIndex]]'s `stabilize`.
+    */
+  def equiDepthHistogram(df0: DataFrame, valueCol: String, b: Int,
+                         stabilize: Boolean = false): DataFrame = {
     require(b >= 2, "need at least 2 buckets")
+    val df = if (stabilize) df0.localCheckpoint() else df0
     val fences: Seq[Double] = QuantileSelect.exactPercentiles(
       df, valueCol, (1 until b).map(j => j.toDouble / b))
     // bucket = number of fences strictly below the value — binary-search

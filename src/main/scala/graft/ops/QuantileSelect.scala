@@ -125,14 +125,17 @@ object QuantileSelect {
   /** Exact per-group `percentile(valueExpr, prob)` as a fence RELATION
     * (groupCols + `outCol`) — the join-back shape [[Outliers.madOutliers]]
     * uses. Fully relational: no driver state at any group cardinality; the
-    * per-group aggregate state is the O(n_g/accuracy) band, not the value
-    * histogram. A bracket miss raises a loud error (never a silently wrong
-    * fence) — rerun with higher accuracy; all-null groups yield NULL like
-    * the built-in.
+    * per-group aggregate state is the O(n_g/accuracy) band — collected
+    * through a CAPPED aggregate (`bandCap`, 8·bandCap bytes worst case),
+    * so heavy ties at the fence can never silently re-inflate the state to
+    * O(n_g). A bracket miss or a band overflow raises a loud error (never
+    * a silently wrong fence) — rerun with higher accuracy or a larger cap;
+    * all-null groups yield NULL like the built-in.
     */
   def groupPercentile(df: DataFrame, groupCols: Seq[String], valueExpr: Column,
                       prob: Double, outCol: String,
-                      accuracy: Int = 10000): DataFrame = {
+                      accuracy: Int = 10000,
+                      bandCap: Int = 4000000): DataFrame = {
     require(prob >= 0.0 && prob <= 1.0, "prob must be in [0, 1]")
     require(groupCols.nonEmpty, "group by at least one column")
     val g = groupCols.map(col)
@@ -157,10 +160,16 @@ object QuantileSelect {
       .withColumn("__lo", col("__br").getItem(0))
       .withColumn("__hi", col("__br").getItem(1))
     val vv = col("__v")
+    // band state is CAPPED (the whole point of this operator): a plain
+    // collect_list under heavy ties at the fence value would hold O(n_g)
+    // doubles per group — BoundedSortedCollect stops at `bandCap` and
+    // evaluates to NULL, which the fence expression below turns into a
+    // loud, actionable error (mirroring exactPercentiles' bandCap guard)
     val agg = joined.groupBy(g: _*).agg(
       count(vv).as("__n"),
       coalesce(sum(when(vv < col("__lo"), 1L)), lit(0L)).as("__below"),
-      sort_array(collect_list(when(vv >= col("__lo") && vv <= col("__hi"), vv)))
+      graft.functions.BoundedSortedCollect.boundedSortedCollect(
+        when(vv >= col("__lo") && vv <= col("__hi"), vv), bandCap)
         .as("__band"))
 
     val nM1 = (col("__n") - 1).cast("double")
@@ -174,6 +183,11 @@ object QuantileSelect {
     val vLo = element_at(col("__band"), idxLo)
     val vHi = element_at(col("__band"), idxHi)
     val fence = when(col("__n") === 0L, lit(null).cast("double"))
+      .when(col("__band").isNull, raise_error(lit(
+        s"graft.QuantileSelect.groupPercentile($outCol): a group's percentile " +
+          s"band exceeded bandCap=$bandCap values (heavy ties at the fence?) — " +
+          s"rerun with accuracy > $accuracy or a larger bandCap"))
+        .cast("double"))
       .when(!okCoverage, raise_error(lit(
         s"graft.QuantileSelect.groupPercentile($outCol): rank bracket miss " +
           s"(heavy ties at the fence?) — rerun with accuracy > $accuracy"))

@@ -99,4 +99,30 @@ class QuantileSelectSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(got === Map("c" -> 7.0, "m" -> 500.5))
   }
+
+  test("grouped band overflow raises the loud bandCap error, never OOM or " +
+    "a wrong fence") {
+    // constant group: every row is IN the band, so a tiny cap must trip —
+    // across partitions, so the overflow fact must survive merge/shuffle
+    val df = (1 to 5000).map(_ => ("c", 7.0)).toDF("g", "v").repartition(8)
+    val e = intercept[Exception] {
+      QuantileSelect.groupPercentile(df, Seq("g"), col("v"), 0.5, "med",
+        bandCap = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("bandCap")),
+      s"expected the actionable bandCap message, got: $e")
+  }
+
+  test("bounded collect: cap respected per group, others unaffected") {
+    import graft.functions.BoundedSortedCollect.boundedSortedCollect
+    val df = ((1 to 500).map(i => ("big", i.toDouble)) ++
+      Seq(("small", 2.0), ("small", 1.0))).toDF("g", "v").repartition(4)
+    val got = df.groupBy("g")
+      .agg(boundedSortedCollect(col("v"), 100).as("band"))
+      .as[(String, Option[Seq[Double]])].collect().toMap
+    assert(got("big").isEmpty, "over-cap group must evaluate to NULL")
+    assert(got("small") === Some(Seq(1.0, 2.0)), "sorted, unaffected")
+  }
 }

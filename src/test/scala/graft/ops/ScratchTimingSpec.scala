@@ -15,7 +15,24 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
-  test("fuzzy phases at sf0.1") {
+  test("zorder phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    import graft.ops.ZOrder
+    val orders = graft.Tables.orders(spark, dir)
+    def q = orders.select(col("o_orderkey"),
+      expr("CAST(o_custkey % 1024 AS BIGINT)").as("qa"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') % 1024 AS BIGINT)").as("qb"))
+    t("scan+quantize only")(q.queryExecution.toRdd.count())
+    t("with zv")(q.select(col("o_orderkey"),
+      ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv")).queryExecution.toRdd.count())
+    t("with zv again")(q.select(col("o_orderkey"),
+      ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv")).queryExecution.toRdd.count())
+    t("with zv + orderBy")(q.select(col("o_orderkey"),
+      ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv"))
+      .orderBy("o_orderkey").queryExecution.toRdd.count())
+  }
+
+  ignore("fuzzy phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val docs = graft.Tables.documents(spark, dir)
     import graft.ext.Dedup
