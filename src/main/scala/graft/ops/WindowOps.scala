@@ -56,86 +56,101 @@ object WindowOps {
     * of a key are never NULL: the spine starts at the key's first
     * observation.
     *
-    * Shape at 100 TB: one aggregate for bucket-last values, one tiny
-    * per-key span aggregate whose `sequence()` explode GENERATES the spine
-    * (spine rows are never shuffled as input), an equi-join back, and one
-    * key-window fill. Everything keys on (key, bucket) — no range join,
-    * no driver loop.
+    * Shape at 100 TB: ONE hash aggregate for bucket-last values (map-side
+    * partial combine — the raw events never shuffle whole), one key-window
+    * pass over the compact per-bucket relation, and a `sequence()` explode
+    * that GENERATES the filled grid directly: each observed bucket emits
+    * the grid rows up to (exclusive) the next observed bucket, carrying
+    * the fill value. No spine aggregate, no join-back — grid rows are
+    * never shuffled at all. Everything keys on (key, bucket); no range
+    * join, no driver loop.
     */
   def resampleFfill(df: DataFrame, keyCol: String, epochSecCol: String,
                     valueCol: String, stepSeconds: Long): DataFrame = {
+    val lastPerBucket = bucketLast(df, keyCol, epochSecCol, valueCol, stepSeconds)
+    val asc = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+    lastPerBucket
+      // last non-null at-or-before this bucket: the fill value for every
+      // grid point in [bucket, nextBucket) — a null-valued bucket winner
+      // behaves as an empty bucket (carry the previous observation), the
+      // exact `last(... ignoreNulls)` semantics of the join+fill form
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true)
+        .over(asc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__nb", lead(col("bucket"), 1).over(asc))
+      .select(col("key").as(keyCol),
+        explode(sequence(col("bucket"),
+          coalesce(col("__nb") - stepSeconds, col("bucket")), lit(stepSeconds))).as("bucket"),
+        col("__pv").as("value_ffill"))
+  }
+
+  /** Bucket-last relation shared by the resamplers: one row per observed
+    * (key, bucket), value = the bucket's LAST event (`epochSecCol` desc,
+    * then `valueCol` desc as tie-break) via a `max_by` hash aggregate —
+    * map-side partial combine, no per-row window sort of the raw events.
+    * Floor semantics via subtract-pmod (exact long arithmetic): `div`
+    * truncates toward zero, so pre-epoch (negative) seconds would snap to
+    * the NEXT bucket and diverge from floor-division engines.
+    */
+  private def bucketLast(df: DataFrame, keyCol: String, epochSecCol: String,
+                         valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
-    // floor semantics via subtract-pmod (exact long arithmetic): `div`
-    // truncates toward zero, so pre-epoch (negative) seconds would snap to
-    // the NEXT bucket and diverge from DuckDB's `//` floor division
-    val bucketed = df.select(col(keyCol).as("key"),
+    df.select(col(keyCol).as("key"),
         expr(s"CAST($epochSecCol AS BIGINT) - pmod(CAST($epochSecCol AS BIGINT), $stepSeconds)").as("bucket"),
         col(epochSecCol).cast("long").as("__s"), col(valueCol).as("__v"))
-    val lastPerBucket = AggOps.dedupByKeyOrdered(bucketed, Seq("key", "bucket"),
-        Seq(col("__s").desc, col("__v").desc))
-      .select(col("key"), col("bucket"), col("__v"))
-    val spine = lastPerBucket.groupBy("key")
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("key"), explode(sequence(col("lo"), col("hi"),
-        lit(stepSeconds))).as("bucket"))
-    val w = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    spine.join(lastPerBucket, Seq("key", "bucket"), "left")
-      .withColumn("value_ffill", last(col("__v"), ignoreNulls = true).over(w))
-      .select(col("key").as(keyCol), col("bucket"), col("value_ffill"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max_by(col("__v"), struct(col("__s"), col("__v"))).as("__v"))
   }
 
   /** Time-series resample + LINEAR interpolation: same grid/spine as
     * [[resampleFfill]] (per-bucket LAST observation wins), but empty buckets
     * take the straight line between the surrounding observed buckets instead
     * of carrying the previous value — pandas
-    * `resample().last().interpolate()` semantics. The spine spans each key's
+    * `resample().last().interpolate()` semantics. The grid spans each key's
     * first..last OBSERVED bucket, so every empty bucket has both a previous
     * and a next observation; no extrapolation is ever produced.
     *
-    * Shape at 100 TB: identical to resampleFfill (bucket-last aggregate,
-    * generated spine, equi-join back) plus two frames over the SAME
-    * per-key window partitioning — Catalyst evaluates both in one
-    * WindowExec pair on one shuffle of (key, bucket).
+    * Shape at 100 TB: same generate-form as [[resampleFfill]] — bucket-last
+    * hash aggregate, window pass over the compact per-bucket relation
+    * (asc + desc sorts share one (key) exchange), then the `sequence()`
+    * explode emits each interval's grid rows with the line endpoints
+    * attached; the interpolation itself is a scan expression on generated
+    * rows that never shuffle. The forward-looking endpoints use a RUNNING
+    * frame over the DESCENDING order, never
+    * `rowsBetween(0, unboundedFollowing)` — Spark's
+    * UnboundedFollowingWindowFunctionFrame re-scans the partition tail per
+    * row, O(n²) per key (measured 59 s vs ~2 s at sf0.1 on the old
+    * spine-join form).
     */
   def resampleInterp(df: DataFrame, keyCol: String, epochSecCol: String,
                      valueCol: String, stepSeconds: Long): DataFrame = {
-    require(stepSeconds > 0, "stepSeconds must be positive")
-    val bucketed = df.select(col(keyCol).as("key"),
-        expr(s"CAST($epochSecCol AS BIGINT) - pmod(CAST($epochSecCol AS BIGINT), $stepSeconds)").as("bucket"),
-        col(epochSecCol).cast("long").as("__s"), col(valueCol).as("__v"))
-    val lastPerBucket = AggOps.dedupByKeyOrdered(bucketed, Seq("key", "bucket"),
-        Seq(col("__s").desc, col("__v").desc))
-      .select(col("key"), col("bucket"), col("__v"))
-    val spine = lastPerBucket.groupBy("key")
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("key"), explode(sequence(col("lo"), col("hi"),
-        lit(stepSeconds))).as("bucket"))
-    val back = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // Forward-looking "next observation" deliberately expressed as a RUNNING
-    // frame over the DESCENDING order, not `rowsBetween(0, unboundedFollowing)`:
-    // Spark's UnboundedFollowingWindowFunctionFrame re-scans the partition
-    // tail for every row — O(n²) per key partition (measured 59 s vs ~2 s at
-    // sf0.1). `last(...) ignoreNulls` over desc-running is semantically
-    // identical to `first(...) ignoreNulls` over the following frame, and the
-    // extra sort shares the same (key) shuffle partitioning.
-    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val lastPerBucket = bucketLast(df, keyCol, epochSecCol, valueCol, stepSeconds)
+    val asc = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+    val back = asc.rowsBetween(Window.unboundedPreceding, 0)
+    // strictly-after frame: desc order, rows up to BUT EXCLUDING current
+    val fwdStrict = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val obsBucket = when(col("__v").isNotNull, col("bucket"))
-    spine.join(lastPerBucket, Seq("key", "bucket"), "left")
+    lastPerBucket
       .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
       .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
-      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(fwd))
-      .withColumn("__nb", last(obsBucket, ignoreNulls = true).over(fwd))
-      // observed buckets: the value itself (pb == nb == bucket would divide
-      // by zero); empty buckets: straight line between (pb,pv) and (nb,nv).
-      // The arithmetic shape is mirrored verbatim in the DuckDB oracle so
-      // both engines run the identical IEEE op sequence before rounding.
-      .withColumn("value_interp",
-        when(col("__v").isNotNull, col("__v"))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(fwdStrict))
+      .withColumn("__nbn", last(obsBucket, ignoreNulls = true).over(fwdStrict))
+      .withColumn("__nb", lead(col("bucket"), 1).over(asc))
+      .select(col("key"), col("bucket").as("__cb"), col("__v"), col("__pv"),
+        col("__pb"), col("__nv"), col("__nbn"),
+        explode(sequence(col("bucket"),
+          coalesce(col("__nb") - stepSeconds, col("bucket")), lit(stepSeconds))).as("bucket"))
+      // observed non-null buckets: the value itself; everything else: the
+      // straight line between the surrounding non-null observations
+      // ((__pb,__pv) at-or-before the emitting bucket, (__nbn,__nv) strictly
+      // after it — nothing is observed in between, so they surround every
+      // generated grid point). The arithmetic shape is mirrored verbatim in
+      // the DuckDB oracle so both engines run the identical IEEE op
+      // sequence before rounding.
+      .select(col("key").as(keyCol), col("bucket"),
+        when(col("bucket") === col("__cb") && col("__v").isNotNull, col("__v"))
           .otherwise(col("__pv") + (col("__nv") - col("__pv"))
-            * (col("bucket") - col("__pb")) / (col("__nb") - col("__pb"))))
-      .select(col("key").as(keyCol), col("bucket"), col("value_interp"))
+            * (col("bucket") - col("__pb")) / (col("__nbn") - col("__pb")))
+          .as("value_interp"))
   }
 }
