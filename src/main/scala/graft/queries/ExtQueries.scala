@@ -130,6 +130,16 @@ object ExtQueries {
        |     ELSE 'zh' END""".stripMargin
   }
 
+  /** Freeze an EXPENSIVE-plan, small-result relation before the gate's
+    * presentation `orderBy`: a global sort's RangePartitioner runs a
+    * sampling pass that RE-EXECUTES the child plan — for a pair join that
+    * means paying the O(n²) candidate scan twice to sort a few hundred
+    * matches. localCheckpoint materializes the matches once (tiny cache)
+    * and both the sampling and sort passes read the frozen copy.
+    */
+  private def frozen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint()
+
   def all: Seq[GQ] = Seq(
 
     // ----- text analysis -----------------------------------------------------
@@ -406,8 +416,8 @@ object ExtQueries {
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
-        Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4)
+        frozen(Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4))
           .orderBy("id_a", "id_b")),
 
     // The capped heuristic alternative: hub shingles (doc freq ≥ cap) are
@@ -535,7 +545,7 @@ object ExtQueries {
              |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
-        Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+        frozen(Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4))
           .orderBy("id_a", "id_b")),
 
     // ----- incremental exact dedup vs a fingerprint history ------------------
@@ -863,11 +873,10 @@ object ExtQueries {
         val landing = StreamOps.eventsLandingWithSentinel(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          // 8, not 4: the session-window state tasks are the heavy part of
-          // this gate and 8 measured ~15% faster on local[32] (16 regresses
-          // — task overhead wins again); the other stream gates measured
-          // flat between 4 and 8 and keep 4
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          // 4 (round-7 re-measurement under honest toRdd materialization:
+          // 8 → 2.3 s, 4 → 2.0 s, 2 → 2.0 s, 1 → 2.4 s — the earlier "8 is
+          // 15% faster" read didn't survive; task overhead wins at 8+)
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
           // 2 files per trigger: both base drops in trigger 1, the sentinel
           // (newest mtime) ALONE in trigger 2 — the flush still happens in a
           // strictly later micro-batch, one fewer trigger to pay for

@@ -15,7 +15,82 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
-  test("zorder phases at sf0.1") {
+  test("prefix jaccard phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    t("sets checkpoint") {
+      docs.select(col("doc_id").as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 5).as("set"))
+        .filter(size(col("set")) > 0).localCheckpoint().count()
+    }
+    val sets = docs.select(col("doc_id").as("id"),
+      graft.functions.ShingleHashes.shingleHashes(col("text"), 5).as("set"))
+      .filter(size(col("set")) > 0).localCheckpoint()
+    val ex = sets.select(col("id"), size(col("set")).cast("long").as("sz"),
+      explode(col("set")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(0.8) - lit(1e-9)) + 1)
+      .select("id", "sz", "s")
+    t("prefix relation")(info(s"prefix rows=${prefix.queryExecution.toRdd.count()}"))
+    val pa = prefix.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a"))
+    val pb = prefix.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b"))
+    val cand = pa.join(pb, pa("s") === pb("s") && pa("id_a") < pb("id_b")
+        && pb("sz_b") * lit(0.8) - lit(1e-9) <= pa("sz_a")
+        && pa("sz_a") * lit(0.8) - lit(1e-9) <= pb("sz_b"))
+      .select("id_a", "id_b").distinct()
+    t("candidates")(info(s"cand rows=${cand.queryExecution.toRdd.count()}"))
+    t("full gate") {
+      graft.ext.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 5, 0.8)
+        .queryExecution.toRdd.count()
+    }
+    t("full gate again") {
+      graft.ext.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 5, 0.8)
+        .queryExecution.toRdd.count()
+    }
+  }
+
+  ignore("stream gate steady-state at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val q = graft.SparkEntry.queries("stream_session_windows")
+    t("session gate run 1")(q(spark, dir).queryExecution.toRdd.count())
+    t("session gate run 2")(q(spark, dir).queryExecution.toRdd.count())
+    t("session gate run 3")(q(spark, dir).queryExecution.toRdd.count())
+    val q2 = graft.SparkEntry.queries("stream_tumbling_counts")
+    t("tumbling gate run 1")(q2(spark, dir).queryExecution.toRdd.count())
+    t("tumbling gate run 2")(q2(spark, dir).queryExecution.toRdd.count())
+    // raw queries at different state partition counts
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    val landingS = StreamOps.eventsLandingWithSentinel(spark, dir)
+    val landingP = StreamOps.eventsLanding(spark, dir)
+    Seq("8", "4", "2", "1").foreach { p =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        t(s"session raw parts=$p") {
+          val stream = StreamOps.readEventStream(spark, landingS, maxFilesPerTrigger = Some(2))
+          StreamOps.runToMemory(StreamOps.sessionCounts(stream, gapSeconds = 1800),
+            s"scratch_session_sink_$p", OutputMode.Append())
+        }
+        t(s"ssj raw parts=$p") {
+          val left = StreamOps.readEventStream(spark, landingP, maxFilesPerTrigger = Some(1))
+            .filter(col("user_id") % 4 === 0)
+          val right = StreamOps.readEventStream(spark, landingP, maxFilesPerTrigger = Some(2))
+            .filter(col("user_id") % 4 === 0)
+          StreamOps.runToMemory(
+            StreamOps.pairsWithin(left, right, withinSeconds = 300, watermark = "30 days"),
+            s"scratch_ssj_sink_$p", OutputMode.Append())
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  ignore("zorder phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     import graft.ops.ZOrder
     val orders = graft.Tables.orders(spark, dir)
