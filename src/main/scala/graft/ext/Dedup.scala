@@ -254,9 +254,29 @@ object Dedup {
     * verify on candidates.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFps(simhash64(df, idCol, textCol), maxHamming)
+
+  /** [[simhashPairs]] with the PORTABLE (md5-derived) per-token hash of
+    * [[SimHashPortable]] instead of the xxhash64 kernel: identical banding,
+    * bucket join, and hamming verify (the operator's substance — shared
+    * code path below), but a base hash both Spark and DuckDB can compute,
+    * so the WHOLE pipeline is oracle-gateable against a brute-force
+    * all-pairs ground truth — which also proves the pigeonhole banding
+    * lost nothing. Production near-dup runs keep [[simhashPairs]] (one
+    * xxhash64 per token beats two md5 rounds); the hash swap changes which
+    * texts collide, never the operator semantics.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFps(SimHashPortable.fingerprints(df, idCol, textCol), maxHamming)
+
+  /** Shared banding + verify: candidates from four 16-bit chunk buckets,
+    * exact hamming via `bit_count(xor)`, `maxHamming < 4` for lossless
+    * pigeonhole recall.
+    */
+  private def simhashPairsFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming <= 3")
-    val fps = simhash64(df, idCol, textCol)
     val chunks = fps.select(col("id"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)

@@ -49,6 +49,31 @@ object SketchFunctions {
     */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** [[simhash64]] with the PORTABLE md5 base hash (first 16 md5 hex digits
+    * as one big-endian 64-bit word — the formula
+    * [[graft.ext.SimHashPortable]] renders for both SQL dialects): same
+    * vote rule, same NULL contract, a base hash an external oracle can
+    * recompute. The per-round driver hash gate is what pins this kernel to
+    * the rendered formula.
+    */
+  def simhash64Md5(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens), md5Base = true))
+
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 bytes of the UTF-8 token, big-endian (== the first 16 hex
+    * digits as a word).
+    */
+  private[functions] def md5First8(bytes: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
 }
 
 case class MinHashSketch(child: Expression, numHashes: Int)
@@ -93,7 +118,7 @@ case class MinHashSketch(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, md5Base: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -103,7 +128,7 @@ case class SimHash64(child: Expression)
   }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true // empty token array -> NULL
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (md5Base) "simhash64_md5" else "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -113,7 +138,10 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < m) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), SketchFunctions.XxSeed)
+        val tok = arr.getUTF8String(i)
+        val h =
+          if (md5Base) SketchFunctions.md5First8(tok.getBytes)
+          else XXH64.hashUTF8String(tok, SketchFunctions.XxSeed)
         var j = 0
         while (j < 64) {
           votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)

@@ -473,9 +473,29 @@ object ExtQueries {
           n = 3, threshold = 0.4, numHashes = 128, bands = 64)
           .orderBy("id_a", "id_b")),
 
-    GQ("dedup_simhash", None,
+    // SimHash near-dup pairs, ORACLE-GATED end to end: the gate runs the
+    // portable (md5-base) variant — same banding/bucket-join/hamming-verify
+    // code path as the xxhash64 production kernel, base hash rendered from
+    // ONE generator in both dialects (the zorder drift-proofing pattern).
+    // The oracle computes fingerprints the same way, then brute-force
+    // all-pairs hamming — a GROUND-TRUTH gate that also proves the 4-chunk
+    // pigeonhole banding loses no pair at hamming <= 3. The xxhash64
+    // kernel keeps its bit-parity spec (SketchSpec).
+    GQ("dedup_simhash",
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              |            FROM documents),
+              |h AS (SELECT doc_id, ${graft.ext.SimHashPortable.baseDuckSql("t")} AS b FROM tok),
+              |fp AS (SELECT doc_id, ${graft.ext.SimHashPortable.fpAggDuckSql("b")} AS simhash
+              |       FROM h GROUP BY doc_id)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
-        Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+        Dedup.simhashPairsPortable(Tables.documents(spark, dir), "doc_id", "text",
+          maxHamming = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
           .orderBy("id_a", "id_b")),
 
     // Cluster canonicalization over the exact-Jaccard pair graph; oracle

@@ -105,6 +105,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portable simhash: banding == brute-force all-pairs; md5 base matches JDK") {
+    // the 4-chunk pigeonhole must surface EXACTLY the hamming<=3 pairs a
+    // brute-force scan of the fingerprints finds — no more (verify kills
+    // extras), no fewer (recall) — on real corpus text
+    val real = graft.Tables.documents(spark, sfDir)
+    val fps = graft.ext.SimHashPortable.fingerprints(real, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairsPortable(real, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute,
+      s"banding must equal brute force (banded ${banded.size}, brute ${brute.size})")
+    // and the rendered md5 base-hash formula really is the first 16 md5 hex
+    // digits as one 64-bit word — pinned against the JDK's MessageDigest
+    val got = spark.sql(
+      s"SELECT ${graft.ext.SimHashPortable.baseSparkSql("'hello'")}").head().getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8"))
+    val want = java.nio.ByteBuffer.wrap(md).getLong // first 8 bytes, big-endian
+    assert(got === want)
+    // kernel ≡ rendered-SQL formula, fingerprint for fingerprint, on the
+    // real corpus — the scan-side md5 kernel must never drift from what
+    // the oracle computes
+    val sqlForm = graft.ext.SimHashPortable.fingerprintsSql(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps.toMap === sqlForm,
+      "simhash64_md5 kernel diverged from the rendered vote formula")
+  }
+
   test("connectedComponents is generic: string ids take the distributed loop") {
     // non-integral ids skip the driver union-find; the distributed path's
     // convergence detector must be type-generic (a decimal-sum check would
