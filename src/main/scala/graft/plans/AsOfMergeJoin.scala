@@ -29,12 +29,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * never match (pre-filtered), NULL left keys/times get no match, all
   * carried attrs come from the SAME matched row.
   *
-  * Measured trade (sf0.1, local[32]): on unbucketed inputs the codegen'd
-  * window form wins (~0.35 s vs ~1.3 s — this exec's merge loop is
-  * interpreted). On CO-BUCKETED children the exec plans with ZERO
-  * exchanges (AsOfMergeJoinSpec proves it) while the union form always
-  * pays its full shuffle — at fact-scale inputs the exchange dominates,
-  * which is why this operator exists.
+  * Measured trade (sf0.1, local[32], full-output materialization — the
+  * round-7 honest bench): the exec WINS even on unbucketed inputs once
+  * every output column is actually evaluated (1.4 s vs the window form's
+  * 2.5 s — the earlier "window form wins" read was a count-pruned bench
+  * that never paid the union form's row-widening). On CO-BUCKETED
+  * children the exec additionally plans with ZERO exchanges
+  * (AsOfMergeJoinSpec proves it) while the union form always pays its
+  * full shuffle — at fact-scale inputs the exchange dominates, which is
+  * why this operator exists. The merge loop itself stays interpreted
+  * (type-specialized comparators, one carried row): it is not the
+  * bottleneck at either scale measured.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,

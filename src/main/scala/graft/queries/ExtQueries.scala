@@ -308,14 +308,21 @@ object ExtQueries {
               |       round(quantile_cont(n, 0.75), 6) AS p75,
               |       round(quantile_cont(n, 0.95), 6) AS p95
               |FROM t""".stripMargin),
-      (spark, dir) =>
+      (spark, dir) => {
+        // ONE percentile_compact buffer carries all four fences (flat
+        // primitive state, bit-identical interpolation to the built-in —
+        // a9_percentiles keeps the built-in as the reference-parity gate)
+        val q = graft.functions.PercentileCompact.percentileCompact(
+          col("n").cast("double"), Seq(0.25, 0.5, 0.75, 0.95))
         Tables.documents(spark, dir)
           .select(TextOps.tokenCount(col("text")).as("n"))
-          .agg(
-            round(expr("percentile(n, 0.25)"), 6).as("p25"),
-            round(expr("percentile(n, 0.5)"), 6).as("p50"),
-            round(expr("percentile(n, 0.75)"), 6).as("p75"),
-            round(expr("percentile(n, 0.95)"), 6).as("p95"))),
+          .agg(q.as("__q"))
+          .select(
+            round(col("__q").getItem(0), 6).as("p25"),
+            round(col("__q").getItem(1), 6).as("p50"),
+            round(col("__q").getItem(2), 6).as("p75"),
+            round(col("__q").getItem(3), 6).as("p95"))
+      }),
 
     GQ("txt_quality",
       Some(s"""SELECT doc_id,
