@@ -42,6 +42,15 @@ object Bench {
     val probe = cpuProbeSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // AQE OFF at bench scale (overridable): adaptive execution re-plans
+      // and re-codegens per materialized stage — pure overhead on sf0.1
+      // single-node shuffles (measured: 10 cheap gates 6.9 s -> 5.0 s, 12
+      // heavy gates 24.1 -> 20.6; only 2 of 22 regressed, <0.3 s). Its
+      // benefits (runtime coalesce, skew splits, join demotion) need
+      // cluster-scale shuffles — a 100 TB deployment keeps the default ON;
+      // operators never depend on it for correctness (Verify runs AQE-on).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.shuffle.partitions", cpus)
       // NOTE: adaptive.coalescePartitions.parallelismFirst=false was
       // measured here and REVERTED: it coalesces the CPU-bound pair-join

@@ -553,14 +553,20 @@ object Dedup {
       // tokens within 1 edit share a variant (substitution: same-position
       // deletions coincide; insert/delete: the shorter token IS a variant
       // of the longer). Empty variants are dropped — "" must not become a
-      // mega-block key.
+      // mega-block key. Deletion positions are capped at PREFIXLEN — the
+      // principled bound, since the distance itself is computed on
+      // `prefixLen`-truncated text, so an edit past that position cannot
+      // change any pair's distance (the former fixed 24 silently dropped
+      // typos at positions 25..prefixLen of a long first token —
+      // DedupSpec pins the recovered case). Variant count per VOCAB token
+      // is ≤ prefixLen+1; the explode stays vocabulary-granularity.
       val variants = expr(
-        """filter(array_distinct(concat(
-          |  CASE WHEN length(b1) > 0
-          |       THEN transform(sequence(1, least(length(b1), 24)),
-          |                      g -> concat(substr(b1, 1, g-1), substr(b1, g+1, 1000000)))
-          |       ELSE CAST(array() AS array<string>) END,
-          |  array(b1))), x -> x <> '')""".stripMargin)
+        s"""filter(array_distinct(concat(
+           |  CASE WHEN length(b1) > 0
+           |       THEN transform(sequence(1, least(length(b1), $prefixLen)),
+           |                      g -> concat(substr(b1, 1, g-1), substr(b1, g+1, 1000000)))
+           |       ELSE CAST(array() AS array<string>) END,
+           |  array(b1))), x -> x <> '')""".stripMargin)
       val tv = d.select("b1").distinct().withColumn("vk", explode(variants))
       // SYMMETRIC near-token pairs (both orders), so the doc join below can
       // enforce id_a < id_b without a swap pass

@@ -291,4 +291,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(sp === Set((1L, 3L, 1L)), s"got $sp")
   }
+
+  test("fuzzyPairsBlocked: typo PAST position 24 of a long first token is " +
+    "recovered (deletion positions capped at prefixLen, not a fixed 24)") {
+    // 30-char first token, substitution at position 28 — the old fixed-24
+    // cap generated no deletion variant there, so the pair had no shared
+    // block key and was silently out of scope
+    val long1 = "abcdefghijklmnopqrstuvwxyzABCD tail text"
+    val long2 = "abcdefghijklmnopqrstuvwxyzABXD tail text"
+    val docs = Seq((1L, long1), (2L, long2),
+      (3L, "unrelated sentence entirely here")).toDF("doc_id", "text")
+    val dual = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text", maxDist = 3,
+      prefixLen = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dual === Set((1L, 2L, 1L)), s"got $dual")
+  }
 }
