@@ -167,17 +167,17 @@ object TextOps {
       .withColumn("tfidf",
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 6))
-    // (tfidf desc, term asc) as a DEFAULT ascending struct sort on
-    // (−tfidf, term): no comparator lambda (a per-comparison interpreted
-    // CaseWhen). Scores are rounded finite doubles, so negation is a total
-    // order flip (−0.0 entries only ever tie with each other).
+    // per-doc top-k via the bounded TopKTerms heap aggregate: O(k) state
+    // per group with map-side partials (the former collect_list form held
+    // every scored term per doc and array_sorted the lot to slice 3);
+    // (tfidf desc, term asc) is the heap's own total order, binary UTF-8
+    // term comparison = Spark's string sort, so ranks are unchanged.
     scored.groupBy("doc_id")
-      .agg(collect_list(struct(negate(col("tfidf")).as("neg"),
-        col("term").as("term"), col("tfidf").as("tfidf"))).as("__ts"))
-      .select(col("doc_id"),
-        posexplode(slice(array_sort(col("__ts")), 1, k)))
+      .agg(graft.functions.TopKTerms.topKTerms(
+        col("tfidf"), col("term"), k).as("__ts"))
+      .select(col("doc_id"), posexplode(col("__ts")))
       .select(col("doc_id"), col("col.term").as("term"),
-        col("col.tfidf").as("tfidf"), (col("pos") + 1).cast("int").as("rank"))
+        col("col.score").as("tfidf"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Chunk documents into fixed-width token windows with stride — the
