@@ -91,7 +91,13 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
-    val p = plan("dedup_embedding_cosine")
+    // the GATE freezes (localCheckpoints) the matches before its
+    // presentation sort, which truncates the visible plan to a Scan
+    // ExistingRDD — assert on the OPERATOR's own plan, which is what the
+    // frozen relation materializes from
+    val p = graft.ext.Dedup.embeddingCosinePairs(
+      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
     assert(p.contains("float_vector_dot"), s"custom expression not used:\n$p")
     assert(!p.toLowerCase.contains("zip_with"), "HOF path crept back in")
   }
