@@ -71,6 +71,11 @@ object Dedup {
     }
     val a = sh.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a"))
     val b = sh.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b"))
+    // Bench-floor note (round-7 audit): the remaining gate cost here is the
+    // Σdf² pair enumeration itself plus one fresh-plan codegen round — no
+    // redundant explode or re-aggregation remains (the shingle explode runs
+    // once per join side by design; checkpointing it was measured a wash at
+    // sf0.1 and a regression for the result-freeze variant).
     // shuffle-hash, not the default sort-merge: equi-key pair enumeration
     // never needs its inputs sorted, and sorting both sides of the exploded
     // shingle relation dominated the join (measured 2.3s -> 0.9s at sf0.1).

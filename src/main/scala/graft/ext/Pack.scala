@@ -57,25 +57,38 @@ object Pack {
     * lm_avg_scaled = p_sum_scaled div n_bigrams). Docs with < 2 tokens
     * have no bigrams and no row.
     *
-    * Shape at 100 TB: two count aggregates (bigram, unigram — both
-    * partial-aggregated map-side) + two shuffle joins on those keys; no
-    * driver-side model, no broadcast of the vocabulary.
+    * Shape at 100 TB: the exploded POSITIONAL bigram stream is shuffled
+    * exactly ONCE — into per-(doc, bigram) multiplicities `k` with
+    * map-side combine. Everything downstream works at reduced
+    * granularity: corpus bigram counts aggregate the doc-bigram relation
+    * (not the stream), the probability table is assembled at bigram-VOCAB
+    * granularity (cb ⋈ cu), and the one join back to doc-bigram rows
+    * multiplies by `k` — `Σ_positional round(p·1e9)` is exactly
+    * `Σ_distinct k·round(p·1e9)`, so the per-positional-bigram integer
+    * rounding contract is unchanged. (The former shape joined the raw
+    * stream through both count relations: four shuffles of the widest
+    * relation instead of one.) No driver-side model, no broadcast of the
+    * vocabulary.
     */
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("ts"))
-    val bi = toks.select(col("id"),
-      explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+    val docBg = toks.select(col("id"),
+        explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("k"))
     val uni = toks.select(explode(col("ts")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
-    bi.join(bc, Seq("bg"))
+    val bc = docBg.groupBy("bg").agg(sum(col("k")).as("cb"))
+    val pTab = bc
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(uni, Seq("w1"))
-      .withColumn("ps",
-        round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9)).cast("long"))
+      .select(col("bg"),
+        round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9))
+          .cast("long").as("ps"))
+    docBg.join(pTab, Seq("bg"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("p_sum_scaled"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("ps")).as("p_sum_scaled"))
       .withColumn("lm_avg_scaled", expr("p_sum_scaled div n_bigrams"))
   }
 }

@@ -15,7 +15,36 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
-  test("prefix jaccard phases at sf0.1") {
+  test("lm bigram old vs new at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, dir)
+    def oldForm = {
+      val toks = docs.select(col("doc_id").as("id"),
+        graft.ext.TextOps.tokens(col("text")).as("ts"))
+      val bi = toks.select(col("id"),
+        explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+      val uni = toks.select(explode(col("ts")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+      val bc = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      bi.join(bc, Seq("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(uni, Seq("w1"))
+        .withColumn("ps",
+          round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9)).cast("long"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("p_sum_scaled"))
+        .withColumn("lm_avg_scaled", expr("p_sum_scaled div n_bigrams"))
+    }
+    def newForm = graft.ext.Pack.bigramLmScores(docs, "doc_id", "text")
+    t("old warm-up")(oldForm.queryExecution.toRdd.count())
+    t("new warm-up")(newForm.queryExecution.toRdd.count())
+    t("old form")(oldForm.queryExecution.toRdd.count())
+    t("new form")(newForm.queryExecution.toRdd.count())
+    t("old form 2")(oldForm.queryExecution.toRdd.count())
+    t("new form 2")(newForm.queryExecution.toRdd.count())
+  }
+
+  ignore("prefix jaccard phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val docs = graft.Tables.documents(spark, dir)
     import org.apache.spark.sql.expressions.Window
