@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *
   * Non-NaN numeric domain (NaN's comparison semantics differ between the
   * sketch and the ordering; the built-in has the same caveat). Callers with
-  * an expensive upstream should cache it — the selection runs 2–3 actions
-  * over `df` (same contract as [[Profile.summarize]]).
+  * an expensive upstream should cache it — the selection runs 2 actions
+  * over `df` on the happy path (sketch; fused counts+band), 3 with the
+  * adaptive retry or fallback (same contract as [[Profile.summarize]]).
   */
 object QuantileSelect {
 
@@ -61,13 +62,25 @@ object QuantileSelect {
     val hi = br.drop(probs.size)
 
     def inBand(j: Int): Column = v >= lit(lo(j)) && v <= lit(hi(j))
+    // ONE action for round 2: the below/band counts AND the band values
+    // ride the same aggregate — the values through BoundedSortedCollect,
+    // whose state is hard-capped at bandCap doubles (overflow evaluates to
+    // NULL and takes the retry/fallback below, exactly like a count-based
+    // cap miss). Signed zeros normalize to +0.0 on ingestion (the
+    // PercentileCompact discipline). The former shape ran a separate
+    // filter+collect action after the counts — one scan more per call.
+    val anyBand = probs.indices.map(inBand).reduce(_ || _)
     val countAggs = probs.indices.flatMap { j =>
       Seq(coalesce(sum(when(v < lit(lo(j)), 1L)), lit(0L)).as(s"below_$j"),
         coalesce(sum(when(inBand(j), 1L)), lit(0L)).as(s"band_$j"))
-    }
+    } :+ graft.functions.BoundedSortedCollect.boundedSortedCollect(
+      when(anyBand, when(v === 0.0, lit(0.0)).otherwise(v)),
+      math.min(bandCap, Int.MaxValue.toLong).toInt).as("__bandvals")
     val c = df.agg(countAggs.head, countAggs.tail: _*).head()
     val below = probs.indices.map(j => c.getLong(2 * j))
     val bandN = probs.indices.map(j => c.getLong(2 * j + 1))
+    val bandVals: Option[Seq[Double]] =
+      if (c.isNullAt(2 * probs.size)) None else Some(c.getSeq[Double](2 * probs.size))
 
     val positions = probs.map(_ * (n - 1))
     val bracketed = probs.indices.forall { j =>
@@ -76,7 +89,7 @@ object QuantileSelect {
       below(j) <= lower && higher < below(j) + bandN(j)
     }
     val fits = probs.indices.forall(j => bandN(j) <= bandCap) &&
-      bandN.sum <= bandCap
+      bandN.sum <= bandCap && bandVals.isDefined
     if (bracketed && !fits) {
       // bands outgrew the cap because the SKETCH was too coarse for this n
       // (expected: band ≈ 8n/accuracy rows) — at whale scale the answer is
@@ -97,18 +110,9 @@ object QuantileSelect {
       else row.getSeq[Double](0).map(d => if (d == 0.0) 0.0 else d)
     }
 
-    // collect the union of all bands through a codegen'd range filter (the
-    // counts pass above already proved the result fits `bandCap`) and slice
-    // per-band on the driver — measured ~2× cheaper than collect_list
-    // aggregates (ObjectHashAggregate leaves whole-stage codegen)
-    val bandRows = df.filter(probs.indices.map(inBand).reduce(_ || _))
-      .select(v.as("__v")).collect()
-    // signed zeros normalize to +0.0 (the PercentileCompact discipline —
-    // the built-in's sign at a zero rank is insertion-order-dependent)
-    val all = bandRows.map { r =>
-      val d = r.getDouble(0); if (d == 0.0) 0.0 else d
-    }
-    java.util.Arrays.sort(all)
+    // the band values arrived pre-sorted (and zero-normalized) with the
+    // counts — no second scan
+    val all = bandVals.get.toArray
     probs.indices.map { j =>
       val pos = positions(j)
       val lower = math.floor(pos).toLong
