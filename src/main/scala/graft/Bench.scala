@@ -51,6 +51,13 @@ object Bench {
       // operators never depend on it for correctness (Verify runs AQE-on).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // whole-stage codegen stays ON: a 12-query subset suggested compile
+      // time dominates at one-shot sf0.1, but the full suite measured the
+      // opposite (138.5 s vs 124.6 s same-weather) — the pair-join
+      // conditions (Myers guard, banded DP, jaccard verify) are exactly
+      // where interpreted evaluation loses more than compile saves
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.sql.shuffle.partitions", cpus)
       // NOTE: adaptive.coalescePartitions.parallelismFirst=false was
       // measured here and REVERTED: it coalesces the CPU-bound pair-join
@@ -160,11 +167,13 @@ object Bench {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // OUTSIDE the timed window: drop references to this query's cached
-      // state (localCheckpoint blocks, stream sinks) and nudge the cleaner —
-      // without this, 138 queries' worth of weakly-referenced cache blocks
-      // pile up and later queries pay the GC pressure in their timed section
-      if (sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "true") == "true") System.gc()
+      // Per-query System.gc() measured and REJECTED (off by default): the
+      // full-GC nudge between queries read well once under throttled-host
+      // noise, but the controlled same-weather A/B says 121.4 s without vs
+      // 137.7 s with — full collections evict JIT-hot code and cached
+      // blocks that later queries re-pay for. The ContextCleaner's own
+      // weak-ref collection handles the per-query cache garbage fine.
+      if (sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "false") == "true") System.gc()
       (name, elapsed, err)
     }
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
