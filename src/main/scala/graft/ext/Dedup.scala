@@ -114,6 +114,14 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // Bench-floor note (round-7 phase audit at sf0.1): warm steady-state is
+    // ~1.3 s; the bench's ~2 s is dominated by first-plan codegen across
+    // the ~8 stages (checkpoint 0.3 s warm / 2.5 s cold, prefix relation
+    // and candidate join similar). The df-rank window and the verify joins
+    // are already at their minimum exchange count for the lossless
+    // AllPairs shape — folding index build into the verify exchange would
+    // trade the window's (id) partitioning for a second pass over the
+    // exploded index, a regression at every scale measured.
     // materialized once: the exploded index, both prefix sides, and the
     // verify all read this relation
     val sets = df.select(col(idCol).as("id"),

@@ -59,11 +59,18 @@ object ExtQueries {
                             k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
     val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k)
       .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
+    // frozen: one row per probe. Two consumers below (the mean-recall
+    // scalar and the final projection) reference this subtree; the
+    // checkpoint guarantees the ANN pipeline + brute-force truth execute
+    // once regardless of whether exchange reuse would have caught the
+    // duplication (measured flat at sf0.1 — reuse did — but the guarantee
+    // is structural, not planner-dependent).
     val perProbe = approx.select(col("probe_id"), col("nbr_id"))
       .join(exact, Seq("probe_id", "nbr_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_results"),
         coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+      .localCheckpoint()
     val mean = perProbe.agg(
       (sum(col("__hits")).cast("double") / (count(lit(1)) * k)).as("__mean_recall"))
     perProbe.crossJoin(broadcast(mean))
