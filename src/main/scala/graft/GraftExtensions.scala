@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, TopKPairs}
+import graft.functions.{BagBound, BoundedSortedCollect, FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, TopKPairs, TopKTerms}
 
 /** ONE-LINE installer for every graft Catalyst extension point — the whole
   * library activates from configuration alone, no code changes:
@@ -17,8 +17,10 @@ import graft.functions.{FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, P
   * }}}
   *
   * Installs the native SQL functions (float_vector_dot, shingle_hashes,
-  * minhash_sketch, simhash64, lexicon_hits, topk_pairs, freq_items_mg,
-  * percentile_compact), the [[graft.plans.AsOfJoinStrategy]] planner
+  * shingle_strings, minhash_sketch, simhash64, simhash64_md5, lexicon_hits,
+  * topk_pairs, topk_terms, freq_items_mg, percentile_compact,
+  * bounded_sorted_collect, sorted_lower_bound, edit_distance_bag_bound,
+  * edit_distance_myers_bound), the [[graft.plans.AsOfJoinStrategy]] planner
   * strategy (so [[graft.plans.AsOfMergeJoin.asOf]] plans without its
   * fallback self-registration), and the
   * [[graft.plans.ThresholdedLevenshteinRule]] optimizer rule
@@ -76,6 +78,30 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PercentileCompact].getName, "percentile_compact"),
       (es: Seq[Expression]) => { requireArity("percentile_compact", es, 2)
         PercentileCompact(es(0), doubleArrayLit(es(1))) }),
+    ("simhash64_md5",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64_md5"),
+      (es: Seq[Expression]) => { requireArity("simhash64_md5", es, 1)
+        SimHash64(es(0), md5Base = true) }),
+    ("edit_distance_bag_bound",
+      new ExpressionInfo(classOf[BagBound].getName, "edit_distance_bag_bound"),
+      (es: Seq[Expression]) => { requireArity("edit_distance_bag_bound", es, 2)
+        BagBound(es(0), es(1)) }),
+    ("edit_distance_myers_bound",
+      new ExpressionInfo(classOf[MyersBound].getName, "edit_distance_myers_bound"),
+      (es: Seq[Expression]) => { requireArity("edit_distance_myers_bound", es, 2)
+        MyersBound(es(0), es(1)) }),
+    ("sorted_lower_bound",
+      new ExpressionInfo(classOf[SortedLowerBound].getName, "sorted_lower_bound"),
+      (es: Seq[Expression]) => { requireArity("sorted_lower_bound", es, 2)
+        SortedLowerBound(es(0), doubleArrayLit(es(1)).distinct.sorted) }),
+    ("topk_terms",
+      new ExpressionInfo(classOf[TopKTerms].getName, "topk_terms"),
+      (es: Seq[Expression]) => { requireArity("topk_terms", es, 3)
+        TopKTerms(es(0), es(1), intLit(es(2))) }),
+    ("bounded_sorted_collect",
+      new ExpressionInfo(classOf[BoundedSortedCollect].getName, "bounded_sorted_collect"),
+      (es: Seq[Expression]) => { requireArity("bounded_sorted_collect", es, 2)
+        BoundedSortedCollect(es(0), intLit(es(1))) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =

@@ -48,6 +48,21 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(top.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) === Seq(6L, 7L))
       assert(s.sql("SELECT percentile_compact(CAST(id AS DOUBLE), array(0.5D)) " +
         "FROM ext_scores").head().getSeq[Double](0) === Seq(6.0))
+      // round-7 additions: bound kernels, bucket assignment, string top-k,
+      // capped collection, portable simhash — all from SQL alone
+      assert(s.sql("SELECT edit_distance_myers_bound('kitten', 'sitting')")
+        .head().getInt(0) === 3)
+      assert(s.sql("SELECT edit_distance_bag_bound('abc', 'abcd')")
+        .head().getInt(0) === 1)
+      assert(s.sql("SELECT sorted_lower_bound(CAST(2.5 AS DOUBLE), array(1.0D, 2.0D, 3.0D))")
+        .head().getInt(0) === 2)
+      val tt = s.sql("SELECT topk_terms(CAST(id AS DOUBLE), CAST(score AS STRING), 1) " +
+        "FROM ext_scores").head().getSeq[org.apache.spark.sql.Row](0)
+      assert(tt.map(_.getString(0)) === Seq("2.0")) // id 7 is max; its score string
+      assert(s.sql("SELECT bounded_sorted_collect(score, 2) FROM ext_scores")
+        .head().isNullAt(0), "3 values past cap 2 must evaluate NULL")
+      assert(s.sql("SELECT simhash64_md5(array('a','b')) = simhash64_md5(array('a','b'))")
+        .head().getBoolean(0))
 
       // 2. planner strategy injected: the as-of node plans WITHOUT the
       // builder's experimental-methods fallback having to add it
