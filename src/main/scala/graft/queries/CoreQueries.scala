@@ -649,6 +649,9 @@ object CoreQueries {
           "user_id", "es", "value", stepSeconds = 3600)
           .select(col("user_id"), col("bucket"),
             round(col("value_ffill"), 4).as("value_ffill"))
+          // freeze before the presentation sort (same rationale and
+          // measurement as ts_interpolate_linear below)
+          .localCheckpoint()
           .orderBy("user_id", "bucket")),
 
     // ----- time-series resample + linear interpolation -----------------------
@@ -693,6 +696,9 @@ object CoreQueries {
           "user_id", "es", "value", stepSeconds = 3600)
           .select(col("user_id"), col("bucket"),
             (round(col("value_interp") * 10000) / 10000).as("value_interp"))
+          // freeze before the presentation sort: the range sampler would
+          // re-execute the window+explode pipeline (measured 2.5 -> 1.9 s)
+          .localCheckpoint()
           .orderBy("user_id", "bucket")),
 
     // ----- global row index without a global sort ----------------------------
