@@ -712,6 +712,9 @@ object CoreQueries {
       (spark, dir) =>
         IndexOps.globalIndex(Tables.orders(spark, dir), "o_orderkey")
           .select(col("o_orderkey"), col("idx"))
+          // freeze before the presentation sort (A/B: 1.45 -> 1.14 s; the
+          // sampler otherwise re-runs the bucket/offset/window pipeline)
+          .localCheckpoint()
           .orderBy("o_orderkey")),
 
     // ----- TPC-H Q3-shape: 3-way star join + grouped top-k -------------------

@@ -15,7 +15,29 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
-  test("frozen-before-sort A/B on big-output gates at sf0.1") {
+  test("frozen-before-sort A/B batch 2 at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    def ab(name: String)(mk: => org.apache.spark.sql.DataFrame, sortCols: Seq[String]): Unit = {
+      t(s"$name warm")(mk.orderBy(sortCols.map(col): _*).queryExecution.toRdd.count())
+      t(s"$name direct")(mk.orderBy(sortCols.map(col): _*).queryExecution.toRdd.count())
+      t(s"$name frozen")(mk.localCheckpoint()
+        .orderBy(sortCols.map(col): _*).queryExecution.toRdd.count())
+    }
+    ab("winsorize")(graft.ops.Outliers.winsorize(
+      graft.Tables.orders(spark, dir).select(col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderpriority"), "o_totalprice", 0.05, 0.95)
+      .select(col("o_orderkey"), round(col("o_totalprice_w"), 2).as("w")),
+      Seq("o_orderkey"))
+    ab("global_index")(graft.ops.IndexOps.globalIndex(
+      graft.Tables.orders(spark, dir), "o_orderkey")
+      .select(col("o_orderkey"), col("idx")), Seq("o_orderkey"))
+    ab("tfidf")(graft.ext.TextOps.tfidfTopTerms(
+      graft.Tables.documents(spark, dir), "doc_id", "text", 3),
+      Seq("doc_id", "rank"))
+  }
+
+  ignore("frozen-before-sort A/B on big-output gates at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     def interp = graft.ops.WindowOps.resampleInterp(
       graft.Tables.events(spark, dir).withColumn("es", unix_timestamp(col("ts"))),
