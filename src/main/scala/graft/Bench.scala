@@ -68,6 +68,23 @@ object Bench {
       // stream keeps the default.
       .config("spark.sql.streaming.stateStore.maintenanceInterval",
         sys.env.getOrElse("SPARK_GRAFT_SS_MAINT", "3600s"))
+      // Cross-query codegen reuse knobs (A/B via env): the suite compiles
+      // ~138 distinct plans against a 100-entry janino cache (static conf),
+      // and stage IDs baked into generated class names make otherwise
+      // identical stages cache-miss across queries.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "true"))
+      // Optimizer constraint propagation is O(plan-width^2) per node on the
+      // wide text/pair plans; correctness never depends on it.
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "true"))
+      // Local-mode shuffles land in the page cache; lz4 may be pure CPU.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       // NOTE: adaptive.coalescePartitions.parallelismFirst=false was
       // measured here and REVERTED: it coalesces the CPU-bound pair-join
       // probes to one partition (serializing them) — the default's

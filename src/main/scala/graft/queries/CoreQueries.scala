@@ -10,8 +10,12 @@ import graft.ops._
 /** One registry entry: a Spark query over the testdata dir plus (when
   * SQL-expressible) the equivalent DuckDB oracle SQL the driver hash-compares
   * against. Column names/aliases MUST match between the two — the driver
-  * sorts columns by name before hashing. Every query ends in a deterministic
-  * total ORDER BY (both sides) so row-order comparison is stable.
+  * sorts columns by name before hashing. Row ORDER is immaterial: the driver
+  * also sorts rows by every column before comparing (tools/selfcheck.py
+  * mirrors it), so gates carry NO presentation ORDER BY — a global sort costs
+  * an exchange plus a range-sampling pass that re-executes the child plan,
+  * measured 0.3-0.8 s per gate at sf0.1 (p1 1.12→0.32 s). Sorts remain only
+  * where they are semantics (ORDER BY … LIMIT k top-k selection).
   */
 final case class GQ(name: String, oracle: Option[String], run: (SparkSession, String) => DataFrame)
 
@@ -23,8 +27,9 @@ final case class GQ(name: String, oracle: Option[String], run: (SparkSession, St
   *    (`a * (1 - b)`) is bit-exact across engines and left unrounded;
   *  - timestamps are projected as DATE or formatted strings (events.ts is
   *    nanosecond-precision parquet; Spark truncates to micros on read);
-  *  - every ORDER BY is a total order on non-null keys (Spark defaults to
-  *    NULLS FIRST, DuckDB to NULLS LAST — avoided entirely).
+  *  - the only ORDER BYs left are top-k selections (ORDER BY … LIMIT k),
+  *    kept total orders on non-null keys (Spark defaults to NULLS FIRST,
+  *    DuckDB to NULLS LAST — avoided entirely).
   */
 object CoreQueries {
 
@@ -36,7 +41,7 @@ object CoreQueries {
       |         row_number() OVER (PARTITION BY p_brand
       |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
       |  FROM part) WHERE rn <= 3
-      |ORDER BY p_brand, rn""".stripMargin
+      |""".stripMargin
 
   def all: Seq[GQ] = Seq(
 
@@ -54,7 +59,7 @@ object CoreQueries {
              |  ('Insurance','BBSE3.SA','BB Seguridade'),
              |  ('Telecommunications','VIVT3.SA','Vivo'),
              |  ('Telecommunications','TIMS3.SA','TIM Brasil')
-             |) AS t(sector, ticker, company) ORDER BY ticker""".stripMargin),
+             |) AS t(sector, ticker, company)""".stripMargin),
       (spark, _) => {
         import spark.implicits._
         Seq(
@@ -68,7 +73,7 @@ object CoreQueries {
           ("Insurance", "BBSE3.SA", "BB Seguridade"),
           ("Telecommunications", "VIVT3.SA", "Vivo"),
           ("Telecommunications", "TIMS3.SA", "TIM Brasil"),
-        ).toDF("sector", "ticker", "company").orderBy("ticker")
+        ).toDF("sector", "ticker", "company")
       }),
 
     // ----- S2 at the 100 TB shape: DataSourceV2 quote scan -------------------
@@ -99,7 +104,7 @@ object CoreQueries {
           .option("tickers", "SYN1,SYN2,SYN3")
           .option("transport", classOf[graft.sources.SyntheticTransport].getName)
           .load()
-          .orderBy("Ticker", "Volume")),
+          ),
 
     // ----- S4: partition-pruned parquet scan ---------------------------------
     // Reference reads one dataproc=<date>/ dir (transform_stocks_job.py:115);
@@ -110,14 +115,13 @@ object CoreQueries {
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
              |  AND l_shipdate <  TIMESTAMP '1995-04-01'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         Tables.lineitem(spark, dir)
           .filter($"l_shipdate" >= "1995-03-01" && $"l_shipdate" < "1995-04-01")
           .select($"l_orderkey", $"l_linenumber", $"l_quantity",
             to_date($"l_shipdate").as("ship_date"))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- S6: unpivot wide→long ---------------------------------------------
@@ -132,7 +136,7 @@ object CoreQueries {
              |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100
-             |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+             |)""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         Tables.lineitem(spark, dir)
@@ -142,7 +146,6 @@ object CoreQueries {
             values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
             variableColumnName = "metric",
             valueColumnName = "value")
-          .orderBy("l_orderkey", "l_linenumber", "metric")
       }),
 
     // ----- P1: NaN→NULL conditional cast projection --------------------------
@@ -152,37 +155,35 @@ object CoreQueries {
              |       THEN l_quantity END AS l_quantity,
              |  CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
              |       THEN l_extendedprice END AS l_extendedprice
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem""".stripMargin),
       (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         CleanOps.nanSafeCast(li, Seq(
           "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
           "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- P2: bulk rename ---------------------------------------------------
     GQ("p2_rename_bulk",
       Some("""SELECT l_orderkey AS chave_pedido, l_linenumber AS numero_linha,
              |       l_quantity AS quantidade, l_extendedprice AS preco
-             |FROM lineitem ORDER BY chave_pedido, numero_linha""".stripMargin),
+             |FROM lineitem""".stripMargin),
       (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         CleanOps.renameAll(li, Map(
           "l_orderkey" -> "chave_pedido", "l_linenumber" -> "numero_linha",
           "l_quantity" -> "quantidade", "l_extendedprice" -> "preco"))
-          .orderBy("chave_pedido", "numero_linha")
       }),
 
     // ----- P3: literal partition-tag column ----------------------------------
     GQ("p3_lit_column",
       Some("""SELECT r_regionkey, r_name, '20260812' AS dataproc
-             |FROM region ORDER BY r_regionkey""".stripMargin),
+             |FROM region""".stripMargin),
       (spark, dir) =>
         CleanOps.withProcessDate(Tables.region(spark, dir), "20260812")
-          .orderBy("r_regionkey")),
+          ),
 
     // ----- P4+P5: cast cleanup + conjunctive validity filter -----------------
     GQ("p4_p5_cast_filter",
@@ -190,7 +191,7 @@ object CoreQueries {
              |       CAST(l_shipdate AS DATE) AS ship_date
              |FROM lineitem
              |WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_shipdate IS NOT NULL
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val li = Tables.lineitem(spark, dir)
@@ -198,7 +199,6 @@ object CoreQueries {
         CleanOps.filterValid(li, Seq(
           $"l_quantity" > 0, $"l_extendedprice" > 0, $"ship_date".isNotNull))
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "ship_date")
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- P6: same-day equality filter --------------------------------------
@@ -210,7 +210,7 @@ object CoreQueries {
              |WHERE CAST(l.l_shipdate AS DATE) IS NOT NULL
              |  AND CAST(o.o_orderdate AS DATE) IS NOT NULL
              |  AND CAST(l.l_shipdate AS DATE) = CAST(o.o_orderdate AS DATE)
-             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val li = Tables.lineitem(spark, dir)
@@ -218,21 +218,19 @@ object CoreQueries {
         val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
         CleanOps.sameDayFilter(joined, to_date($"l_shipdate"), to_date($"o_orderdate"))
           .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("ship_date"))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- P8: regex truncation of ISO timestamp to date part ----------------
     GQ("p8_regex_truncate",
       Some("""SELECT regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'T.*', '') AS day,
              |       count(*) AS n
-             |FROM events GROUP BY day ORDER BY day""".stripMargin),
+             |FROM events GROUP BY day""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val ev = Tables.events(spark, dir)
           .withColumn("iso", date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss"))
         CleanOps.truncateIsoToDate(ev, "iso", "day")
           .groupBy("day").agg(count(lit(1)).as("n"))
-          .orderBy("day")
       }),
 
     // ----- P10: null/NaN-drop on subset --------------------------------------
@@ -240,12 +238,11 @@ object CoreQueries {
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |  AND value IS NOT NULL AND NOT isnan(value)
-             |ORDER BY event_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
           .select("event_id", "user_id", "event_type", "value")
         CleanOps.dropNullsIn(ev, Seq("user_id", "event_type", "value", "not_a_column"))
-          .orderBy("event_id")
       }),
 
     // ----- P11: dynamic schema normalization ---------------------------------
@@ -254,7 +251,7 @@ object CoreQueries {
     GQ("p11_schema_normalize",
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
              |       CAST(NULL AS DOUBLE) AS l_tax
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem""".stripMargin),
       (spark, dir) => {
         val messy = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -265,7 +262,6 @@ object CoreQueries {
           "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
           "l_quantity" -> DoubleType, "l_returnflag" -> StringType,
           "l_tax" -> DoubleType))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // P11b — the reference's substring-containment fallback
@@ -275,7 +271,7 @@ object CoreQueries {
     GQ("p11b_schema_fuzzy",
       Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag,
              |       CAST(NULL AS VARCHAR) AS l_comment
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem""".stripMargin),
       (spark, dir) => {
         val messy = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
@@ -286,7 +282,6 @@ object CoreQueries {
           "l_orderkey" -> LongType, "l_linenumber" -> IntegerType,
           "l_shipdate" -> DateType, "l_returnflag" -> StringType,
           "l_comment" -> StringType))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- P12: arithmetic projection ----------------------------------------
@@ -294,23 +289,21 @@ object CoreQueries {
     GQ("p12_arithmetic",
       Some("""SELECT l_orderkey, l_linenumber,
              |       l_extendedprice * (1 - l_discount) AS revenue
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         Tables.lineitem(spark, dir)
           .select($"l_orderkey", $"l_linenumber",
             ($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
-          .orderBy("l_orderkey", "l_linenumber")
       }),
 
     // ----- P13: string sanitize ----------------------------------------------
     GQ("p13_sanitize",
-      Some("""SELECT doc_id, md5(trim(text)) AS fp FROM documents ORDER BY doc_id""".stripMargin),
+      Some("""SELECT doc_id, md5(trim(text)) AS fp FROM documents""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         CleanOps.sanitize(Tables.documents(spark, dir), "text")
           .select($"doc_id", md5($"text".cast(BinaryType)).as("fp"))
-          .orderBy("doc_id")
       }),
 
     // ----- J1: broadcast dim enrichment join ---------------------------------
@@ -319,7 +312,7 @@ object CoreQueries {
              |FROM customer c
              |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
              |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-             |ORDER BY c.c_custkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val c = Tables.customer(spark, dir)
           .withColumnRenamed("c_nationkey", "n_nationkey")
@@ -328,7 +321,6 @@ object CoreQueries {
           .withColumnRenamed("r_regionkey", "n_regionkey")
         JoinOps.enrichWithDim(JoinOps.enrichWithDim(c, n, Seq("n_nationkey")), r, Seq("n_regionkey"))
           .select("c_custkey", "c_name", "n_name", "r_name")
-          .orderBy("c_custkey")
       }),
 
     // ----- J2 (+A1): per-group aggregates attached to detail rows ------------
@@ -337,7 +329,7 @@ object CoreQueries {
       Some("""SELECT s_suppkey, s_nationkey,
              |       round(avg(s_acctbal) OVER (PARTITION BY s_nationkey), 6) AS nation_avg_bal,
              |       count(*) OVER (PARTITION BY s_nationkey) AS nation_cnt
-             |FROM supplier ORDER BY s_suppkey""".stripMargin),
+             |FROM supplier""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         JoinOps.withGroupAggregates(Tables.supplier(spark, dir), Seq("s_nationkey"), Seq(
@@ -345,7 +337,6 @@ object CoreQueries {
           "nation_cnt" -> count(lit(1))))
           .select($"s_suppkey", $"s_nationkey",
             round($"nation_avg_bal", 6).as("nation_avg_bal"), $"nation_cnt")
-          .orderBy("s_suppkey")
       }),
 
     // ----- A1: group-by hash aggregate (TPC-H Q1 shape) ----------------------
@@ -357,7 +348,7 @@ object CoreQueries {
              |       round(avg(l_quantity), 6) AS avg_qty,
              |       count(*) AS n
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         AggOps.groupAgg(Tables.lineitem(spark, dir), Seq("l_returnflag", "l_linestatus"), Seq(
@@ -366,7 +357,6 @@ object CoreQueries {
           round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
           round(avg($"l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("n")))
-          .orderBy("l_returnflag", "l_linestatus")
       }),
 
     // ----- A2/A3: global count -----------------------------------------------
@@ -381,13 +371,13 @@ object CoreQueries {
     GQ("a3_sql_entry",
       Some("""SELECT o_orderpriority, count(*) AS n,
              |       round(sum(o_totalprice), 2) AS total
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
       (spark, dir) => {
         Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
         spark.sql(
           """SELECT o_orderpriority, count(*) AS n,
             |       round(sum(o_totalprice), 2) AS total
-            |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+            |FROM orders_v GROUP BY o_orderpriority""".stripMargin)
       }),
 
     // ----- K1 sink: partitioned write → read-back round trip -----------------
@@ -396,7 +386,7 @@ object CoreQueries {
     // gate (partition column round-trips as its string directory value).
     GQ("k1_write_roundtrip",
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |GROUP BY l_returnflag""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         // per-process path + overwrite: bounded to one leaked copy per JVM
@@ -415,7 +405,6 @@ object CoreQueries {
         graft.io.ParquetIO.readPartitioned(spark, out)
           .groupBy($"l_returnflag".cast("string").as("l_returnflag"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("l_returnflag")
       }),
 
     // K2 — TWO-LEVEL partitioned write (dataproc=*/setor=* — the reference's
@@ -427,7 +416,7 @@ object CoreQueries {
     GQ("k2_two_level_write",
       Some("""SELECT '2024-01-15' AS dataproc, o_orderpriority AS setor,
              |       count(*) AS n
-             |FROM orders GROUP BY setor ORDER BY setor""".stripMargin),
+             |FROM orders GROUP BY setor""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_k2_roundtrip_${ProcessHandle.current().pid()}"
@@ -442,7 +431,6 @@ object CoreQueries {
           .groupBy($"dataproc".cast("string").as("dataproc"),
             $"setor".cast("string").as("setor"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("setor")
       }),
 
     // K3 — catalog-mediated write: external partitioned table registered in
@@ -452,7 +440,7 @@ object CoreQueries {
     GQ("k3_catalog_write",
       Some("""SELECT o_orderstatus, count(*) AS n,
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
       (spark, dir) => {
         import graft.io.Catalog
         val db = "graft_k3_db"
@@ -475,16 +463,15 @@ object CoreQueries {
           // gate on double re-association; decimal is exact on both engines
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
-          .orderBy("o_orderstatus")
       }),
 
     // ----- A4: full-row distinct ---------------------------------------------
     GQ("a4_distinct",
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         AggOps.distinctRows(Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus"))
-          .orderBy("l_returnflag", "l_linestatus")),
+          ),
 
     // ----- A5: keyed dedup, deterministic survivor ---------------------------
     GQ("a5_keyed_dedup",
@@ -492,13 +479,12 @@ object CoreQueries {
              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
              |                                   ORDER BY o_orderdate, o_orderkey) AS rn
              |      FROM orders) WHERE rn = 1
-             |ORDER BY o_custkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
           Seq("o_custkey"), Seq($"o_orderdate".asc, $"o_orderkey".asc))
           .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("order_date"))
-          .orderBy("o_custkey")
       }),
 
     // ----- A6-A8: multi-level aggregation (ROLLUP / CUBE / GROUPING SETS) ----
@@ -511,7 +497,7 @@ object CoreQueries {
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
              |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 4) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY rf, ls""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -519,7 +505,7 @@ object CoreQueries {
           .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
             col("n"), col("sum_qty"))
-          .orderBy("rf", "ls")),
+          ),
 
     // o_totalprice carries exactly 2 decimals, so the re-associated sum has
     // no sub-cent digits and round(2) is stable.
@@ -527,7 +513,7 @@ object CoreQueries {
       Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
              |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-             |ORDER BY st, pri""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Tables.orders(spark, dir)
           .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -535,13 +521,13 @@ object CoreQueries {
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
             col("n"), col("sum_price"))
-          .orderBy("st", "pri")),
+          ),
 
     GQ("a8_grouping_sets",
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-             |ORDER BY rf, ls""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
@@ -549,7 +535,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("n"))
           .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
-          .orderBy("rf", "ls")),
+          ),
 
     // ----- J3: pivot (long -> wide) ------------------------------------------
     // Explicit pivot values (no distinct-scan) — required for plan stability
@@ -558,13 +544,13 @@ object CoreQueries {
       Some("""SELECT l_returnflag,
              |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F",
              |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O"
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .groupBy(col("l_returnflag"))
           .pivot("l_linestatus", Seq("F", "O"))
           .agg(round(sum(col("l_quantity")), 4))
-          .orderBy("l_returnflag")),
+          ),
 
     // ----- W3: ranking-function suite ----------------------------------------
     // ntile / lead / cume_dist / first_value in one windowed projection.
@@ -577,7 +563,7 @@ object CoreQueries {
              |  round(cume_dist() OVER w, 6) AS cd,
              |  first_value(o_orderkey) OVER w AS first_key
              |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
@@ -587,7 +573,6 @@ object CoreQueries {
             lead(col("o_orderkey"), 1).over(w).as("next_key"),
             round(cume_dist().over(w), 6).as("cd"),
             first_value(col("o_orderkey")).over(w).as("first_key"))
-          .orderBy("o_orderkey")
       }),
 
     // ----- CDC merge (upsert/delete apply) -----------------------------------
@@ -606,7 +591,7 @@ object CoreQueries {
              |merged AS (SELECT o_orderkey, o_totalprice FROM kept
              |           UNION ALL SELECT o_orderkey, o_totalprice FROM chg WHERE op <> 'D')
              |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-             |FROM merged ORDER BY o_orderkey""".stripMargin),
+             |FROM merged""".stripMargin),
       (spark, dir) => {
         val snap = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
         val o = Tables.orders(spark, dir)
@@ -621,7 +606,6 @@ object CoreQueries {
               lit(1.0).as("o_totalprice"), lit("I").as("op")))
         Merge.applyChanges(snap, changes, "o_orderkey", "op")
           .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
-          .orderBy("o_orderkey")
       }),
 
     // ----- time-series resample + forward fill -------------------------------
@@ -641,18 +625,14 @@ object CoreQueries {
              |SELECT user_id, bucket,
              |  round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
              |        ROWS UNBOUNDED PRECEDING), 4) AS value_ffill
-             |FROM j ORDER BY user_id, bucket""".stripMargin),
+             |FROM j""".stripMargin),
       (spark, dir) =>
         WindowOps.resampleFfill(
           Tables.events(spark, dir)
             .withColumn("es", unix_timestamp(col("ts"))),
           "user_id", "es", "value", stepSeconds = 3600)
           .select(col("user_id"), col("bucket"),
-            round(col("value_ffill"), 4).as("value_ffill"))
-          // freeze before the presentation sort (same rationale and
-          // measurement as ts_interpolate_linear below)
-          .localCheckpoint()
-          .orderBy("user_id", "bucket")),
+            round(col("value_ffill"), 4).as("value_ffill"))),
 
     // ----- time-series resample + linear interpolation -----------------------
     // Same hourly grid as ts_resample_ffill; empty buckets take the straight
@@ -682,7 +662,7 @@ object CoreQueries {
              |SELECT user_id, bucket,
              |  round((CASE WHEN value IS NOT NULL THEN value
              |        ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END) * 10000) / 10000 AS value_interp
-             |FROM f ORDER BY user_id, bucket""".stripMargin),
+             |FROM f""".stripMargin),
       // round-to-4 via `round(x·10⁴)/10⁴` on BOTH engines: interpolating
       // 2-decimal inputs at exact grid fractions lands on true 5th-decimal
       // halfways (…49.50375), where Spark's round(x,4) (shortest-repr
@@ -695,11 +675,7 @@ object CoreQueries {
             .withColumn("es", unix_timestamp(col("ts"))),
           "user_id", "es", "value", stepSeconds = 3600)
           .select(col("user_id"), col("bucket"),
-            (round(col("value_interp") * 10000) / 10000).as("value_interp"))
-          // freeze before the presentation sort: the range sampler would
-          // re-execute the window+explode pipeline (measured 2.5 -> 1.9 s)
-          .localCheckpoint()
-          .orderBy("user_id", "bucket")),
+            (round(col("value_interp") * 10000) / 10000).as("value_interp"))),
 
     // ----- global row index without a global sort ----------------------------
     // row_number() with no PARTITION BY plans as Exchange SinglePartition —
@@ -708,14 +684,10 @@ object CoreQueries {
     // (IndexOpsSpec asserts the no-SinglePartition plan shape).
     GQ("global_index",
       Some("""SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS idx
-             |FROM orders ORDER BY o_orderkey""".stripMargin),
+             |FROM orders""".stripMargin),
       (spark, dir) =>
         IndexOps.globalIndex(Tables.orders(spark, dir), "o_orderkey")
-          .select(col("o_orderkey"), col("idx"))
-          // freeze before the presentation sort (A/B: 1.45 -> 1.14 s; the
-          // sampler otherwise re-runs the bucket/offset/window pipeline)
-          .localCheckpoint()
-          .orderBy("o_orderkey")),
+          .select(col("o_orderkey"), col("idx"))),
 
     // ----- TPC-H Q3-shape: 3-way star join + grouped top-k -------------------
     // customer(filtered dim) ⋈ orders ⋈ lineitem with date predicates on both
@@ -749,6 +721,7 @@ object CoreQueries {
             col("o_orderpriority"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
+          // semantic sort: ORDER BY … LIMIT k selects WHICH rows survive
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       }),
@@ -769,7 +742,7 @@ object CoreQueries {
              |  AND r_name = 'ASIA'
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
-             |GROUP BY 1 ORDER BY n_name""".stripMargin),
+             |GROUP BY 1""".stripMargin),
       (spark, dir) => {
         val asiaNations = Tables.nation(spark, dir)
           .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
@@ -793,7 +766,6 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_rows"),
             round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
               .as("avg_revenue"))
-          .orderBy("n_name")
       }),
 
     // ----- snapshot diff (added / removed / changed) -------------------------
@@ -815,7 +787,7 @@ object CoreQueries {
              |  round(o.v, 2) AS old_price, round(n.v, 2) AS new_price
              |FROM o FULL JOIN n ON o.k = n.k
              |WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
-             |ORDER BY o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val orders = Tables.orders(spark, dir)
         val o = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
@@ -830,7 +802,6 @@ object CoreQueries {
           .select(col("o_orderkey"), col("change"),
             round(col("old_price"), 2).as("old_price"),
             round(col("new_price"), 2).as("new_price"))
-          .orderBy("o_orderkey")
       }),
 
     // ----- SCD2 version history ----------------------------------------------
@@ -843,7 +814,7 @@ object CoreQueries {
              |  (lead(o_orderdate) OVER w IS NULL) AS is_current
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Merge.scd2Versions(Tables.orders(spark, dir),
             "o_custkey", "o_orderdate", tieCols = Seq("o_orderkey"))
@@ -851,7 +822,7 @@ object CoreQueries {
             round(col("o_totalprice"), 2).as("price"),
             to_date(col("valid_from")).as("valid_from"),
             to_date(col("valid_to")).as("valid_to"), col("is_current"))
-          .orderBy("o_custkey", "o_orderkey")),
+          ),
 
     // ----- P14: JSON schema-on-read ------------------------------------------
     // events.props is a JSON string column; from_json projects it through a
@@ -862,7 +833,7 @@ object CoreQueries {
              |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
              |                  THEN 1 END) AS BIGINT) AS n_hi
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+             |FROM events GROUP BY event_type""".stripMargin),
       (spark, dir) =>
         Tables.events(spark, dir)
           .withColumn("k", from_json(col("props"), StructType(Seq(
@@ -870,7 +841,7 @@ object CoreQueries {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
             count(when(col("k") >= 50, lit(1))).as("n_hi"))
-          .orderBy("event_type")),
+          ),
 
     // ----- A9: exact interpolated percentiles --------------------------------
     // Spark `percentile` and DuckDB `percentile_cont` share the SQL-standard
@@ -883,14 +854,14 @@ object CoreQueries {
              |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS p25,
              |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS p50,
              |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 6) AS p75
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .groupBy(col("l_returnflag"))
           .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
             round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
             round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
-          .orderBy("l_returnflag")),
+          ),
 
     // ----- A10: second-moment statistics -------------------------------------
     // corr/stddev/covar accumulate co-moments whose partition merge order
@@ -901,14 +872,14 @@ object CoreQueries {
              |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
              |  round(stddev_samp(l_quantity), 4) AS q_stddev,
              |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .groupBy(col("l_returnflag"))
           .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
             round(stddev_samp(col("l_quantity")), 4).as("q_stddev"),
             round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covar"))
-          .orderBy("l_returnflag")),
+          ),
 
     // ----- fixed-width histogram binning -------------------------------------
     // Profiling companion: bin = floor(x / width) is a single exact double
@@ -917,14 +888,14 @@ object CoreQueries {
       Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
              |  CAST(floor(l_extendedprice / 5000) * 5000 AS DOUBLE) AS bin_lo,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM lineitem GROUP BY 1, 2 ORDER BY bin""".stripMargin),
+             |FROM lineitem GROUP BY 1, 2""".stripMargin),
       (spark, dir) =>
         Tables.lineitem(spark, dir)
           .groupBy(floor(col("l_extendedprice") / 5000).as("bin"))
           .agg(count(lit(1)).as("n"))
           .withColumn("bin_lo", (col("bin") * 5000).cast("double"))
           .select("bin", "bin_lo", "n")
-          .orderBy("bin")),
+          ),
 
     // ----- equi-depth histogram (percentile-bounded bins) --------------------
     // The data-skew-proof sibling of profile_histogram: deciles of
@@ -938,10 +909,10 @@ object CoreQueries {
              |       count(*) AS n
              |FROM lineitem CROSS JOIN q
              |WHERE l_extendedprice IS NOT NULL
-             |GROUP BY 1 ORDER BY bucket""".stripMargin),
+             |GROUP BY 1""".stripMargin),
       (spark, dir) =>
         Profile.equiDepthHistogram(Tables.lineitem(spark, dir), "l_extendedprice", b = 10)
-          .orderBy("bucket")),
+          ),
 
     // ----- share of total (ratio-to-report without a global window) ----------
     // sum() OVER () with no partition is the same single-task funnel as
@@ -952,7 +923,7 @@ object CoreQueries {
              |             sum(o_totalprice) AS s FROM orders GROUP BY 1),
              |t AS (SELECT sum(o_totalprice) AS st FROM orders)
              |SELECT o_orderpriority, n, round(s / st, 6) AS share
-             |FROM g CROSS JOIN t ORDER BY o_orderpriority""".stripMargin),
+             |FROM g CROSS JOIN t""".stripMargin),
       (spark, dir) => {
         val o = Tables.orders(spark, dir)
         val g = o.groupBy("o_orderpriority")
@@ -961,7 +932,6 @@ object CoreQueries {
         g.crossJoin(broadcast(t))
           .select(col("o_orderpriority"), col("n"),
             round(col("s") / col("st"), 6).as("share"))
-          .orderBy("o_orderpriority")
       }),
 
     // ----- incremental aggregate maintenance ---------------------------------
@@ -973,7 +943,7 @@ object CoreQueries {
       Some("""SELECT o_orderpriority, count(o_totalprice) AS n,
              |  round(sum(o_totalprice) / count(o_totalprice), 4) AS avg_price,
              |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
-             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+             |FROM orders GROUP BY 1""".stripMargin),
       (spark, dir) => {
         val o = Tables.orders(spark, dir)
         val state = AggOps.buildAggState(
@@ -984,7 +954,6 @@ object CoreQueries {
           .select(col("o_orderpriority"), col("n"),
             round(col("s") / col("n"), 4).as("avg_price"),
             col("mn"), col("mx"))
-          .orderBy("o_orderpriority")
       }),
 
     // ----- declarative data-quality rule check -------------------------------
@@ -1004,28 +973,27 @@ object CoreQueries {
              |  UNION ALL SELECT 'price_positive', n, CAST(v2 AS BIGINT), round(v2 / nullif(n, 0), 6) FROM s
              |  UNION ALL SELECT 'quantity_in_range', n, CAST(v0 AS BIGINT), round(v0 / nullif(n, 0), 6) FROM s
              |  UNION ALL SELECT 'shipdate_complete', n, CAST(v3 AS BIGINT), round(v3 / nullif(n, 0), 6) FROM s)
-             |ORDER BY rule""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Quality.check(Tables.lineitem(spark, dir), Seq(
           "quantity_in_range" -> col("l_quantity").between(1, 50),
           "discount_band" -> col("l_discount").between(0, 0.08),
           "price_positive" -> (col("l_extendedprice") > 0),
           "shipdate_complete" -> col("l_shipdate").isNotNull))
-          .orderBy("rule")),
+          ),
 
     // ----- W1: lag-window delta per key --------------------------------------
     GQ("w1_lag_delta",
       Some("""SELECT o_custkey, o_orderkey,
              |       o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
              |                                              ORDER BY o_orderdate, o_orderkey) AS delta
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+             |FROM orders""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         WindowOps.lagDelta(Tables.orders(spark, dir),
           Seq("o_custkey"), Seq($"o_orderdate".asc, $"o_orderkey".asc),
           "o_totalprice", "delta")
           .select("o_custkey", "o_orderkey", "delta")
-          .orderBy("o_custkey", "o_orderkey")
       }),
 
     // ----- O1: top-k (ORDER BY ... DESC LIMIT k) -----------------------------
@@ -1049,7 +1017,6 @@ object CoreQueries {
         WindowOps.topNPerGroup(Tables.part(spark, dir),
           Seq("p_brand"), Seq($"p_retailprice".desc, $"p_partkey".asc), 3)
           .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn".cast("long").as("rn"))
-          .orderBy("p_brand", "rn")
       }),
 
     // Same answer through the bounded-heap aggregate (AggOps.topKByScore):
@@ -1063,7 +1030,6 @@ object CoreQueries {
         AggOps.topKByScore(Tables.part(spark, dir),
           Seq("p_brand"), scoreCol = "p_retailprice", idCol = "p_partkey", k = 3)
           .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn".cast("long").as("rn"))
-          .orderBy("p_brand", "rn")
       }),
 
     // ----- column profiling (data-quality summary, one scan) -----------------
@@ -1084,7 +1050,7 @@ object CoreQueries {
       (spark, dir) =>
         Profile.summarize(Tables.orders(spark, dir),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-          .orderBy("column")),
+          ),
 
     // ----- §2b set ops -------------------------------------------------------
     // Customers with finished orders but no open ones — incremental-load
@@ -1092,34 +1058,34 @@ object CoreQueries {
     GQ("set_except",
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-             |ORDER BY o_custkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val o = Tables.orders(spark, dir)
         val finished = o.filter($"o_orderstatus" === "F").select("o_custkey")
         val open = o.filter($"o_orderstatus" === "O").select("o_custkey")
-        SetOps.minus(finished, open).orderBy("o_custkey")
+        SetOps.minus(finished, open)
       }),
 
     GQ("set_intersect",
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |INTERSECT SELECT s_nationkey FROM supplier
-             |ORDER BY nationkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val c = Tables.customer(spark, dir).select("c_nationkey").withColumnRenamed("c_nationkey", "nationkey")
         val s = Tables.supplier(spark, dir).select("s_nationkey").withColumnRenamed("s_nationkey", "nationkey")
-        SetOps.intersection(c, s).orderBy("nationkey")
+        SetOps.intersection(c, s)
       }),
 
     GQ("set_union",
       Some("""SELECT r_name AS name, 'region' AS kind FROM region
              |UNION ALL SELECT n_name, 'nation' FROM nation
-             |ORDER BY kind, name""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val r = Tables.region(spark, dir).select($"r_name".as("name"), lit("region").as("kind"))
         val n = Tables.nation(spark, dir).select($"n_name".as("name"), lit("nation").as("kind"))
-        SetOps.unionAll(Seq(r, n)).orderBy("kind", "name")
+        SetOps.unionAll(Seq(r, n))
       }),
 
     // ----- §2b approx distinct (HLL++) — ACCURACY-SCORED oracle gate: the
@@ -1129,7 +1095,7 @@ object CoreQueries {
     // empties the result and fails the hash check.
     GQ("hll_approx_distinct",
       Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
         val approx = AggOps.approxDistinct(li, Seq("l_returnflag"), "l_partkey")
@@ -1139,7 +1105,6 @@ object CoreQueries {
           .filter(abs(col("approx_l_partkey_count") - col("n_distinct"))
             <= col("n_distinct") * 0.15)
           .select("l_returnflag", "n_distinct")
-          .orderBy("l_returnflag")
       }),
 
     // grouped APPROXIMATE percentiles — the documented 100 TB swap for
@@ -1151,7 +1116,7 @@ object CoreQueries {
       Some("""SELECT o_orderpriority,
              |       quantile_cont(o_totalprice, 0.5) AS p50,
              |       quantile_cont(o_totalprice, 0.95) AS p95
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
       (spark, dir) => {
         val approx = Tables.orders(spark, dir).groupBy("o_orderpriority")
           .agg(
@@ -1167,7 +1132,6 @@ object CoreQueries {
           .filter(abs(col("a50") - col("p50")) <= abs(col("p50")) * 0.02 &&
             abs(col("a95") - col("p95")) <= abs(col("p95")) * 0.02)
           .select("o_orderpriority", "p50", "p95")
-          .orderBy("o_orderpriority")
       }),
 
     // mergeable-sketch rollup: per-(flag,status) DataSketches HLL sketches
@@ -1178,7 +1142,7 @@ object CoreQueries {
     // the MERGED-sketch estimate stays within 15% of them.
     GQ("hll_sketch_merge",
       Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
         val merged = AggOps.hllMergeEstimate(
@@ -1190,7 +1154,6 @@ object CoreQueries {
           .filter(abs(col("approx_distinct") - col("n_distinct"))
             <= col("n_distinct") * 0.15)
           .select("l_returnflag", "n_distinct")
-          .orderBy("l_returnflag")
       }),
 
     // ----- J4/J5 — existence joins. left_semi/left_anti never materialize
@@ -1200,23 +1163,23 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders o
              |WHERE EXISTS (SELECT 1 FROM customer c
              |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
-             |ORDER BY o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         JoinOps.semiJoin(Tables.orders(spark, dir),
             Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
               .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
-          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+          .select("o_orderkey", "o_totalprice")),
 
     GQ("j5_anti_join",
       Some("""SELECT o_orderkey, o_totalprice FROM orders o
              |WHERE NOT EXISTS (SELECT 1 FROM customer c
              |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
-             |ORDER BY o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         JoinOps.antiJoin(Tables.orders(spark, dir),
             Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
               .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
-          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")),
+          .select("o_orderkey", "o_totalprice")),
 
     // ----- S7/S8 — text interchange formats (CSV, JSON lines): write from
     // parquet, read straight back through a DECLARED schema (inference is an
@@ -1224,7 +1187,7 @@ object CoreQueries {
     // encoding is what the oracle checks.
     GQ("s7_csv_roundtrip",
       Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
-             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+             |FROM nation GROUP BY n_regionkey""".stripMargin),
       (spark, dir) => {
         // per-process path + overwrite (same leak/race trade as k1)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${ProcessHandle.current().pid()}"
@@ -1232,12 +1195,11 @@ object CoreQueries {
         graft.io.FormatIO.roundTrip(Tables.nation(spark, dir).coalesce(1), out, "csv")
           .groupBy(col("n_regionkey"))
           .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
-          .orderBy("n_regionkey")
       }),
 
     GQ("s8_json_roundtrip",
       Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS bal_sum
-             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+             |FROM customer GROUP BY c_mktsegment""".stripMargin),
       (spark, dir) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_json_${ProcessHandle.current().pid()}"
         // doubles survive JSON text exactly (shortest-round-trip rendering);
@@ -1245,7 +1207,6 @@ object CoreQueries {
         graft.io.FormatIO.roundTrip(Tables.customer(spark, dir).coalesce(4), out, "json")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal_sum"))
-          .orderBy("c_mktsegment")
       }),
 
     // ----- K4 — small-file compaction round-trip: 64 tiny files rewritten
@@ -1253,7 +1214,7 @@ object CoreQueries {
     // the oracle proves the rewrite lost and duplicated nothing.
     GQ("k4_compact_roundtrip",
       Some("""SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS price_avg
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
       (spark, dir) => {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_k4_${ProcessHandle.current().pid()}"
         // orders, not lineitem: the operator under test is file-COUNT
@@ -1267,7 +1228,6 @@ object CoreQueries {
         spark.read.parquet(s"$base/compacted")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("price_avg"))
-          .orderBy("o_orderstatus")
       }),
 
     // ----- S9 — schema-evolution read (mergeSchema): two parquet drops with
@@ -1304,7 +1264,7 @@ object CoreQueries {
       Some(s"""WITH q AS (SELECT o_orderkey, o_custkey % 1024 AS qa,
               |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS qb FROM orders)
               |SELECT o_orderkey, CAST(${ZOrder.zvalueDuckSql("qa", "qb", 10)} AS BIGINT) AS zv
-              |FROM q ORDER BY o_orderkey""".stripMargin),
+              |FROM q""".stripMargin),
       (spark, dir) =>
         Tables.orders(spark, dir)
           .select(col("o_orderkey"),
@@ -1313,7 +1273,7 @@ object CoreQueries {
             // on both engines), not unix_millis (tz-typed input only)
             expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') % 1024 AS BIGINT)").as("qb"))
           .select(col("o_orderkey"), ZOrder.zvalue("qa", "qb", 10).cast("long").as("zv"))
-          .orderBy("o_orderkey")),
+          ),
 
     // ----- W4b — robust (median/MAD) outliers, same synthesized spikes as
     // w4: the spike CANNOT mask itself here (50% breakdown point). Exact
@@ -1332,7 +1292,7 @@ object CoreQueries {
              |        round((d.o_totalprice - d.med) / (1.4826 * nullif(md.mad, 0)), 4) AS rz
              |      FROM d JOIN md USING (o_orderpriority))
              |SELECT o_orderpriority, o_orderkey, rz FROM r WHERE abs(rz) > 3.0
-             |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val spiked = Tables.orders(spark, dir)
@@ -1341,7 +1301,6 @@ object CoreQueries {
             .toDF("o_orderpriority", "o_orderkey", "o_totalprice"))
         Outliers.madOutliers(spiked, Seq("o_orderpriority"), "o_totalprice", k = 3.0)
           .select("o_orderpriority", "o_orderkey", "rz")
-          .orderBy("o_orderpriority", "o_orderkey")
       }),
 
     // ----- W4 — per-group z-score outliers: ONE shuffle (window aggregates,
@@ -1361,7 +1320,7 @@ object CoreQueries {
              |        / nullif(stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority), 0), 4) AS z
              |  FROM o)
              |SELECT o_orderpriority, o_orderkey, z FROM w WHERE abs(z) > 3.0
-             |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val spiked = Tables.orders(spark, dir)
@@ -1370,7 +1329,6 @@ object CoreQueries {
             .toDF("o_orderpriority", "o_orderkey", "o_totalprice"))
         Outliers.outliers(spiked, Seq("o_orderpriority"), "o_totalprice", k = 3.0)
           .select("o_orderpriority", "o_orderkey", "z")
-          .orderBy("o_orderpriority", "o_orderkey")
       }),
   )
 }

@@ -44,7 +44,7 @@ object ExtQueries {
       |       min(us) // 1000000 AS start_s,
       |       max(us) // 1000000 + 1800 AS end_s
       |FROM s GROUP BY user_id, seq
-      |ORDER BY user_id, start_s""".stripMargin
+      |""".stripMargin
 
   /** Recall-scored ANN gate body: per-probe result counts survive only
     * while the ANN result's mean recall@k against the in-query brute-force
@@ -76,7 +76,6 @@ object ExtQueries {
     perProbe.crossJoin(broadcast(mean))
       .filter(col("__mean_recall") >= floor)
       .select(col("probe_id"), col("n_results"))
-      .orderBy("probe_id")
   }
 
   // shared by txt_top_bigrams (exact) and txt_top_bigrams_approx (MG
@@ -137,36 +136,26 @@ object ExtQueries {
        |     ELSE 'zh' END""".stripMargin
   }
 
-  /** Freeze an EXPENSIVE-plan, small-result relation before the gate's
-    * presentation `orderBy`: a global sort's RangePartitioner runs a
-    * sampling pass that RE-EXECUTES the child plan — for a pair join that
-    * means paying the O(n²) candidate scan twice to sort a few hundred
-    * matches. localCheckpoint materializes the matches once (tiny cache)
-    * and both the sampling and sort passes read the frozen copy.
-    */
-  private def frozen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.localCheckpoint()
-
   def all: Seq[GQ] = Seq(
 
     // ----- text analysis -----------------------------------------------------
     GQ("txt_token_count",
       Some(s"""SELECT doc_id, len($duckTokens) AS n_tokens
-              |FROM documents ORDER BY doc_id""".stripMargin),
+              |FROM documents""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .orderBy("doc_id")),
+          ),
 
     GQ("txt_token_count_bpe",
       Some(s"""SELECT doc_id,
               |  len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS n_units
-              |FROM documents ORDER BY doc_id""".stripMargin),
+              |FROM documents""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"),
             TextOps.bpeishTokenCount(col("text")).cast("long").as("n_units"))
-          .orderBy("doc_id")),
+          ),
 
     // Deterministic train/val/test split: md5-thresholded, engine-portable;
     // the oracle CASE is generated from the SAME thresholds (Splits.oracleCase)
@@ -175,13 +164,13 @@ object ExtQueries {
       val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       Some(s"""SELECT doc_id,
               |  ${Splits.oracleCase("CAST(doc_id AS VARCHAR)", fr)} AS split
-              |FROM documents ORDER BY doc_id""".stripMargin)
+              |FROM documents""".stripMargin)
     },
       (spark, dir) =>
         Splits.byHash(Tables.documents(spark, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select("doc_id", "split")
-          .orderBy("doc_id")),
+          ),
 
     // Corpus-level repeated-line removal (C4/RefinedWeb boilerplate step).
     // Testdata documents contain no newlines, so both engines synthesize
@@ -206,7 +195,7 @@ object ExtQueries {
              |        FROM kept GROUP BY doc_id)
              |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
              |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir).select(col("doc_id"),
           concat(col("text"), lit("\n"),
@@ -215,7 +204,6 @@ object ExtQueries {
             lit("\n"), lit("copyright 2026 example corp")).as("text"))
         TextOps.removeRepeatedLines(docs, "doc_id", "text", maxDocFreq = 10)
           .select("doc_id", "text_clean")
-          .orderBy("doc_id")
       }),
 
     // Weighted source mixing: graduated keep-rates over the 20 synthetic
@@ -224,12 +212,12 @@ object ExtQueries {
     GQ("mix_weighted", {
       Some(s"""SELECT doc_id, source FROM documents
               |WHERE ${Splits.oracleKeepPredicate("CAST(doc_id AS VARCHAR)", "source", mixRates)}
-              |ORDER BY doc_id""".stripMargin)
+              |""".stripMargin)
     },
       (spark, dir) =>
         Splits.weightedKeep(Tables.documents(spark, dir), "doc_id", "source", mixRates)
           .select("doc_id", "source")
-          .orderBy("doc_id")),
+          ),
 
     // Sequence packing (concat-and-chunk): per-shard cumulative token
     // offsets -> which fixed-length training sequences each doc spans.
@@ -243,11 +231,11 @@ object ExtQueries {
              |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS start_seq,
              |  CAST((cum - 1) // 1024 AS BIGINT) AS end_seq,
              |  CAST((cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS BIGINT) AS n_seqs
-             |FROM c ORDER BY doc_id""".stripMargin),
+             |FROM c""".stripMargin),
       (spark, dir) =>
         Pack.packSequences(Tables.documents(spark, dir), "doc_id", "text", 1024,
           (col("doc_id") % 8).as("shard"))
-          .orderBy("doc_id")),
+          ),
 
     // Corpus-bigram LM score: positional-bigram MLE probabilities, scaled
     // to integers per term so the per-doc sum is association-order-exact.
@@ -264,12 +252,12 @@ object ExtQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  CAST(sum(ps) AS BIGINT) AS p_sum_scaled,
              |  CAST(sum(ps) // count(*) AS BIGINT) AS lm_avg_scaled
-             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+             |FROM p GROUP BY doc_id""".stripMargin),
       (spark, dir) =>
         Pack.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
           .withColumnsRenamed(Map("id" -> "doc_id"))
           .select("doc_id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
-          .orderBy("doc_id")),
+          ),
 
     // Symmetric int8 embedding quantization: every byte of q and the exact
     // double scale must match DuckDB's rendering of the same arithmetic
@@ -283,14 +271,14 @@ object ExtQueries {
              |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e)
              |SELECT vec_id, scale,
              |  array_to_string(list_transform(v, x -> CAST(round(x / scale) AS TINYINT)), ',') AS q_csv
-             |FROM s ORDER BY vec_id""".stripMargin),
+             |FROM s""".stripMargin),
       (spark, dir) =>
         Tables.embeddings(spark, dir)
           .withColumn("__graft_quant",
             graft.functions.VectorFunctions.quantizeI8(col("embedding")))
           .select(col("vec_id"), col("__graft_quant.scale").as("scale"),
             array_join(col("__graft_quant.q").cast("array<string>"), ",").as("q_csv"))
-          .orderBy("vec_id")),
+          ),
 
     // Deterministic stratified sample: up to 5 docs per source language,
     // md5-ordered — rerun- and partitioning-stable, unlike df.sample().
@@ -300,11 +288,11 @@ object ExtQueries {
              |         row_number() OVER (PARTITION BY lang
              |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin),
+             |WHERE rn <= 5""".stripMargin),
       (spark, dir) =>
         Sampling.stratifiedByHash(Tables.documents(spark, dir), "lang", "doc_id", 5)
           .select("doc_id", "lang")
-          .orderBy("lang", "doc_id")),
+          ),
 
     // Exact token-count quantiles (linear interpolation both engines);
     // scalar columns rather than an array so the hash compare stays simple.
@@ -338,23 +326,23 @@ object ExtQueries {
               |  CAST(length(text) - (len($duckTokens) - 1) AS DOUBLE) / len($duckTokens) AS avg_token_len,
               |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
               |    / length(text) AS punct_ratio
-              |FROM documents ORDER BY doc_id""".stripMargin),
+              |FROM documents""".stripMargin),
       (spark, dir) =>
         TextOps.qualityMetrics(Tables.documents(spark, dir), "text")
           .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
             col("n_tokens").cast("long").as("n_tokens"),
             col("avg_token_len"), col("punct_ratio"))
-          .orderBy("doc_id")),
+          ),
 
     GQ("txt_langid",
       Some(s"""SELECT doc_id,
               |  $duckLangCase AS lang_pred
-              |FROM documents ORDER BY doc_id""".stripMargin),
+              |FROM documents""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"),
             TextOps.languageId(col("text"), TextOps.defaultLexicons).as("lang_pred"))
-          .orderBy("doc_id")),
+          ),
 
     // Stopword-ratio quality signal — gates the LexiconHits kernel through
     // an oracle (integer-exact division, rounded identically both sides).
@@ -364,34 +352,34 @@ object ExtQueries {
               |  round(CAST(len(list_filter($duckTokens,
               |    t -> t IN (${en.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
               |    / len($duckTokens), 6) AS stop_ratio
-              |FROM documents ORDER BY doc_id""".stripMargin)
+              |FROM documents""".stripMargin)
     },
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"),
             round(TextOps.lexiconRatio(col("text"), TextOps.defaultLexicons.head._2), 6)
               .as("stop_ratio"))
-          .orderBy("doc_id")),
+          ),
 
     GQ("txt_fingerprint",
       Some("""SELECT doc_id,
              |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |FROM documents""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id")),
+          ),
 
     // ----- dedup -------------------------------------------------------------
     GQ("dedup_exact",
       Some("""SELECT doc_id,
              |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
              |       count(*)   OVER (PARTITION BY md5(text)) AS group_size
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |FROM documents""".stripMargin),
       (spark, dir) =>
         Dedup.exactCanonical(Tables.documents(spark, dir), "doc_id", "text")
           .select("doc_id", "canonical_id", "group_size")
-          .orderBy("doc_id")),
+          ),
 
     GQ("dedup_ngram_jaccard",
       Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
@@ -406,11 +394,11 @@ object ExtQueries {
              |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
              |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4)
-          .orderBy("id_a", "id_b")),
+          ),
 
     // Prefix-filtered exact join (AllPairs/PPJoin): LOSSLESS pruning, so it
     // shares the exact oracle above — the gate itself proves the candidate
@@ -428,11 +416,10 @@ object ExtQueries {
              |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
              |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
-        frozen(Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4))
-          .orderBy("id_a", "id_b")),
+        Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)),
 
     // The capped heuristic alternative: hub shingles (doc freq ≥ cap) are
     // dropped from candidate generation AND intersection counts while full
@@ -456,11 +443,11 @@ object ExtQueries {
              |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
              |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4, maxDocFreq = Some(50L))
-          .orderBy("id_a", "id_b")),
+          ),
 
     // MinHash+LSH carries the EXACT oracle directly: banded candidates +
     // exact verification emit true-jaccard pairs (a subset of the exact
@@ -481,11 +468,11 @@ object ExtQueries {
              |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
              |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4, numHashes = 128, bands = 64)
-          .orderBy("id_a", "id_b")),
+          ),
 
     // SimHash near-dup pairs, ORACLE-GATED end to end: the gate runs the
     // portable (md5-base) variant — same banding/bucket-join/hamming-verify
@@ -505,12 +492,12 @@ object ExtQueries {
               |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
               |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-              |ORDER BY id_a, id_b""".stripMargin),
+              |""".stripMargin),
       (spark, dir) =>
         Dedup.simhashPairsPortable(Tables.documents(spark, dir), "doc_id", "text",
           maxHamming = 3)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-          .orderBy("id_a", "id_b")),
+          ),
 
     // Cluster canonicalization over the exact-Jaccard pair graph; oracle
     // computes the same components with a recursive transitive closure
@@ -535,12 +522,12 @@ object ExtQueries {
              |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u)
              |SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS component
              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.canonicalizeNearDups(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4)
           .select("doc_id", "component")
-          .orderBy("doc_id")),
+          ),
 
     // Actual near-dup REMOVAL surface: one survivor (min id) per component.
     GQ("dedup_drop_near",
@@ -563,12 +550,12 @@ object ExtQueries {
              |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u)
              |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
              |WHERE coalesce(c.lbl, d.doc_id) = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.dropNearDups(Tables.documents(spark, dir), "doc_id", "text",
           n = 3, threshold = 0.4)
           .select("doc_id")
-          .orderBy("doc_id")),
+          ),
 
     GQ("dedup_embedding_cosine",
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -577,10 +564,9 @@ object ExtQueries {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
-        frozen(Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4))
-          .orderBy("id_a", "id_b")),
+        Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)),
 
     // ----- incremental exact dedup vs a fingerprint history ------------------
     // docs 0-99 stand in as prior runs' persisted fingerprints. The corpus
@@ -608,7 +594,7 @@ object ExtQueries {
              |         FROM fp b
              |         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp))
              |SELECT doc_id FROM kept WHERE rn = 1
-             |ORDER BY doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val batch = docs.filter(col("doc_id") >= 100).select("doc_id", "text")
@@ -620,7 +606,6 @@ object ExtQueries {
           .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
         Dedup.dedupIncremental(batch, "doc_id", "text", historyFps = history)
           .select("doc_id")
-          .orderBy("doc_id")
       }),
 
     // ----- similarity search -------------------------------------------------
@@ -634,13 +619,12 @@ object ExtQueries {
              |  SELECT *, row_number() OVER (PARTITION BY probe_id
              |                              ORDER BY cosine DESC, nbr_id) AS rn
              |  FROM scored) WHERE rn <= 5
-             |ORDER BY probe_id, rank""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
           .select(col("probe_id"), col("nbr_id"), col("cosine"),
             col("rank").cast("long").as("rank"))
-          .orderBy("probe_id", "rank")
       }),
 
     // IVF/LSH are RECALL-SCORED oracle gates, not rows-only: the query
@@ -653,7 +637,7 @@ object ExtQueries {
     // check fails — the driver now pins ANN QUALITY, not just a row count.
     GQ("ann_topk_ivf",
       Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
-             |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin),
+             |FROM embeddings WHERE vec_id < 10""".stripMargin),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         val probes = emb.filter(col("vec_id") < 10)
@@ -664,7 +648,7 @@ object ExtQueries {
 
     GQ("ann_topk_lsh",
       Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
-             |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin),
+             |FROM embeddings WHERE vec_id < 10""".stripMargin),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         val probes = emb.filter(col("vec_id") < 10)
@@ -707,13 +691,13 @@ object ExtQueries {
               |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u)
               |SELECT q.doc_id FROM q LEFT JOIN comp c ON q.doc_id = c.u
               |WHERE coalesce(c.lbl, q.doc_id) = q.doc_id
-              |ORDER BY q.doc_id""".stripMargin),
+              |""".stripMargin),
       (spark, dir) =>
         CorpusClean.run(Tables.documents(spark, dir), "doc_id", "text",
           minTokens = 30, maxPunct = 0.2, langs = Seq("en", "es"),
           n = 3, threshold = 0.4)
           .select("doc_id")
-          .orderBy("doc_id")),
+          ),
 
     // ----- decontamination: benchmark n-gram overlap removal -----------------
     // docs 0-9 stand in as the "benchmark" set; the corpus (doc_id >= 10)
@@ -732,7 +716,7 @@ object ExtQueries {
              |       FROM sh JOIN b USING (s) WHERE sh.doc_id >= 10 GROUP BY 1)
              |SELECT d.doc_id FROM documents d LEFT JOIN ov USING (doc_id)
              |WHERE d.doc_id >= 10 AND coalesce(ov.n_overlap, 0) < 5
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         Decontaminate.decontaminate(
@@ -740,7 +724,6 @@ object ExtQueries {
           bench = docs.filter(col("doc_id") < 10), benchTextCol = "text",
           n = 3, minOverlap = 5L)
           .select("doc_id")
-          .orderBy("doc_id")
       }),
 
     // ----- Gopher rule battery (composite per-row quality gate) --------------
@@ -755,12 +738,12 @@ object ExtQueries {
               |WHERE len($duckTokens) BETWEEN 50 AND 100000
               |  AND $avg BETWEEN 3.0 AND 10.0
               |  AND ($dup2) <= 0.2
-              |ORDER BY doc_id""".stripMargin)
+              |""".stripMargin)
     },
       (spark, dir) =>
         CorpusClean.gopherQualityFilter(Tables.documents(spark, dir), "text")
           .select("doc_id")
-          .orderBy("doc_id")),
+          ),
 
     // ----- PII redaction + URL extraction ------------------------------------
     // The corpus has no planted PII, so both engines deterministically
@@ -779,7 +762,7 @@ object ExtQueries {
               |      '@mail.example.com tel +55 11 9999-' || doc_id ||
               |      ' site https://ex.example/' || doc_id,
               |      'https?://[^ \t\n]+') AS url
-              |FROM documents ORDER BY doc_id""".stripMargin),
+              |FROM documents""".stripMargin),
       (spark, dir) => {
         val synth = concat(col("text"), lit(" contato: user"), col("doc_id"),
           lit("@mail.example.com tel +55 11 9999-"), col("doc_id"),
@@ -788,7 +771,6 @@ object ExtQueries {
           .select(col("doc_id"),
             TextOps.redactPii(synth).as("redacted"),
             TextOps.firstUrl(synth).as("url"))
-          .orderBy("doc_id")
       }),
 
     // ----- sentiment: broadcast lexicon join (EDBT'16 pattern, SURVEY §2b) ---
@@ -800,7 +782,7 @@ object ExtQueries {
              |       FROM tok JOIN lex USING (w) GROUP BY doc_id)
              |SELECT d.doc_id, coalesce(sc.score, 0) AS score
              |FROM documents d LEFT JOIN sc USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val lex = Seq(("fast", 1L), ("big", 1L), ("slow", -1L), ("small", -1L))
@@ -812,7 +794,6 @@ object ExtQueries {
           .groupBy("doc_id").agg(sum(col("wt")).as("score"))
         docs.select("doc_id").join(scores, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
-          .orderBy("doc_id")
       }),
 
     // ----- sessionization / event-time windows -------------------------------
@@ -827,22 +808,22 @@ object ExtQueries {
              |       round(sum(value), 4) AS value_sum,
              |       min(us) // 1000000 AS start_s, max(us) // 1000000 AS end_s
              |FROM s GROUP BY user_id, session_seq
-             |ORDER BY user_id, session_seq""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Sessionize.sessionStats(Tables.events(spark, dir), "user_id", "ts", "value",
           gapSeconds = 1800)
           .select("user_id", "session_seq", "n_events", "value_sum", "start_s", "end_s")
-          .orderBy("user_id", "session_seq")),
+          ),
 
     GQ("tw_tumbling",
       Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS window_start_s,
              |       count(*) AS n, round(sum(value), 4) AS value_sum
-             |FROM events GROUP BY window_start_s ORDER BY window_start_s""".stripMargin),
+             |FROM events GROUP BY window_start_s""".stripMargin),
       (spark, dir) =>
         Sessionize.tumbling(Tables.events(spark, dir), "ts", 3600,
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum")))
           .select("window_start_s", "n", "value_sum")
-          .orderBy("window_start_s")),
+          ),
 
     GQ("tw_sliding",
       Some("""WITH e AS (SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -850,12 +831,12 @@ object ExtQueries {
              |x AS (SELECT value, s0 AS ws FROM g
              |      UNION ALL SELECT value, s0 - 1800 FROM g)
              |SELECT ws AS window_start_s, count(*) AS n, round(sum(value), 4) AS value_sum
-             |FROM x GROUP BY ws ORDER BY ws""".stripMargin),
+             |FROM x GROUP BY ws""".stripMargin),
       (spark, dir) =>
         Sessionize.sliding(Tables.events(spark, dir), "ts", 3600, 1800,
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum")))
           .select("window_start_s", "n", "value_sum")
-          .orderBy("window_start_s")),
+          ),
 
     // ----- streaming under the gate ------------------------------------------
     // A REAL micro-batch run: the events table is landed as 2 parquet drops,
@@ -869,7 +850,7 @@ object ExtQueries {
       Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS window_start_s,
              |       event_type, count(*) AS n, round(sum(value), 4) AS value_sum
              |FROM events GROUP BY window_start_s, event_type
-             |ORDER BY window_start_s, event_type""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
@@ -889,7 +870,6 @@ object ExtQueries {
         out
           .select(col("window_start_s"), col("event_type"), col("n"),
             round(col("value_sum"), 4).as("value_sum"))
-          .orderBy("window_start_s", "event_type")
       }),
 
     // Streaming SESSION WINDOWS under the gate (Append mode): a far-future
@@ -923,7 +903,6 @@ object ExtQueries {
           .filter(col("user_id") =!= StreamOps.SentinelUser)
           .select(col("user_id"), col("n_events"),
             round(col("value_sum"), 4).as("value_sum"), col("start_s"), col("end_s"))
-          .orderBy("user_id", "start_s")
       }),
 
     // Streaming EXACT DEDUP under the gate: the landing replays every base
@@ -948,7 +927,7 @@ object ExtQueries {
              |merged AS (SELECT o_orderkey, price FROM kept
              |           UNION ALL SELECT o_orderkey, price FROM chg WHERE op <> 'D')
              |SELECT o_orderkey, round(price, 2) AS price
-             |FROM merged ORDER BY o_orderkey""".stripMargin),
+             |FROM merged""".stripMargin),
       (spark, dir) => {
         import graft.streaming.StreamOps
         val landing = StreamOps.ordersChangesLanding(spark, dir)
@@ -970,12 +949,11 @@ object ExtQueries {
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.read.parquet(snap)
           .select(col("o_orderkey"), round(col("price"), 2).as("price"))
-          .orderBy("o_orderkey")
       }),
 
     GQ("stream_dedup_counts",
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+             |FROM events GROUP BY event_type""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
@@ -995,7 +973,6 @@ object ExtQueries {
           spark.table("stream_dedup_sink")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         out.select(col("event_type"), col("n"), round(col("value_sum"), 4).as("value_sum"))
-          .orderBy("event_type")
       }),
 
     // mapGroupsWithState under the gate: per-user running totals emitted
@@ -1004,7 +981,7 @@ object ExtQueries {
     // max n_events — which must equal the plain batch GROUP BY.
     GQ("stream_user_stats",
       Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+             |FROM events GROUP BY user_id""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
@@ -1021,7 +998,6 @@ object ExtQueries {
           Seq(col("n_events").desc))
           .select(col("user_id"), col("n_events"),
             round(col("value_sum"), 4).as("value_sum"))
-          .orderBy("user_id")
       }),
 
     // ----- multimodal plumbing ----------------------------------------------
@@ -1035,10 +1011,10 @@ object ExtQueries {
              |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
              |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
              |  CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS nFrames
-             |FROM documents ORDER BY mediaId""".stripMargin),
+             |FROM documents""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
-        Multimodal.decodeMeta(spark, media).toDF().orderBy("mediaId")
+        Multimodal.decodeMeta(spark, media).toDF()
       }),
 
     // FakeCodec frame count is pure byte-length arithmetic, so the stride
@@ -1049,10 +1025,10 @@ object ExtQueries {
              |SELECT doc_id AS mediaId,
              |       CAST(unnest(generate_series(0, nf - 1, 6)) AS INTEGER) AS frameIdx
              |FROM m
-             |ORDER BY mediaId, frameIdx""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
-        Multimodal.sampleFrames(spark, media, stride = 6).orderBy("mediaId", "frameIdx")
+        Multimodal.sampleFrames(spark, media, stride = 6)
       }),
 
     // ----- multimodal REAL codec (javax.imageio) -----------------------------
@@ -1064,14 +1040,13 @@ object ExtQueries {
              |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
              |  CAST(doc_id % 48 + 16 AS INTEGER) AS height,
              |  CAST(1 AS INTEGER) AS n_frames
-             |FROM documents WHERE doc_id < 1000 ORDER BY media_id""".stripMargin),
+             |FROM documents WHERE doc_id < 1000""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.syntheticImageTable(spark,
           Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
         Multimodal.decodeMeta(spark, media, Multimodal.ImageIoCodec)
           .select(col("mediaId").as("media_id"), col("format"),
             col("width"), col("height"), col("nFrames").as("n_frames"))
-          .orderBy("media_id")
       }),
 
     // Real bilinear resize into a 32×32 box: the clamp arithmetic
@@ -1084,14 +1059,13 @@ object ExtQueries {
              |SELECT doc_id AS media_id,
              |  CAST(GREATEST(1, FLOOR(w * sc)) AS INTEGER) AS width,
              |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS height
-             |FROM s ORDER BY media_id""".stripMargin),
+             |FROM s""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.syntheticImageTable(spark,
           Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
         Multimodal.resize(spark, media, maxW = 32, maxH = 32,
             codec = Multimodal.ImageIoCodec)
           .select(col("mediaId").as("media_id"), col("width"), col("height"))
-          .orderBy("media_id")
       }),
 
     // ----- skew: salted two-phase aggregate ----------------------------------
@@ -1099,7 +1073,7 @@ object ExtQueries {
     // row-identical while bounding per-task hot-key volume.
     GQ("skew_salted_agg",
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+             |FROM events GROUP BY event_type""".stripMargin),
       (spark, dir) =>
         Skew.saltedAggregate(Tables.events(spark, dir),
           keys = Seq("event_type"), discriminator = col("event_id"), buckets = 16,
@@ -1111,7 +1085,7 @@ object ExtQueries {
           valueCols = Seq("event_id", "value"))
           .select(col("event_type"), col("n"),
             round(col("value_sum"), 4).as("value_sum"))
-          .orderBy("event_type")),
+          ),
 
     // ----- skew: salted join -------------------------------------------------
     // Oracle is the PLAIN equi-join — the salted rewrite must be
@@ -1121,7 +1095,7 @@ object ExtQueries {
              |           FROM events GROUP BY event_type)
              |SELECT e.event_id, e.event_type, t.type_n
              |FROM events e JOIN t USING (event_type)
-             |ORDER BY e.event_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val events = Tables.events(spark, dir)
         val typeStats = events.groupBy("event_type")
@@ -1129,7 +1103,6 @@ object ExtQueries {
         Skew.saltedJoin(events.select("event_id", "event_type"), typeStats,
           usingCols = Seq("event_type"), discriminator = col("event_id"), buckets = 16)
           .select("event_id", "event_type", "type_n")
-          .orderBy("event_id")
       }),
 
     // ----- multimodal resize — FakeCodec's clamp is pure byte-length
@@ -1147,12 +1120,11 @@ object ExtQueries {
              |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS height,
              |  CAST(CASE WHEN n = 0 THEN 0
              |            ELSE GREATEST(1, FLOOR(n * sc * sc)) END AS BIGINT) AS nBytes
-             |FROM s ORDER BY mediaId""".stripMargin),
+             |FROM s""".stripMargin),
       (spark, dir) => {
         val media = Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text")
         Multimodal.resize(spark, media, maxW = 64, maxH = 64)
           .select("mediaId", "width", "height", "nBytes")
-          .orderBy("mediaId")
       }),
 
     // ----- text: term frequency (top bigrams corpus-wide) --------------------
@@ -1199,13 +1171,13 @@ object ExtQueries {
              |SELECT doc_id,
              |  CASE WHEN len(g2) > 0 THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
              |  CASE WHEN len(g3) > 0 THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac
-             |FROM g ORDER BY doc_id""".stripMargin),
+             |FROM g""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("doc_id"),
             round(TextOps.repeatedNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"),
             round(TextOps.repeatedNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"))
-          .orderBy("doc_id")),
+          ),
 
     // ----- text: per-doc top-3 terms by TF-IDF -------------------------------
     // Ranking is on the ROUNDED score in BOTH engines, so a 1-ulp ln()
@@ -1221,11 +1193,11 @@ object ExtQueries {
              |SELECT doc_id, term, tfidf, rn AS rank FROM (
              |  SELECT *, row_number() OVER (PARTITION BY doc_id
              |                               ORDER BY tfidf DESC, term) AS rn FROM sc)
-             |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
+             |WHERE rn <= 3""".stripMargin),
       (spark, dir) =>
         TextOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
           .select(col("doc_id"), col("term"), col("tfidf"), col("rank").cast("long").as("rank"))
-          .orderBy("doc_id", "rank")),
+          ),
 
     // ----- text: per-doc token entropy (low-entropy quality screen) ----------
     // H = log2(n) − Σ c·log2(c) / n over per-doc token counts: the identity
@@ -1235,10 +1207,10 @@ object ExtQueries {
       Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
              |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
              |SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
-             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+             |FROM tf GROUP BY doc_id""".stripMargin),
       (spark, dir) =>
         TextOps.tokenEntropy(Tables.documents(spark, dir), "doc_id", "text")
-          .orderBy("doc_id")),
+          ),
 
     // ----- text: BM25 relevance top-k ----------------------------------------
     // Okapi BM25 (Lucene +1 idf) against a fixed query-term set; Spark
@@ -1250,7 +1222,7 @@ object ExtQueries {
       (spark, dir) =>
         TextOps.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
           bm25Terms, k = 20, k1 = bm25K1, b = bm25B)
-          .orderBy(col("bm25").desc, col("doc_id").asc)),
+          ),
 
     // ----- strict ordered funnel (view → click → purchase) -------------------
     // Each step's completion is the EARLIEST event of that type strictly
@@ -1268,11 +1240,11 @@ object ExtQueries {
              |  SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
              |  UNION ALL SELECT 2, 'click', count(*) FROM s2
              |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-             |ORDER BY step_idx""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Sessionize.funnel(Tables.events(spark, dir), "user_id", "ts", "event_type",
           Seq("view", "click", "purchase"))
-          .orderBy("step_idx")),
+          ),
 
     // ----- per-group winsorization (clip to [p05, p95]) ----------------------
     // "Cap, don't drop": heavy tails pin to their group's exact-percentile
@@ -1286,13 +1258,13 @@ object ExtQueries {
              |SELECT l_orderkey, l_linenumber, l_returnflag,
              |  round(least(greatest(l_extendedprice, lo), hi) * 10000) / 10000 AS price_w
              |FROM lineitem JOIN f ON l_returnflag = rf
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         graft.ops.Outliers.winsorize(Tables.lineitem(spark, dir),
           Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             (round(col("l_extendedprice_w") * 10000) / 10000).as("price_w"))
-          .orderBy("l_orderkey", "l_linenumber")),
+          ),
 
     // ----- native session_window (batch form of the streaming operator) ------
     // Session boundaries are the same '> gap' islands as sessionize_stats
@@ -1305,7 +1277,7 @@ object ExtQueries {
         Sessionize.nativeSessionStats(Tables.events(spark, dir), "user_id", "ts", "value",
           gapSeconds = 1800)
           .select("user_id", "n_events", "value_sum", "start_s", "end_s")
-          .orderBy("user_id", "start_s")),
+          ),
 
     // ----- text: context-window chunking (width 32, stride 16) ---------------
     GQ("txt_chunk_windows",
@@ -1314,11 +1286,11 @@ object ExtQueries {
              |SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
              |       array_to_string(list_slice(ts, start, start + 31), ' ') AS chunk,
              |       CAST(len(list_slice(ts, start, start + 31)) AS BIGINT) AS n_tokens
-             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+             |FROM st""".stripMargin),
       (spark, dir) =>
         TextOps.chunkWindows(Tables.documents(spark, dir), "doc_id", "text",
           width = 32, stride = 16)
-          .orderBy("doc_id", "chunk_idx")),
+          ),
 
     // ----- text: top-2-gram character coverage (Gopher repetition battery) ---
     GQ("txt_top_ngram_frac",
@@ -1334,21 +1306,21 @@ object ExtQueries {
              |      FROM c)
              |SELECT d.doc_id, r.top_gram_char_frac
              |FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.doc_id = r.doc_id
-             |ORDER BY d.doc_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         TextOps.topNgramCharFrac(Tables.documents(spark, dir), "doc_id", "text", n = 2)
-          .orderBy("doc_id")),
+          ),
 
     // ----- embeddings: L2 norm (gates the normF kernel directly) -------------
     GQ("emb_l2_norm",
       Some("""SELECT vec_id,
              |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
-             |FROM embeddings ORDER BY vec_id""".stripMargin),
+             |FROM embeddings""".stripMargin),
       (spark, dir) =>
         Tables.embeddings(spark, dir)
           .select(col("vec_id"),
             round(graft.functions.VectorFunctions.normF(col("embedding")), 6).as("l2"))
-          .orderBy("vec_id")),
+          ),
 
     // ----- blocked fuzzy-match join (edit distance) --------------------------
     // Record-linkage pattern: levenshtein only runs inside first-token
@@ -1381,11 +1353,11 @@ object ExtQueries {
              |                JOIN d b ON b.b1 = nt.t_b AND a.doc_id < b.doc_id)
              |SELECT id_a, id_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS dist
              |FROM c WHERE levenshtein(pfx_a, pfx_b) <= 12
-             |ORDER BY id_a, id_b""".stripMargin),
+             |""".stripMargin),
       (spark, dir) =>
         Dedup.fuzzyPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",
           maxDist = 12, prefixLen = 40)
-          .orderBy("id_a", "id_b")),
+          ),
 
     // ----- per-source corpus curation report ---------------------------------
     // The daily data-curation dashboard: docs, tokens, exact-dup rate
@@ -1406,7 +1378,7 @@ object ExtQueries {
              |  CAST(sum(t) AS BIGINT) AS n_tokens,
              |  count(*) AS n_unique,
              |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS avg_chars
-             |FROM g GROUP BY source ORDER BY source""".stripMargin),
+             |FROM g GROUP BY source""".stripMargin),
       (spark, dir) =>
         Tables.documents(spark, dir)
           .select(col("source"), TextOps.fingerprint(col("text")).as("fp"),
@@ -1420,7 +1392,7 @@ object ExtQueries {
             count(lit(1)).as("n_unique"),
             round(sum(col("ch")).cast("double") / sum(col("c")).cast("double"), 4)
               .as("avg_chars"))
-          .orderBy("source")),
+          ),
 
     // ----- cohort retention triangle -----------------------------------------
     // Users cohort by the epoch-week of their first event; each cell counts
@@ -1433,10 +1405,10 @@ object ExtQueries {
              |SELECT c.cw AS cohort_week, e.w - c.cw AS week_offset,
              |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
              |FROM e JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+             |GROUP BY 1, 2""".stripMargin),
       (spark, dir) =>
         Sessionize.cohortRetention(Tables.events(spark, dir), "user_id", "ts")
-          .orderBy("cohort_week", "week_offset")),
+          ),
 
     // ----- per-label embedding centroid --------------------------------------
     // Element-wise mean vector per label — the class-prototype / cluster-seed
@@ -1450,13 +1422,13 @@ object ExtQueries {
       Some("""SELECT label, i - 1 AS pos,
              |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
              |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-             |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
+             |GROUP BY 1, 2""".stripMargin),
       (spark, dir) =>
         Tables.embeddings(spark, dir)
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy(col("label"), col("pos").cast("long").as("pos"))
           .agg(round(avg(col("x")), 6).as("m"))
-          .orderBy("label", "pos")),
+          ),
 
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
@@ -1470,7 +1442,7 @@ object ExtQueries {
              |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
              |FROM events e ASOF LEFT JOIN rr
              |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
-             |ORDER BY e.event_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
@@ -1482,7 +1454,6 @@ object ExtQueries {
           leftTime = "ts", rightTime = "o_orderdate",
           rightAttrs = Seq("o_orderkey", "o_totalprice"))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-          .orderBy("event_id")
       }),
 
     // ----- as-of join via the CUSTOM PHYSICAL OPERATOR -----------------------
@@ -1498,7 +1469,7 @@ object ExtQueries {
              |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
              |FROM events e ASOF LEFT JOIN rr
              |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
-             |ORDER BY e.event_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
@@ -1511,7 +1482,6 @@ object ExtQueries {
           leftTime = "ts", rightTime = "o_orderdate",
           rightAttrs = Seq("o_orderkey", "o_totalprice"))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-          .orderBy("event_id")
       }),
 
     // ----- as-of join with tolerance (max staleness) -------------------------
@@ -1531,7 +1501,7 @@ object ExtQueries {
              |SELECT event_id, user_id,
              |  CASE WHEN age_us <= 2592000000000 THEN o_orderkey END AS o_orderkey,
              |  CASE WHEN age_us <= 2592000000000 THEN o_totalprice END AS o_totalprice
-             |FROM m ORDER BY event_id""".stripMargin),
+             |FROM m""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
         val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
@@ -1548,7 +1518,6 @@ object ExtQueries {
             unix_micros(lt.cast("timestamp")) - unix_micros(rt.cast("timestamp"))
               <= lit(2592000000000L)))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-          .orderBy("event_id")
       }),
 
     // ----- range join (point-in-interval, bucket-decomposed) -----------------
@@ -1565,7 +1534,7 @@ object ExtQueries {
              |  ON datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) >= iv.lo
              | AND datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) < iv.lo + 7
              |WHERE l.l_partkey < 500
-             |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         val points = Tables.lineitem(spark, dir)
           .filter(col("l_partkey") < 500)
@@ -1578,7 +1547,6 @@ object ExtQueries {
           .withColumn("hi", col("lo") + 7)
         graft.ops.RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", width = 7)
           .select("l_orderkey", "l_linenumber", "o_orderkey")
-          .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
       }),
 
     // ----- moving window frame (§2b ranking/frames) --------------------------
@@ -1587,16 +1555,15 @@ object ExtQueries {
              |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
              |             ORDER BY o_orderdate, o_orderkey
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+             |FROM orders""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(-6, 0)
         Tables.orders(spark, dir)
           .withColumn("ma7", round(avg(col("o_totalprice")).over(w), 6))
           .select("o_custkey", "o_orderkey", "ma7")
-          .orderBy("o_custkey", "o_orderkey")
       }),
 
     // NOTE: the stream-stream LEFT OUTER join (StreamOps.pairsWithinLeftOuter,
@@ -1616,7 +1583,7 @@ object ExtQueries {
               |        sum(n_tokens) OVER (PARTITION BY source
               |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum FROM t)
               |SELECT doc_id, source, n_tokens FROM c
-              |WHERE cum - n_tokens < 2000 ORDER BY source, doc_id""".stripMargin),
+              |WHERE cum - n_tokens < 2000""".stripMargin),
       (spark, dir) =>
         Sampling.tokenBudgetPerGroup(
             Tables.documents(spark, dir)
@@ -1624,7 +1591,7 @@ object ExtQueries {
                 TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
             "source", "doc_id", "n_tokens", budget = 2000L)
           .select("doc_id", "source", "n_tokens")
-          .orderBy("source", "doc_id")),
+          ),
 
     // ----- RANGE window frame (value-based, not row-count): 30-day trailing
     // spend per customer — every order in the same window regardless of how
@@ -1636,7 +1603,7 @@ object ExtQueries {
              |SELECT o_custkey, o_orderkey,
              |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
              |        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS spend_30d
-             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin),
+             |FROM o""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
@@ -1645,7 +1612,6 @@ object ExtQueries {
           .withColumn("d", expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"))
           .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 4))
           .select("o_custkey", "o_orderkey", "spend_30d")
-          .orderBy("o_custkey", "o_orderkey")
       }),
 
     // ----- vocabulary build + id encoding: the "tokenize to ids" stage of
@@ -1663,12 +1629,11 @@ object ExtQueries {
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
               |FROM pos JOIN vid USING (term)
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+              |GROUP BY doc_id""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         Vocab.encode(docs, "doc_id", "text", Vocab.build(docs, "text"))
           .select(col("doc_id"), col("n_tokens"), col("ids_csv"))
-          .orderBy("doc_id")
       }),
 
     // ----- stream-stream interval join under the gate: per-user pairs of
@@ -1690,7 +1655,7 @@ object ExtQueries {
              |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
              |FROM e a JOIN e b ON a.user_id = b.user_id
              |  AND b.us > a.us AND b.us <= a.us + 300000000
-             |ORDER BY a.user_id, a_id, b_id""".stripMargin),
+             |""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
@@ -1713,7 +1678,7 @@ object ExtQueries {
             "stream_stream_join_sink", OutputMode.Append())
           spark.table("stream_stream_join_sink")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        out.select("user_id", "a_id", "b_id").orderBy("user_id", "a_id", "b_id")
+        out.select("user_id", "a_id", "b_id")
       }),
   )
 }
