@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BagBound, BoundedSortedCollect, FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, TopKPairs, TopKTerms}
+import graft.functions.{BagBound, BoundedSortedCollect, CollapseWhitespace, FastTokens, FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, TopKPairs, TopKTerms}
 
 /** ONE-LINE installer for every graft Catalyst extension point — the whole
   * library activates from configuration alone, no code changes:
@@ -102,6 +102,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BoundedSortedCollect].getName, "bounded_sorted_collect"),
       (es: Seq[Expression]) => { requireArity("bounded_sorted_collect", es, 2)
         BoundedSortedCollect(es(0), intLit(es(1))) }),
+    ("fast_tokens",
+      new ExpressionInfo(classOf[FastTokens].getName, "fast_tokens"),
+      (es: Seq[Expression]) => { requireArity("fast_tokens", es, 1)
+        FastTokens(es(0)) }),
+    ("collapse_ws",
+      new ExpressionInfo(classOf[CollapseWhitespace].getName, "collapse_ws"),
+      (es: Seq[Expression]) => { requireArity("collapse_ws", es, 1)
+        CollapseWhitespace(es(0)) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =

@@ -17,7 +17,7 @@ object TextOps {
   /** Whitespace tokenization (leading/trailing space trimmed first so no
     * empty edge tokens).
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = graft.functions.FastTokens.fastTokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -276,7 +276,7 @@ object TextOps {
   }
 
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+    md5(graft.functions.CollapseWhitespace.collapseWs(lower(trim(text))).cast("binary"))
 
   /** Per-document token (Shannon) entropy in bits — the low-entropy screen
     * that catches keyword-stuffed / template / gibberish pages that length

@@ -44,7 +44,9 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // byte-for-byte the old `.trim.split("\\s+")` tokens (FastTokens parity
+    // tests pin it) — hash VALUES must not move or LSH bucketing shifts
+    val tokens = FastTokens.splitJava(input.asInstanceOf[UTF8String].toString)
     if (tokens.length < n) return ArrayData.toArrayData(Array.empty[Long])
     // stable per-token hashes, then windowed combine with avalanche finish
     val th = new Array[Long](tokens.length)

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Parity of the byte-scan text kernels against the Java-regex forms they
+  * replace: FastTokens vs `split(trim(s), "\s+")`, CollapseWhitespace vs
+  * `regexp_replace(s, "\s+", " ")`, and FastTokens.splitJava vs
+  * `s.trim.split("\s+")` (the ShingleHashes path — hash inputs must not
+  * move or LSH bucket assignments shift).
+  */
+class TextKernelsSpec extends AnyFunSuite with SparkSpec {
+
+  // strings biased toward the edge shapes: ws runs, leading/trailing ws of
+  // BOTH classes (space vs \t\n\x0B\f\r), empties, multibyte chars
+  private val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+  private val genStr: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(wsChars),
+    1 -> Gen.oneOf('é', 'ü', '中', '€', 'ß'))).map(_.mkString)
+
+  private val edgeCases = Seq(
+    "", " ", "  ", "\t", "\n", " \t ", "a", " a ", "\ta", "a\t", "\ta\t",
+    "a b", "a  b", " a  b ", "\t a \t b \n", "中 文\t字", "ab",
+    "\r\n\r\n", "x \r\n y", "   \t   ")
+
+  test("FastTokens ≡ split(trim(s), \\s+) — edge cases and random strings") {
+    val spark0 = spark
+    import spark0.implicits._
+    def both(strs: Seq[String]): Unit = {
+      val df = strs.toDF("s")
+      val got = df.select(FastTokens.fastTokens(col("s"))).as[Seq[String]].collect()
+      val want = df.select(split(trim(col("s")), "\\s+")).as[Seq[String]].collect()
+      got.zip(want).zip(strs).foreach { case ((g, w), s) =>
+        assert(g == w, s"input ${s.map(_.toInt).mkString("[", ",", "]")}")
+      }
+    }
+    both(edgeCases)
+    val rnd = Gen.listOfN(300, genStr).sample.get
+    both(rnd)
+  }
+
+  test("CollapseWhitespace ≡ regexp_replace(s, \\s+, ' ')") {
+    val spark0 = spark
+    import spark0.implicits._
+    val strs = edgeCases ++ Gen.listOfN(300, genStr).sample.get
+    val df = strs.toDF("s")
+    val got = df.select(CollapseWhitespace.collapseWs(col("s"))).as[String].collect()
+    val want = df.select(regexp_replace(col("s"), "\\s+", " ")).as[String].collect()
+    got.zip(want).zip(strs).foreach { case ((g, w), s) =>
+      assert(g == w, s"input ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
+  test("splitJava ≡ s.trim.split(\\s+) — the ShingleHashes tokenization") {
+    (edgeCases ++ Gen.listOfN(500, genStr).sample.get).foreach { s =>
+      val got = FastTokens.splitJava(s).toSeq
+      val want = s.trim.split("\\s+").toSeq
+      assert(got == want, s"input ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
+  test("null propagates") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq[String](null).toDF("s")
+    assert(df.select(FastTokens.fastTokens(col("s"))).first().isNullAt(0))
+    assert(df.select(CollapseWhitespace.collapseWs(col("s"))).first().isNullAt(0))
+  }
+}

@@ -15,6 +15,40 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
+  test("text kernel decomposition at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, dir)
+    t("scan only")(docs.select(col("doc_id"), col("n_chars")).queryExecution.toRdd.count())
+    t("scan only 2")(docs.select(col("doc_id"), col("n_chars")).queryExecution.toRdd.count())
+    def fpRegex = docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
+    def fpKernel = docs.select(col("doc_id"),
+      md5(graft.functions.CollapseWhitespace.collapseWs(lower(trim(col("text")))).cast("binary")).as("fp"))
+    t("fp regex warm")(fpRegex.queryExecution.toRdd.count())
+    t("fp regex")(fpRegex.queryExecution.toRdd.count())
+    t("fp kernel warm")(fpKernel.queryExecution.toRdd.count())
+    t("fp kernel")(fpKernel.queryExecution.toRdd.count())
+    def tcRegex = docs.select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("tc"))
+    def tcKernel = docs.select(col("doc_id"),
+      size(graft.functions.FastTokens.fastTokens(col("text"))).as("tc"))
+    t("tokencount regex warm")(tcRegex.queryExecution.toRdd.count())
+    t("tokencount regex")(tcRegex.queryExecution.toRdd.count())
+    t("tokencount kernel warm")(tcKernel.queryExecution.toRdd.count())
+    t("tokencount kernel")(tcKernel.queryExecution.toRdd.count())
+    def exRegex = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count()
+    def exKernel = docs.select(col("doc_id"),
+      explode(graft.functions.FastTokens.fastTokens(col("text"))).as("t")).groupBy("t").count()
+    t("explode regex warm")(exRegex.queryExecution.toRdd.count())
+    t("explode regex")(exRegex.queryExecution.toRdd.count())
+    t("explode kernel warm")(exKernel.queryExecution.toRdd.count())
+    t("explode kernel")(exKernel.queryExecution.toRdd.count())
+    t("corpus_report gate")(graft.SparkEntry.queries("corpus_report")(spark, dir)
+      .queryExecution.toRdd.count())
+    t("corpus_report gate 2")(graft.SparkEntry.queries("corpus_report")(spark, dir)
+      .queryExecution.toRdd.count())
+  }
+
   ignore("frozen-before-sort A/B batch 2 at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     def ab(name: String)(mk: => org.apache.spark.sql.DataFrame, sortCols: Seq[String]): Unit = {
