@@ -76,9 +76,21 @@ object Pack {
     val docBg = toks.select(col("id"),
         explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
       .groupBy("id", "bg").agg(count(lit(1)).as("k"))
-    val uni = toks.select(explode(col("ts")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cu"))
     val bc = docBg.groupBy("bg").agg(sum(col("k")).as("cb"))
+    // Unigram counts WITHOUT re-exploding the token stream: every token
+    // occurrence is the first word of exactly one bigram occurrence, or the
+    // LAST token of its document. So cu(w) = Σ cb over bigrams starting
+    // with w, plus the per-doc last-token counts — the second corpus-wide
+    // explode+shuffle becomes a one-row-per-document projection. Only words
+    // that start a bigram are ever probability denominators (pTab joins on
+    // exactly that set), so a left join suffices.
+    val firsts = bc.select(substring_index(col("bg"), " ", 1).as("w1"), col("cb"))
+      .groupBy("w1").agg(sum(col("cb")).as("__cf"))
+    val lasts = toks.select(element_at(col("ts"), -1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__cl"))
+    val uni = firsts.join(lasts, Seq("w1"), "left")
+      .select(col("w1"),
+        (col("__cf") + coalesce(col("__cl"), lit(0L))).as("cu"))
     val pTab = bc
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(uni, Seq("w1"))

@@ -59,21 +59,22 @@ object ExtQueries {
                             k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
     val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k)
       .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
-    // frozen: one row per probe. Two consumers below (the mean-recall
-    // scalar and the final projection) reference this subtree; the
-    // checkpoint guarantees the ANN pipeline + brute-force truth execute
-    // once regardless of whether exchange reuse would have caught the
-    // duplication (measured flat at sf0.1 — reuse did — but the guarantee
-    // is structural, not planner-dependent).
     val perProbe = approx.select(col("probe_id"), col("nbr_id"))
       .join(exact, Seq("probe_id", "nbr_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_results"),
         coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
-      .localCheckpoint()
-    val mean = perProbe.agg(
-      (sum(col("__hits")).cast("double") / (count(lit(1)) * k)).as("__mean_recall"))
-    perProbe.crossJoin(broadcast(mean))
+    // mean recall via an UNPARTITIONED window: perProbe is one row per
+    // probe (a handful by construction), so the SinglePartition exchange is
+    // over n_probes rows — trivially safe at any corpus scale. The subtree
+    // appears ONCE in the plan, so the ANN pipeline + brute-force truth
+    // structurally execute once: this replaced a localCheckpoint (an extra
+    // action that re-paid the whole pipeline) + broadcast scalar join.
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    perProbe
+      .withColumn("__mean_recall",
+        sum(col("__hits")).over(w).cast("double") / (count(lit(1)).over(w) * k))
       .filter(col("__mean_recall") >= floor)
       .select(col("probe_id"), col("n_results"))
   }
