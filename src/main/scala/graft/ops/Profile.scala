@@ -73,24 +73,28 @@ object Profile {
   /** Equi-DEPTH histogram: `b` buckets holding ~equal row counts, bounded by
     * the column's exact percentiles (the data-skew-proof sibling of the
     * equi-width `floor(x/width)` histogram — one hot region can't empty
-    * every other bin).
+    * every other bin). A row's bucket is the number of fences strictly
+    * below its value (fence-equal rows go to the LOWER bucket), so tied
+    * fences skip bucket labels exactly as counting duplicates implies.
     *
     * Shape at 100 TB: the b−1 EXACT fences come from
-    * [[QuantileSelect.exactPercentiles]] (two-round distributed selection —
+    * [[QuantileSelect.selectWithCounts]] (two-round distributed selection —
     * bounded state everywhere, never the whole-column value-histogram
-    * aggregate built-in `percentile` pays) and are inlined as literal
-    * comparisons: the bucketing pass is pure codegen'd scan + one count
-    * aggregate. (A broadcast-cross-join of the one-row fence relation was
-    * measured 6× slower — BroadcastNestedLoopJoin leaves whole-stage
-    * codegen.) Rows equal to a fence go to the LOWER bucket (strict `<`),
-    * so bucket ranges stay contiguous under ties.
+    * aggregate built-in `percentile` pays), and the bucket populations are
+    * FIRST DIFFERENCES of the rows-≤-fence counts that same round already
+    * derived from its below-counts + band values: the histogram costs the
+    * selection's two scans and NOTHING more — no bucketing pass. Only if
+    * the bounded-state selection cannot bracket the ranks (heavy ties) does
+    * it fall back to the built-in exact percentile plus a codegen'd
+    * binary-search bucketing pass (a broadcast-cross-join of the one-row
+    * fence relation was measured 6× slower — BroadcastNestedLoopJoin leaves
+    * whole-stage codegen).
     */
-  /** MULTI-ACTION CONTRACT: the fence selection executes `df` 2–3 times
-    * (sketch, counts+band, possible fallback) and the bucketing pass once
-    * more — `df` must be deterministic across actions. Parquet scans and
-    * pure transforms are; `rand()`-derived columns or unstable sampling are
-    * NOT and would yield fences that disagree with the pass that bins
-    * against them. For such inputs pass `stabilize = true`, which
+  /** MULTI-ACTION CONTRACT: the fence selection executes `df` twice
+    * (sketch; counts+band) — `df` must be deterministic across actions.
+    * Parquet scans and pure transforms are; `rand()`-derived columns or
+    * unstable sampling are NOT and would yield fences that disagree between
+    * the two passes. For such inputs pass `stabilize = true`, which
     * materializes `df` once (localCheckpoint) and derives every pass from
     * the frozen copy — the same escape hatch as
     * [[IndexOps.globalIndex]]'s `stabilize`.
@@ -99,16 +103,47 @@ object Profile {
                          stabilize: Boolean = false): DataFrame = {
     require(b >= 2, "need at least 2 buckets")
     val df = if (stabilize) df0.localCheckpoint() else df0
-    val fences: Seq[Double] = QuantileSelect.exactPercentiles(
-      df, valueCol, (1 until b).map(j => j.toDouble / b))
-    // bucket = number of fences strictly below the value — binary-search
-    // codegen expression, not a b-deep CASE WHEN fold (see SortedLowerBound)
-    val bucket = graft.functions.SortedLowerBound.bucket(
-      col(valueCol).cast("double"), fences.distinct.sorted)
-    // NULLs are outside every percentile band (the percentile aggregate
-    // already ignores them) — excluded rather than silently binned at 0
-    df.filter(col(valueCol).isNotNull)
-      .withColumn("bucket", bucket.cast("long"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val probs = (1 until b).map(j => j.toDouble / b)
+    QuantileSelect.selectWithCounts(df, valueCol, probs) match {
+      case Some((_, _, 0L)) =>
+        df.sparkSession.range(0).select(
+          col("id").as("bucket"), col("id").as("n"))
+      case Some((fences, cntLE, n)) =>
+        // fences arrive ascending (percentiles are monotone in p). Walk the
+        // distinct fence values: rows in (prev, fence] form one bucket whose
+        // label is the number of fences strictly below them — advancing by
+        // each fence's multiplicity, as the strict-< definition implies.
+        val rows = Seq.newBuilder[(Long, Long)]
+        var label = 0L; var prevCnt = 0L; var i = 0
+        while (i < fences.length) {
+          var j = i // run of tied fences
+          while (j < fences.length && fences(j) == fences(i)) j += 1
+          val c = cntLE(i)
+          if (c > prevCnt) rows += ((label, c - prevCnt))
+          label += j - i; prevCnt = c; i = j
+        }
+        if (n > prevCnt) rows += ((label, n - prevCnt))
+        df.sparkSession.createDataFrame(rows.result())
+          .toDF("bucket", "n")
+      case None =>
+        // heavy-tie fallback: built-in exact fences, then a codegen'd
+        // binary-search bucketing pass (see SortedLowerBound)
+        val fences = QuantileSelect.exactPercentiles(df, valueCol, probs)
+        val distinctF = fences.distinct.sorted
+        val idx = graft.functions.SortedLowerBound.bucket(
+          col(valueCol).cast("double"), distinctF)
+        // idx counts DISTINCT fences below the value; the label counts ALL
+        // of them — remap through the cumulative multiplicities so tied
+        // fences skip labels exactly like the fused path
+        val cums = distinctF.scanLeft(0L)((acc, d) =>
+          acc + fences.count(_ == d))
+        val bucket = element_at(
+          array(cums.map(lit): _*), idx + 1)
+        // NULLs are outside every percentile band (the percentile aggregate
+        // already ignores them) — excluded rather than silently binned at 0
+        df.filter(col(valueCol).isNotNull)
+          .withColumn("bucket", bucket)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }
   }
 }

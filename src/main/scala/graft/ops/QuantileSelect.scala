@@ -42,7 +42,34 @@ object QuantileSelect {
     */
   def exactPercentiles(df: DataFrame, valueCol: String, probs: Seq[Double],
                        accuracy: Int = 10000,
-                       bandCap: Long = 4000000L): Seq[Double] = {
+                       bandCap: Long = 4000000L): Seq[Double] =
+    selectWithCounts(df, valueCol, probs, accuracy, bandCap) match {
+      case Some((fences, _, _)) => fences
+      case None =>
+        // bracket miss (heavy ties / sketch edge) — the built-in exact
+        // aggregate is the deterministic safety net
+        val psSql = probs.mkString("array(", ",", ")")
+        val row = df.agg(
+          expr(s"percentile(CAST($valueCol AS DOUBLE), $psSql)")).head()
+        if (row.isNullAt(0)) Seq.empty
+        else row.getSeq[Double](0).map(d => if (d == 0.0) 0.0 else d)
+    }
+
+  /** The selection core: exact fences PLUS the exact count of rows ≤ each
+    * fence and the non-null total — all from the SAME two actions (the
+    * ≤-counts fall out of round 2's below-counts and band values; no third
+    * scan). `None` ⇔ the bounded-state path could not bracket the ranks
+    * (heavy ties) — callers fall back to the built-in exact aggregate.
+    * `Some((Seq.empty, Seq.empty, 0))` ⇔ no non-null rows.
+    *
+    * [[Profile.equiDepthHistogram]] is the motivating caller: bucket
+    * populations are first differences of the ≤-counts, so the whole
+    * histogram needs no bucketing pass over the data at all.
+    */
+  private[ops] def selectWithCounts(
+      df: DataFrame, valueCol: String, probs: Seq[Double],
+      accuracy: Int = 10000,
+      bandCap: Long = 4000000L): Option[(Seq[Double], Seq[Long], Long)] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       "probs must be in [0, 1]")
     val v = col(valueCol).cast("double")
@@ -56,7 +83,7 @@ object QuantileSelect {
       expr(s"approx_percentile(CAST($valueCol AS DOUBLE), $brSql, $accuracy)")
         .as("br")).head()
     val n = r1.getLong(0)
-    if (n == 0L) return Seq.empty
+    if (n == 0L) return Some((Seq.empty, Seq.empty, 0L))
     val br = r1.getSeq[Double](1)
     val lo = br.take(probs.size)
     val hi = br.drop(probs.size)
@@ -98,22 +125,14 @@ object QuantileSelect {
       // genuine data property and fall through to the built-in below.
       val finer = math.min(10000000L, 8L * n / math.max(bandCap / 2, 1L)).toInt
       if (finer > accuracy)
-        return exactPercentiles(df, valueCol, probs, finer, bandCap)
+        return selectWithCounts(df, valueCol, probs, finer, bandCap)
     }
-    if (!bracketed || !fits) {
-      // bracket miss (heavy ties / sketch edge) — the built-in exact
-      // aggregate is the deterministic safety net
-      val psSql = probs.mkString("array(", ",", ")")
-      val row = df.agg(
-        expr(s"percentile(CAST($valueCol AS DOUBLE), $psSql)")).head()
-      return if (row.isNullAt(0)) Seq.empty
-      else row.getSeq[Double](0).map(d => if (d == 0.0) 0.0 else d)
-    }
+    if (!bracketed || !fits) return None
 
     // the band values arrived pre-sorted (and zero-normalized) with the
     // counts — no second scan
     val all = bandVals.get.toArray
-    probs.indices.map { j =>
+    val out = probs.indices.map { j =>
       val pos = positions(j)
       val lower = math.floor(pos).toLong
       val higher = math.ceil(pos).toLong
@@ -121,9 +140,13 @@ object QuantileSelect {
       val vLo = vals((lower - below(j)).toInt)
       val vHi = vals((higher - below(j)).toInt)
       // equal-neighbors shortcut — see PercentileCompact.eval
-      if (lower == higher || vLo == vHi) vLo
+      val fence = if (lower == higher || vLo == vHi) vLo
       else (higher - pos) * vLo + (pos - lower) * vHi
+      // rows ≤ fence = rows strictly below the band + band values ≤ fence
+      // (fence ≤ hi(j) by construction, so nothing past the band qualifies)
+      (fence, below(j) + vals.count(_ <= fence))
     }
+    Some((out.map(_._1), out.map(_._2), n))
   }
 
   /** Exact per-group `percentile(valueExpr, prob)` as a fence RELATION

@@ -265,6 +265,42 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  ignore("equidepth phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val li = graft.Tables.lineitem(spark, dir)
+    t("warm scan")(li.select("l_extendedprice").queryExecution.toRdd.count())
+    t("scan again")(li.select("l_extendedprice").queryExecution.toRdd.count())
+    val probs = (1 until 10).map(_.toDouble / 10)
+    def sketch(acc: Int): Unit = {
+      val brSql = (probs.map(p => math.max(0.0, p - 4.0 / acc)) ++
+        probs.map(p => math.min(1.0, p + 4.0 / acc))).mkString("array(", ",", ")")
+      li.agg(count(col("l_extendedprice")).as("n"),
+        expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), $brSql, $acc)")).head()
+    }
+    for (r <- 1 to 3; acc <- Seq(1000, 10000)) t(s"sketch acc $acc r$r")(sketch(acc))
+    t("count only")(li.agg(count(col("l_extendedprice"))).head())
+    t("exactPercentiles full") {
+      QuantileSelect.exactPercentiles(li, "l_extendedprice", probs)
+    }
+    val fences = QuantileSelect.exactPercentiles(li, "l_extendedprice", probs)
+    t("bucketing pass only") {
+      val bucket = graft.functions.SortedLowerBound.bucket(
+        col("l_extendedprice").cast("double"), fences.distinct.sorted)
+      li.filter(col("l_extendedprice").isNotNull)
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .queryExecution.toRdd.count()
+    }
+    t("full gate") {
+      Profile.equiDepthHistogram(li, "l_extendedprice", b = 10)
+        .queryExecution.toRdd.count()
+    }
+    t("full gate again") {
+      Profile.equiDepthHistogram(li, "l_extendedprice", b = 10)
+        .queryExecution.toRdd.count()
+    }
+  }
+
   ignore("global_index phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val orders = graft.Tables.orders(spark, dir)
