@@ -120,7 +120,8 @@ object Bench {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        warmStreamDir = java.nio.file.Files.createTempDirectory("graft_warm_stream_").toString
+        warmStreamDir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Scratch.root), "graft_warm_stream_").toString
         val wsDir = warmStreamDir
         spark.range(0, 100).selectExpr("id AS event_id",
           "id * 1000000000 AS ts", "id % 7 AS user_id",

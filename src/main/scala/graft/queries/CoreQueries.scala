@@ -393,7 +393,7 @@ object CoreQueries {
         // (a fresh dir per invocation would accumulate every bench/verify
         // run; a fixed shared path would race concurrent runs and break
         // across users on a shared host)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_roundtrip_${ProcessHandle.current().pid()}"
+        val out = s"${graft.Scratch.root}/graft_k1_roundtrip_${ProcessHandle.current().pid()}"
         // route each partition value to ONE task before the write: a naive
         // partitionBy from 32 upstream tasks commits 3×32 tiny files — the
         // small-files discipline writeSized codifies, applied inline here
@@ -419,7 +419,7 @@ object CoreQueries {
              |FROM orders GROUP BY setor""".stripMargin),
       (spark, dir) => {
         import spark.implicits._
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_k2_roundtrip_${ProcessHandle.current().pid()}"
+        val out = s"${graft.Scratch.root}/graft_k2_roundtrip_${ProcessHandle.current().pid()}"
         graft.io.ParquetIO.writePartitioned(
           Tables.orders(spark, dir)
             .select(col("o_orderkey"),
@@ -445,7 +445,7 @@ object CoreQueries {
         import graft.io.Catalog
         val db = "graft_k3_db"
         val table = "orders_by_status"
-        val loc = s"${System.getProperty("java.io.tmpdir")}/graft_k3_${ProcessHandle.current().pid()}"
+        val loc = s"${graft.Scratch.root}/graft_k3_${ProcessHandle.current().pid()}"
         Catalog.ensureDatabase(spark, db)
         Catalog.dropTable(spark, db, table)
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -1193,7 +1193,7 @@ object CoreQueries {
              |FROM nation GROUP BY n_regionkey""".stripMargin),
       (spark, dir) => {
         // per-process path + overwrite (same leak/race trade as k1)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${ProcessHandle.current().pid()}"
+        val out = s"${graft.Scratch.root}/graft_s7_csv_${ProcessHandle.current().pid()}"
         // 25-row dim: one output file, not one per upstream task
         graft.io.FormatIO.roundTrip(Tables.nation(spark, dir).coalesce(1), out, "csv")
           .groupBy(col("n_regionkey"))
@@ -1204,7 +1204,7 @@ object CoreQueries {
       Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS bal_sum
              |FROM customer GROUP BY c_mktsegment""".stripMargin),
       (spark, dir) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_json_${ProcessHandle.current().pid()}"
+        val out = s"${graft.Scratch.root}/graft_s8_json_${ProcessHandle.current().pid()}"
         // doubles survive JSON text exactly (shortest-round-trip rendering);
         // only the re-associated SUM needs the usual rounding
         graft.io.FormatIO.roundTrip(Tables.customer(spark, dir).coalesce(4), out, "json")
@@ -1219,7 +1219,7 @@ object CoreQueries {
       Some("""SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS price_avg
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       (spark, dir) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_k4_${ProcessHandle.current().pid()}"
+        val base = s"${graft.Scratch.root}/graft_k4_${ProcessHandle.current().pid()}"
         // orders, not lineitem: the operator under test is file-COUNT
         // reduction — small files are small by nature, and a bulk-volume
         // write would just bench the parquet encoder again (k1 does that)
@@ -1243,7 +1243,7 @@ object CoreQueries {
              |  round(avg(c_acctbal), 4) AS bal_avg
              |FROM customer""".stripMargin),
       (spark, dir) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_s9_${ProcessHandle.current().pid()}"
+        val base = s"${graft.Scratch.root}/graft_s9_${ProcessHandle.current().pid()}"
         val c = Tables.customer(spark, dir)
         c.filter(col("c_custkey") % 2 === 0)
           .select("c_custkey", "c_acctbal") // the pre-evolution schema

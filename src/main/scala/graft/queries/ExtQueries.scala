@@ -932,7 +932,8 @@ object ExtQueries {
       (spark, dir) => {
         import graft.streaming.StreamOps
         val landing = StreamOps.ordersChangesLanding(spark, dir)
-        val base = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+        val base = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Scratch.root), "graft_cdc_").toString
         val snap = s"$base/snapshot"
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_totalprice").as("price"))

@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Root for stream scratch space — landing drops, memory-sink checkpoints,
+    * snapshot swap dirs. Micro-batch progress is dozens of TINY files per
+    * trigger (offsets, commits, state-store deltas), each behind a
+    * write+rename barrier: on a spinning/virtual disk that metadata churn IS
+    * the micro-batch floor. Prefer the RAM-backed tmpfs when present (the
+    * local-mode analogue of putting state-store + checkpoint dirs on
+    * executor-local NVMe, which is how you'd deploy on a real cluster);
+    * `GRAFT_STREAM_TMP` overrides, `java.io.tmpdir` is the fallback.
+    */
+  def tmpRoot: String = graft.Scratch.root
+
   /** Events schema as read from the nanosecond-timestamp parquet: `ts` read
     * as raw nanos (see `graft.Tables.events`), converted to micros here.
     */
@@ -104,7 +115,7 @@ object StreamOps {
   private val landings = scala.collection.concurrent.TrieMap.empty[String, String]
   def eventsLanding(spark: SparkSession, dir: String, files: Int = 2): String =
     landings.getOrElseUpdate(s"$dir#$files", {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      val path = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_${(dir + files).hashCode.toHexString}"
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
@@ -128,7 +139,7 @@ object StreamOps {
       // mtimes — still older than the sentinel written below) instead of
       // re-writing the whole events table a second time per JVM
       val src = new java.io.File(eventsLanding(spark, dir))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      val base = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_sent_${dir.hashCode.toHexString}"
       val dst = new java.io.File(base)
       dst.mkdirs()
@@ -158,7 +169,7 @@ object StreamOps {
   def eventsLandingWithDuplicates(spark: SparkSession, dir: String): String =
     landings.getOrElseUpdate(s"$dir#dups", {
       val src = new java.io.File(eventsLanding(spark, dir))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      val base = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_dup_${dir.hashCode.toHexString}"
       val dst = new java.io.File(base)
       dst.mkdirs()
@@ -244,9 +255,22 @@ object StreamOps {
     * tests); production would swap `format("parquet").option("path", ...)`.
     */
   def runToMemory(df: Dataset[_], name: String, mode: OutputMode): Unit = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    // explicit checkpoint under the fast scratch root (the engine's default
+    // temp checkpoint lands under java.io.tmpdir — a real disk on most
+    // hosts; offsets/commits/state deltas are the per-trigger floor),
+    // removed after the run like the engine removes its temp checkpoints
+    val ckpt = java.nio.file.Paths.get(graft.Scratch.root,
+      s"graft_ckpt_${ProcessHandle.current().pid()}_${name}_${System.nanoTime()}")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try { q.processAllAvailable(); q.stop() }
+    finally deleteTree(ckpt.toFile)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(): Unit
   }
 
   /** The production sink shape: parquet files + checkpointed offsets.
@@ -340,7 +364,7 @@ object StreamOps {
   def ordersChangesLanding(spark: SparkSession, dir: String): String =
     landings.getOrElseUpdate(s"$dir#cdc", {
       import org.apache.spark.sql.functions._
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      val path = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_cdc_${dir.hashCode.toHexString}"
       val o = spark.read.parquet(s"$dir/orders.parquet")
       val u = o.filter(col("o_orderkey") % 10 === 0)

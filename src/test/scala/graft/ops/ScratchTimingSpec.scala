@@ -301,6 +301,29 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corpus_clean phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    import graft.ext.{TextOps, Dedup}
+    val docs = graft.Tables.documents(spark, dir)
+    val t0 = col("text")
+    def kept0 = docs
+      .filter(TextOps.tokenCount(t0) >= 30)
+      .filter(TextOps.punctRatio(t0) <= 0.2)
+      .filter(TextOps.languageId(t0, TextOps.defaultLexicons).isin("en", "es"))
+    t("quality scan warm")(kept0.queryExecution.toRdd.count())
+    t("quality scan")(kept0.queryExecution.toRdd.count())
+    t("checkpoint")(kept0.localCheckpoint().queryExecution.toRdd.count())
+    val kept = kept0.localCheckpoint()
+    t("pairs")(Dedup.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.4)
+      .queryExecution.toRdd.count())
+    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.4)
+    t("cc")(Dedup.connectedComponents(pairs).queryExecution.toRdd.count())
+    t("full gate")(graft.SparkEntry.queries("corpus_clean")(spark, dir)
+      .queryExecution.toRdd.count())
+    t("full gate 2")(graft.SparkEntry.queries("corpus_clean")(spark, dir)
+      .queryExecution.toRdd.count())
+  }
+
   ignore("global_index phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val orders = graft.Tables.orders(spark, dir)
