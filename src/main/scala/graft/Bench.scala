@@ -213,7 +213,10 @@ object Bench {
       // percentile selection machinery (sketch + BoundedSortedCollect)
       val warmVals = spark.range(0, 50000)
         .selectExpr("CAST(id % 977 AS DOUBLE) AS v")
-      graft.ops.QuantileSelect.exactPercentiles(warmVals, "v", Seq(0.25, 0.75))
+      // decile probs matching profile_equidepth: round 1's sketch source
+      // embeds the (constant) prob brackets, round 2 is probs.size-keyed
+      graft.ops.QuantileSelect.exactPercentiles(warmVals, "v",
+        (1 until 10).map(_.toDouble / 10))
       // ANN path: tiny synthetic embeddings through ivf + lsh + brute force
       val warmEmb = spark.range(0, 200).selectExpr("id AS vec_id",
         "transform(sequence(1, 64), j -> CAST(pmod(id * j, 97) / 97.0 AS FLOAT))" +

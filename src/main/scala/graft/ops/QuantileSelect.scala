@@ -88,7 +88,16 @@ object QuantileSelect {
     val lo = br.take(probs.size)
     val hi = br.drop(probs.size)
 
-    def inBand(j: Int): Column = v >= lit(lo(j)) && v <= lit(hi(j))
+    // the data-derived lo/hi brackets ride as ONE referenced array each
+    // (codegen emits `references[i]`, not the values), so the generated
+    // source for this aggregate depends only on probs.size — a bench
+    // warm-up or an earlier call on ANY dataset with the same fence count
+    // compiles it once for the whole JVM; embedded double literals would
+    // force a fresh whole-stage compile per dataset
+    val loRef = lit(lo.toArray)
+    val hiRef = lit(hi.toArray)
+    def inBand(j: Int): Column =
+      v >= element_at(loRef, j + 1) && v <= element_at(hiRef, j + 1)
     // ONE action for round 2: the below/band counts AND the band values
     // ride the same aggregate — the values through BoundedSortedCollect,
     // whose state is hard-capped at bandCap doubles (overflow evaluates to
@@ -98,7 +107,7 @@ object QuantileSelect {
     // filter+collect action after the counts — one scan more per call.
     val anyBand = probs.indices.map(inBand).reduce(_ || _)
     val countAggs = probs.indices.flatMap { j =>
-      Seq(coalesce(sum(when(v < lit(lo(j)), 1L)), lit(0L)).as(s"below_$j"),
+      Seq(coalesce(sum(when(v < element_at(loRef, j + 1), 1L)), lit(0L)).as(s"below_$j"),
         coalesce(sum(when(inBand(j), 1L)), lit(0L)).as(s"band_$j"))
     } :+ graft.functions.BoundedSortedCollect.boundedSortedCollect(
       when(anyBand, when(v === 0.0, lit(0.0)).otherwise(v)),
