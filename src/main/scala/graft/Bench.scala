@@ -176,13 +176,24 @@ object Bench {
     // warm-up charged to whichever gate ran first in its family). Synthetic
     // range-built docs/vectors — nothing a registry query could reuse; the
     // cost stays visible in warmup_sec.
-    locally {
+    val warmInputRoot = s"${graft.Scratch.root}/graft_warm_${ProcessHandle.current().pid()}"
+    try {
       import org.apache.spark.sql.functions._
+      // Warm inputs go THROUGH PARQUET: whole-stage codegen fuses the scan
+      // into the first stage, so a range-backed warm plan compiles a
+      // different source than the parquet-backed gate plan and the cache
+      // never hits. A tiny scratch parquet round-trip makes the generated
+      // stage source line up (types matter, values don't).
+      def viaParquet(df: org.apache.spark.sql.DataFrame, name: String) = {
+        val p = s"$warmInputRoot/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
       // ~300 tiny synthetic docs: text-kernel battery + pair-join machinery
-      val warmDocs = spark.range(0, 300).selectExpr("id AS doc_id",
+      val warmDocs = viaParquet(spark.range(0, 300).selectExpr("id AS doc_id",
         "concat_ws(' ', 'the', CAST(id % 37 AS STRING), 'quick brown fox,'," +
           " CAST(id % 11 AS STRING), 'jumps over the lazy dog and runs on')" +
-          " AS text")
+          " AS text"), "docs")
       graft.ext.TextOps.qualityMetrics(warmDocs, "text")
         .queryExecution.toRdd.count()
       warmDocs.select(
@@ -211,16 +222,16 @@ object Bench {
       graft.ext.Pack.bigramLmScores(warmDocs, "doc_id", "text")
         .queryExecution.toRdd.count()
       // percentile selection machinery (sketch + BoundedSortedCollect)
-      val warmVals = spark.range(0, 50000)
-        .selectExpr("CAST(id % 977 AS DOUBLE) AS v")
+      val warmVals = viaParquet(spark.range(0, 50000)
+        .selectExpr("CAST(id % 977 AS DOUBLE) AS v"), "vals")
       // decile probs matching profile_equidepth: round 1's sketch source
       // embeds the (constant) prob brackets, round 2 is probs.size-keyed
       graft.ops.QuantileSelect.exactPercentiles(warmVals, "v",
         (1 until 10).map(_.toDouble / 10))
       // ANN path: tiny synthetic embeddings through ivf + lsh + brute force
-      val warmEmb = spark.range(0, 200).selectExpr("id AS vec_id",
+      val warmEmb = viaParquet(spark.range(0, 200).selectExpr("id AS vec_id",
         "transform(sequence(1, 64), j -> CAST(pmod(id * j, 97) / 97.0 AS FLOAT))" +
-          " AS embedding")
+          " AS embedding"), "emb")
       val warmProbes = warmEmb.filter(col("vec_id") < 4)
       graft.ext.SimSearch.bruteForceTopK(warmEmb, warmProbes,
         "vec_id", "embedding", 3).queryExecution.toRdd.count()
@@ -230,6 +241,11 @@ object Bench {
         k = 3, numPlanes = 4, dim = 64).queryExecution.toRdd.count()
       graft.ext.Dedup.embeddingCosinePairs(warmEmb, "vec_id", "embedding", 0.4)
         .queryExecution.toRdd.count()
+    } finally {
+      // every warm query above ran eagerly — the scratch inputs are dead
+      // weight past this point (same no-tmp-garbage discipline as the
+      // stream warm-up dir)
+      deleteRecursively(new java.io.File(warmInputRoot))
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // deterministic (sorted) execution order so JVM warm-up lands on the
