@@ -258,21 +258,27 @@ object TextOps {
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                           maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 would delete every line")
-    val lines = df.select(col(idCol).as("__graft_id"),
+    val lines = df.select(col(idCol).as(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hot = lines.select("__graft_id", "line").distinct()
+    val hot = lines.select(col(idCol), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDocFreq)
-      .select("line")
-    val kept = lines.join(hot, Seq("line"), "left_anti")
-      .groupBy(col("__graft_id"))
+      .select(col("line").as("__hot_line"))
+    // Mark hot lines with a LEFT join (the hot relation is tiny by
+    // construction — boilerplate repeated across ≥maxDocFreq docs — so it
+    // broadcasts) and let collect_list's skip-null contract drop them
+    // inside the per-doc aggregate. A doc whose EVERY line is hot still
+    // keeps its group row (empty array → ""), so no join back onto `df`
+    // to resurrect all-boilerplate docs — one exchange fewer than the
+    // former anti-join + left-join-back shape.
+    lines.join(hot, col("line") === col("__hot_line"), "left")
+      .groupBy(col(idCol))
       // collect_list order is partition-arbitrary: sort by the carried
       // position before joining back into text
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(CASE WHEN __hot_line IS NULL" +
+          " THEN struct(pos, line) END)), x -> x.line)"),
         "\n").as("text_clean"))
-    df.select(col(idCol))
-      .join(kept.withColumnsRenamed(Map("__graft_id" -> idCol)), Seq(idCol), "left")
-      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
   }
 
   def fingerprint(text: Column): Column =

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Ties (right-time == left-time) match, mirroring ASOF JOIN `>=` semantics
   * in DuckDB/Pandas. For a deterministic result the right side must be
-  * unique per (key, time) — pre-dedup with
-  * [[AggOps.dedupByKeyOrdered]] otherwise (same contract as DuckDB, whose
-  * ASOF picks an arbitrary row among equal times).
+  * unique per (key, time) — either pre-dedup with
+  * [[AggOps.dedupByKeyOrdered]] (same contract as DuckDB, whose ASOF picks
+  * an arbitrary row among equal times), or pass `rightTieBreak`: the carry
+  * window already totally orders each key's history, so a tie-break key
+  * folds the dedup INTO the one existing window pass — the separate
+  * dedup's shuffle + rank over the full right side disappears.
   */
 object AsOfJoin {
 
@@ -40,12 +43,19 @@ object AsOfJoin {
     *                    carried struct remembers the matched row's time, so
     *                    this is a post-carry column test: no second window,
     *                    no join, zero extra shuffles.
+    * @param rightTieBreak right attr names (⊆ `rightAttrs`) ordering equal
+    *                    (key, time) right rows; the LAST row in ascending
+    *                    tie-break order wins (so e.g. `Seq("version")`
+    *                    keeps the max version — what
+    *                    `dedupByKeyOrdered(desc)` would keep). Empty =
+    *                    caller guarantees uniqueness, as before.
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightAttrs: Seq[String],
-           tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+           tolerance: Option[(Column, Column) => Column] = None,
+           rightTieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
 
     // SQL ASOF equality semantics: NULL = NULL is NO match, and a NULL-time
@@ -79,9 +89,15 @@ object AsOfJoin {
         struct(rStructCols: _*).as("__r"): _*)
 
     // right rows sort BEFORE left rows at equal __t (side 0 < 1), so a
-    // same-timestamp right row is visible to the left row — ASOF >= ties
+    // same-timestamp right row is visible to the left row — ASOF >= ties.
+    // The tie-break keys ride inside the carried struct (left rows read
+    // them as NULL — irrelevant, __side already separates the sides): the
+    // last-in-order right row among equal times is the one `last()`
+    // carries, which IS the keep-max dedup — at the cost of extra sort
+    // keys in the one existing window sort, not a separate pass.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +:
+        rightTieBreak.map(a => col("__r").getField(a).asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val carried = l.unionByName(r)

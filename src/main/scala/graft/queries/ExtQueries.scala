@@ -1446,15 +1446,16 @@ object ExtQueries {
              |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
              |""".stripMargin),
       (spark, dir) => {
-        import spark.implicits._
-        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
-          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+        // the oracle's rn=1 dedup (keep max o_orderkey per (custkey, date))
+        // rides the as-of carry window as a tie-break key — no separate
+        // dedup shuffle + rank pass over orders
         graft.ops.AsOfJoin.asOf(
           Tables.events(spark, dir).select("event_id", "user_id", "ts"),
-          orders,
+          Tables.orders(spark, dir),
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
-          rightAttrs = Seq("o_orderkey", "o_totalprice"))
+          rightAttrs = Seq("o_orderkey", "o_totalprice"),
+          rightTieBreak = Seq("o_orderkey"))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
       }),
 

@@ -74,4 +74,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L) === Some(1.0), "within tolerance: match kept")
     assert(out(11L) === None, "stale match discarded exactly like no-match")
   }
+
+  test("asOf rightTieBreak: equal-time right rows dedup inside the carry window") {
+    val quotes = Seq( // two quotes at the SAME (key, time) — version 2 must win
+      ("A", ts("2024-01-01 10:00:00"), 1.0, 1L),
+      ("A", ts("2024-01-01 10:00:00"), 2.0, 2L),
+      ("A", ts("2024-01-01 09:00:00"), 9.0, 7L), // earlier time: version irrelevant
+    ).toDF("k", "t", "px", "version")
+    val trades = Seq(("A", ts("2024-01-01 10:30:00"), 10L)).toDF("k", "t", "qty")
+    val out = AsOfJoin.asOf(trades, quotes, "k", "k", "t", "t",
+      Seq("px", "version"), rightTieBreak = Seq("version")).head()
+    assert(out.getAs[Double]("px") === 2.0,
+      "max tie-break version's row wins, same as dedupByKeyOrdered(desc)")
+    assert(out.getAs[Long]("version") === 2L)
+  }
 }
