@@ -510,7 +510,9 @@ object Dedup {
     * sits IN the first token — the most common edit in real data.
     * `dualBlock` (default) adds a deletion-neighborhood (FastSS-style)
     * secondary block: each doc also keys on its first token and every
-    * single-character deletion of it (first 24 positions), and two docs
+    * single-character deletion of it (positions 1..`prefixLen` — the
+    * distance is computed on `prefixLen`-truncated text, so later edits
+    * cannot change any pair's distance), and two docs
     * with DIFFERENT first tokens become candidates iff they share a
     * variant — which happens precisely when the tokens are within ~1 edit.
     * Unlike a second-token block (measured: it doubles the candidate set),

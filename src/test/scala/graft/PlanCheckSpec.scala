@@ -276,4 +276,29 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"every join is an equi-join:\n$p")
   }
+
+  test("cohort_retention: two exchanges, no join, no distinct-aggregate Expand") {
+    val p = plan("cohort_retention")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"collect_set form is user-agg + cell-agg, nothing more:\n$p")
+    assert(!p.contains("Join"), s"cohort attaches via array_min, not a join-back:\n$p")
+    assert(!p.contains("Expand"),
+      s"count(*) over the pre-deduped sets must not plan a distinct aggregate:\n$p")
+  }
+
+  test("txt_remove_boilerplate: hot lines broadcast; no join back onto the input") {
+    val p = plan("txt_remove_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-line mark must broadcast (the relation is boilerplate-sized):\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 3,
+      s"distinct + line-count + per-doc collect — the all-hot-doc resurrection join is gone:\n$p")
+  }
+
+  test("asof_event_order: rightTieBreak folds the orders dedup into the one carry window") {
+    val p = plan("asof_event_order")
+    assert(p.linesIterator.count(_.contains("Window")) === 1,
+      s"exactly ONE window pass — no separate row_number dedup over orders:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"the window's key exchange is the only shuffle:\n$p")
+  }
 }
