@@ -58,25 +58,26 @@ object Pack {
     * have no bigrams and no row.
     *
     * Shape at 100 TB: the exploded POSITIONAL bigram stream is shuffled
-    * exactly ONCE — into per-(doc, bigram) multiplicities `k` with
-    * map-side combine. Everything downstream works at reduced
-    * granularity: corpus bigram counts aggregate the doc-bigram relation
-    * (not the stream), the probability table is assembled at bigram-VOCAB
-    * granularity (cb ⋈ cu), and the one join back to doc-bigram rows
-    * multiplies by `k` — `Σ_positional round(p·1e9)` is exactly
-    * `Σ_distinct k·round(p·1e9)`, so the per-positional-bigram integer
-    * rounding contract is unchanged. (The former shape joined the raw
-    * stream through both count relations: four shuffles of the widest
-    * relation instead of one.) No driver-side model, no broadcast of the
-    * vocabulary.
+    * exactly ONCE — an explicit repartition on the bigram — and every
+    * wide consumer rides that one exchange co-partitioned: the corpus
+    * bigram counts are a partial-combined aggregate of it, the
+    * vocab-granularity probability table (cb ⋈ cu) hash-joins back onto
+    * it without moving it, and the per-doc rollup partial-aggregates
+    * map-side so its exchange carries docs×partitions rows. (The former
+    * shape first aggregated per-(doc, bigram) multiplicities — but
+    * positional bigrams are nearly unique within a doc, so that pass
+    * shrank almost nothing and cost a second full-stream shuffle when the
+    * probability join re-keyed it on the bigram.) Per-positional-bigram
+    * integer rounding (`round(p·1e9)` BEFORE the sum) is unchanged. No
+    * driver-side model, no broadcast of the vocabulary.
     */
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("ts"))
-    val docBg = toks.select(col("id"),
+    val stream = toks.select(col("id"),
         explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
-      .groupBy("id", "bg").agg(count(lit(1)).as("k"))
-    val bc = docBg.groupBy("bg").agg(sum(col("k")).as("cb"))
+      .repartition(col("bg"))
+    val bc = stream.groupBy("bg").agg(count(lit(1)).as("cb"))
     // Unigram counts WITHOUT re-exploding the token stream: every token
     // occurrence is the first word of exactly one bigram occurrence, or the
     // LAST token of its document. So cu(w) = Σ cb over bigrams starting
@@ -97,10 +98,12 @@ object Pack {
       .select(col("bg"),
         round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9))
           .cast("long").as("ps"))
-    docBg.join(pTab, Seq("bg"))
+    // build side = pTab (vocab-granularity); the stream side stays put on
+    // its one exchange — a sort-merge here would sort the full stream
+    stream.join(pTab.hint("shuffle_hash"), Seq("bg"))
       .groupBy(col("id"))
-      .agg(sum(col("k")).as("n_bigrams"),
-        sum(col("k") * col("ps")).as("p_sum_scaled"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ps")).as("p_sum_scaled"))
       .withColumn("lm_avg_scaled", expr("p_sum_scaled div n_bigrams"))
   }
 }

@@ -1506,12 +1506,11 @@ object ExtQueries {
              |  CASE WHEN age_us <= 2592000000000 THEN o_totalprice END AS o_totalprice
              |FROM m""".stripMargin),
       (spark, dir) => {
-        import spark.implicits._
-        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
-          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+        // same tie-break fusion as asof_event_order: the rn=1 dedup rides
+        // the carry window, tolerance stays a post-carry column test
         graft.ops.AsOfJoin.asOf(
           Tables.events(spark, dir).select("event_id", "user_id", "ts"),
-          orders,
+          Tables.orders(spark, dir),
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
           rightAttrs = Seq("o_orderkey", "o_totalprice"),
@@ -1519,7 +1518,8 @@ object ExtQueries {
           // cast to TIMESTAMP is identity and unix_micros applies
           tolerance = Some((lt, rt) =>
             unix_micros(lt.cast("timestamp")) - unix_micros(rt.cast("timestamp"))
-              <= lit(2592000000000L)))
+              <= lit(2592000000000L)),
+          rightTieBreak = Seq("o_orderkey"))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
       }),
 
@@ -1635,6 +1635,10 @@ object ExtQueries {
               |GROUP BY doc_id""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
+        // default (shuffle) join: broadcastVocab was A/B'd here and LOST at
+        // bench scale (1.48 vs 1.07 s — the driver-side vocab collect +
+        // broadcast build outweighs the toy-scale token shuffle it saves);
+        // at cluster scale the trade inverts, see Vocab scaladoc
         Vocab.encode(docs, "doc_id", "text", Vocab.build(docs, "text"))
           .select(col("doc_id"), col("n_tokens"), col("ids_csv"))
       }),
