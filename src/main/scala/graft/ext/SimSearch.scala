@@ -109,7 +109,8 @@ object SimSearch {
     * hyperplanes — the better scale path when embeddings cluster.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+              k: Int, nlist: Int, nprobe: Int, seed: Long = 42L,
+              broadcastProbes: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{dotF, normF}
     require(nprobe >= 1 && nprobe <= nlist)
 
@@ -144,8 +145,17 @@ object SimSearch {
       normF(col(vecCol)).as("probe_norm"),
       explode(cellOf(col(vecCol), nprobe)).as("cell"))
 
-    val scored = p.join(c, "cell")
-      .dropDuplicates("probe_id", "nbr_id")
+    // The cell join has only `nlist` distinct keys, so hash-SHUFFLING on it
+    // caps parallelism at nlist reducers no matter the cluster size — the
+    // correct shape is the corpus staying put and the (tiny, nprobe-exploded)
+    // probe side broadcasting onto it; partial top-k states then make the
+    // rank exchange carry probes×k rows per partition, not candidates.
+    // `broadcastProbes = false` is the backfill escape hatch (probe set too
+    // large to broadcast — at that point a salted/bucketed strategy is the
+    // real answer, see scaladoc). No pair dedup: each corpus vector lives in
+    // exactly one cell and a probe's nprobe cells are distinct ranks, so a
+    // (probe, nbr) pair can only arise once.
+    val scored = (if (broadcastProbes) broadcast(p) else p).join(c, "cell")
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("cosine", safeCosine(
         dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))
@@ -188,7 +198,8 @@ object SimSearch {
     * more probe flips. Specs measure recall against [[bruteForceTopK]].
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-              k: Int, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+              k: Int, numPlanes: Int, dim: Int, seed: Long = 42L,
+              broadcastProbes: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{dotF, normF}
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
       normF(col(vecCol)).as("nbr_norm"),
@@ -200,8 +211,13 @@ object SimSearch {
       (0 until numPlanes).map(f => col("bucket0").bitwiseXOR(lit(1L << f))): _*)
     val p = p0.select(col("probe_id"), col("probe_vec"), col("probe_norm"),
       explode(probeBuckets).as("bucket"))
-    val scored = p.join(c, "bucket")
-      .dropDuplicates("probe_id", "nbr_id")
+    // Same join discipline as [[ivfTopK]]: 2^numPlanes distinct bucket keys
+    // make a hash shuffle the wrong shape at any scale — broadcast the
+    // multiprobe-exploded probe side over the in-place corpus. No pair
+    // dedup: a corpus vector has ONE bucket and the multiprobe set
+    // {b, b^1, b^2, …} is distinct by construction (each XOR flips a
+    // different bit), so (probe, nbr) pairs are already unique.
+    val scored = (if (broadcastProbes) broadcast(p) else p).join(c, "bucket")
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("cosine", safeCosine(
         dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))

@@ -158,11 +158,22 @@ object TextOps {
     * Output: (doc_id, term, tfidf, rank), rank 1-based.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // One explicit exchange on the term carries the whole pipeline:
+    // hash-partitioning on `term` already co-locates every (doc_id, term)
+    // group, so the tf aggregate, the document-frequency aggregate, AND the
+    // tf ⋈ dfreq join all plan with zero further exchanges (the former
+    // shape shuffled the tf relation three times — once on (doc, term),
+    // once re-keyed on term for dfreq, once more for the join).
+    val stream = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .repartition(col("term"))
+    val tf = stream.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    // shuffle_hash (build = dfreq, vocab-granularity): a broadcast here
+    // would execute the dfreq subtree as a separate job and re-run the
+    // stream exchange; a sort-merge would sort the full tf relation
+    val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf").cast("double") *

@@ -90,6 +90,19 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"no window expected:\n$p")
   }
 
+  test("txt_tfidf_top_terms: tf, dfreq, and the join all ride ONE term " +
+    "exchange; only the O(k)-state top-k rollup re-shuffles") {
+    val p = plan("txt_tfidf_top_terms")
+    // a ReusedExchange line repeats its target's "Exchange hashpartitioning"
+    // description — it is the win being asserted, not an exchange
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (term stream + doc " +
+      s"rollup), got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tf-dfreq join must not sort the tf relation:\n$p")
+  }
+
   test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
     // the GATE freezes (localCheckpoints) the matches before its
     // presentation sort, which truncates the visible plan to a Scan

@@ -265,7 +265,7 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  ignore("equidepth phases at sf0.1") {
+  test("equidepth phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val li = graft.Tables.lineitem(spark, dir)
     t("warm scan")(li.select("l_extendedprice").queryExecution.toRdd.count())
