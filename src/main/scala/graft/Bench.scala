@@ -58,7 +58,8 @@ object Bench {
       // where interpreted evaluation loses more than compile saves
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       // state-store maintenance (snapshot/cleanup of loaded providers)
       // defaults to every 60s — with six stream gates spread across the
       // suite it fires DURING later queries' timed sections, working on

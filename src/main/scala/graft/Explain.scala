@@ -25,6 +25,12 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      // mirror Bench's planner config (AQE off there — measured faster for
+      // the one-shot suite): without this, plans printed here show AQE's
+      // runtime broadcasts that the bench never gets, e.g. joins against
+      // stats-less localCheckpoint relations
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

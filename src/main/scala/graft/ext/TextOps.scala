@@ -301,20 +301,19 @@ object TextOps {
     *
     *   H = -Σ p_t log2 p_t  =  log2(n) - Σ c_t·log2(c_t) / n
     *
-    * The right-hand form needs only `sum(c)` and `sum(c·log2 c)`, so the
-    * whole thing is explode → one (doc,token) count aggregate → one per-doc
-    * aggregate: two keyed shuffles, partial aggregation on both, no window,
-    * no per-row O(tokens²) HOF. Output column `entropy`, rounded to 4 (the
-    * Σ is re-associated float addition, engine sum order differs).
+    * A document's entropy depends on that one document only, so the whole
+    * computation is a scan-side projection through the
+    * [[graft.functions.TokenEntropy]] kernel — zero shuffles, linear in
+    * corpus size, embarrassingly parallel at any scale. (The former
+    * formulation exploded the token stream and paid two keyed shuffles —
+    * (doc, token) counts, then a per-doc rollup — for a per-row value.)
+    * Output column `entropy`, rounded to 4 (the Σ is re-associated float
+    * addition, engine sum order differs).
     */
-  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    tf.groupBy("doc_id")
-      .agg(round(log2(sum(col("c"))) -
-        sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")), 4)
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      round(graft.functions.TokenEntropy.entropy(tokens(col(textCol))), 4)
         .as("entropy"))
-  }
 
   /** BM25 relevance ranking of a document corpus against a fixed term set —
     * the retrieval-quality scorer pipelines use to mine topical subsets.

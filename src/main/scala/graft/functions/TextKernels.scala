@@ -146,3 +146,60 @@ object CollapseWhitespace {
   def collapseWs(text: Column): Column =
     GraftBridge.column(CollapseWhitespace(GraftBridge.expression(text)))
 }
+
+/** Shannon entropy (bits) of a token multiset, computed per row:
+  *
+  *   H = log2(n) - Σ c_t·log2(c_t) / n
+  *
+  * over the counts c_t of each distinct token. A document's entropy is a
+  * function of that one document, so it belongs on the scan — the
+  * explode → (doc, token) count → per-doc rollup formulation this replaced
+  * paid two keyed shuffles of the full token stream for a value computable
+  * in one pass over each row's array. Callers round (the Σ is
+  * re-associated float addition either way).
+  *
+  * Null tokens (possible under a cast) count like any other distinct
+  * value; an empty array yields 0.0 (n = 0 ⇒ no information, and the
+  * tokenizer never produces one — `fast_tokens` emits [""] for empty
+  * text, matching the SQL `\s+` split).
+  */
+case class TokenEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${dt.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var nulls = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1
+      else counts.merge(arr.getUTF8String(i), 1, Integer.sum _)
+      i += 1
+    }
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toDouble; acc += c * (math.log(c) / ln2) }
+    if (nulls > 0) { val c = nulls.toDouble; acc += c * (math.log(c) / ln2) }
+    math.log(n.toDouble) / ln2 - acc / n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenEntropy {
+  /** Per-row Shannon entropy (bits) over a token array. */
+  def entropy(tokens: Column): Column =
+    GraftBridge.column(TokenEntropy(GraftBridge.expression(tokens)))
+}

@@ -758,9 +758,20 @@ object CoreQueries {
         val li = Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(sup, col("l_suppkey") === col("s_suppkey"))
-          .join(cust, col("c_custkey") === col("o_custkey")
+        // explicit broadcasts pin the left-deep dim-onto-fact shape: without
+        // them the static planner (bench runs AQE off) bushy-reorders this
+        // into customer ⋈ supplier on nationkey — a ~200×-per-nation row
+        // blowup — followed by a sort-merge of the fact against it.
+        // Scale note: at verification scale every non-lineitem side clears
+        // the broadcast threshold. On a warehouse-scale TPC-H the ord and
+        // cust hints come OFF (a year of orders / the customer dim no
+        // longer fit an executor) and the plan degrades to shuffle
+        // equi-joins keyed on the fact's own join keys — the safe shape;
+        // the blowup this guards against is a stats-blind reorder, not a
+        // property of the declarative query
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("c_custkey") === col("o_custkey")
             && col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
           .agg(count(lit(1)).as("n_rows"),

@@ -103,6 +103,13 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       s"tf-dfreq join must not sort the tf relation:\n$p")
   }
 
+  test("txt_word_entropy: per-row kernel on the scan — zero shuffles") {
+    val p = plan("txt_word_entropy")
+    assert(p.contains("token_entropy"), s"expected the TokenEntropy kernel:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"a document's entropy must not leave its row:\n$p")
+  }
+
   test("dedup_embedding_cosine: codegen'd native dot product in the plan") {
     // the GATE freezes (localCheckpoints) the matches before its
     // presentation sort, which truncates the visible plan to a Scan
@@ -288,6 +295,13 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       s"region/nation/supplier (and customer at this SF) should broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"every join is an equi-join:\n$p")
+    // the stats-blind static planner used to bushy-reorder this into
+    // customer ⋈ supplier on nationkey (a per-nation row blowup) and then
+    // sort-merge the fact against the blowup — the left-deep pin must hold
+    assert(!p.contains("SortMergeJoin"),
+      s"left-deep dims-onto-fact must not sort-merge at this SF:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"the fact should shuffle once (final aggregate), got:\n$p")
   }
 
   test("cohort_retention: two exchanges, no join, no distinct-aggregate Expand") {

@@ -70,4 +70,40 @@ class TextKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(df.select(FastTokens.fastTokens(col("s"))).first().isNullAt(0))
     assert(df.select(CollapseWhitespace.collapseWs(col("s"))).first().isNullAt(0))
   }
+
+  test("TokenEntropy ≡ the explode/two-aggregate form on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), FastTokens.fastTokens(col("text")).as("ts"))
+    val agg = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(log2(sum(col("c"))) -
+        sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")), 4)
+        .as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kern = toks.select(col("doc_id"),
+        round(TokenEntropy.entropy(col("ts")), 4).as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kern.keySet == agg.keySet)
+    kern.foreach { case (id, h) => assert(h == agg(id), s"doc $id") }
+  }
+
+  test("TokenEntropy hand-computed values and edges") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    def h(ts: Seq[String]): Double =
+      Seq(ts).toDF("ts").select(TokenEntropy.entropy(col("ts"))).first().getDouble(0)
+    assert(h(Seq("a", "b", "a", "b")) == 1.0)                  // two equiprobable
+    assert(h(Seq("x", "x", "x")) == 0.0)                       // single symbol
+    assert(math.abs(h(Seq("a", "a", "b", "c")) - 1.5) < 1e-12) // 1/2,1/4,1/4
+    assert(h(Seq.empty[String]) == 0.0)                        // no tokens
+    // null elements count as one distinct token value
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "a", null))).toDF("ts")
+    assert(withNull.select(TokenEntropy.entropy(col("ts"))).first().getDouble(0) == 1.0)
+    // null array propagates
+    assert(Seq(Tuple1(null: Seq[String])).toDF("ts")
+      .select(TokenEntropy.entropy(col("ts"))).first().isNullAt(0))
+  }
 }
