@@ -273,7 +273,15 @@ object Bench {
       // were being timed as bare scans while the DuckDB oracle pays for a
       // full fetchall. toRdd evaluates every output column of the plan as
       // declared — the same work Verify pays — without adding hash overhead.
-      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
+      // diagnostic: SPARK_GRAFT_PLAN_ONLY=true times analysis+optimization+
+      // physical planning only (no execution) — splits the suite's fixed
+      // Catalyst cost from real work. Never set by the driver.
+      val planOnly = sys.env.getOrElse("SPARK_GRAFT_PLAN_ONLY", "false") == "true"
+      val err = try {
+        if (planOnly) { fn(spark, sfDir).queryExecution.executedPlan; () }
+        else fn(spark, sfDir).queryExecution.toRdd.count(): Unit
+        None
+      } catch {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -292,6 +300,12 @@ object Bench {
       (name, elapsed, err)
     }
     val results = (1 to rounds).map(_ => runRound()).last
+    // diagnostic: dump cumulative Catalyst rule timings (analysis+optimizer)
+    // across the whole suite — pairs with SPARK_GRAFT_PLAN_ONLY to find
+    // planning hot spots. Never set by the driver.
+    if (sys.env.getOrElse("SPARK_GRAFT_RULE_DUMP", "false") == "true")
+      System.err.println(
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v, err) =>
       jsonStr(k) + ":" + (if (err.isEmpty) r3(v) else jsonStr("ERROR " + err.get.take(120)))
