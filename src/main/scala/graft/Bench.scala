@@ -125,7 +125,7 @@ object Bench {
           java.nio.file.Paths.get(graft.Scratch.root), "graft_warm_stream_").toString
         val wsDir = warmStreamDir
         spark.range(0, 100).selectExpr("id AS event_id",
-          "id * 1000000000 AS ts", "id % 7 AS user_id",
+          "timestamp_micros(id * 1000000) AS ts", "id % 7 AS user_id",
           "CAST(id % 3 AS STRING) AS event_type", "CAST(id AS DOUBLE) AS value",
           "'' AS props").write.mode("overwrite").parquet(wsDir)
         def st = graft.streaming.StreamOps.readEventStream(spark, wsDir)

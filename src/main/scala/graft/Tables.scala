@@ -18,17 +18,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is nanosecond-precision parquet (TIMESTAMP(NANOS)), which
-    * Spark's vectorized reader rejects. Read it as raw nanos
-    * (`nanosAsLong`) and convert with exact integer division — a double
-    * intermediate would lose precision above 2^53 (epoch-nanos ≈ 1.7e18).
-    * Micros = floor(nanos/1000), matching DuckDB's ns→us truncation, so
-    * oracle comparisons on formatted/epoch values agree.
+  /** `events.ts` normalization. The generated parquet has carried two
+    * physical types across testdata drops: TIMESTAMP(NANOS) (which Spark
+    * only reads as a raw long via `nanosAsLong`; converted here with exact
+    * integer division — a double intermediate would lose precision above
+    * 2^53, epoch-nanos ≈ 1.7e18) and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false) (which Spark reads natively as TIMESTAMP_NTZ). Both normalize
+    * to session-zone TimestampType — sessions here pin UTC, so the NTZ→LTZ
+    * cast is wall-clock-preserving and every downstream event-time operator
+    * (windows, watermarks, unix_* extractors) sees one stable type that
+    * formats identically to DuckDB's naive micros timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -29,11 +29,13 @@ object StreamOps {
     */
   def tmpRoot: String = graft.Scratch.root
 
-  /** Events schema as read from the nanosecond-timestamp parquet: `ts` read
-    * as raw nanos (see `graft.Tables.events`), converted to micros here.
+  /** Events schema of the LANDING drops: the landing is written from
+    * `graft.Tables.events` (which normalizes whatever physical timestamp
+    * the source parquet carries — see its doc), so `ts` here is always
+    * plain TimestampType micros.
     */
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -44,12 +46,10 @@ object StreamOps {
     */
   def readEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling (or sliding, when `slideSeconds` differs) windowed aggregate
@@ -117,8 +117,7 @@ object StreamOps {
     landings.getOrElseUpdate(s"$dir#$files", {
       val path = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_${(dir + files).hashCode.toHexString}"
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
+      graft.Tables.events(spark, dir) // ts normalized to TimestampType
         .repartition(files, org.apache.spark.sql.functions.col("event_id"))
         .write.mode("overwrite").parquet(path)
       path
@@ -146,13 +145,12 @@ object StreamOps {
       src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
         java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
       }
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
+      val events = graft.Tables.events(spark, dir) // ts as TimestampType
       import org.apache.spark.sql.functions._
-      // +100 days in nanos: far beyond any session end + watermark delay
+      // +100 days: far beyond any session end + watermark delay
       val sentinel = events.agg(max(col("ts")).as("mx"))
         .select(lit(-1L).as("event_id"),
-          (col("mx") + lit(8640000L * 1000000000L)).as("ts"),
+          (col("mx") + expr("INTERVAL 100 DAYS")).as("ts"),
           lit(SentinelUser).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
       sentinel.coalesce(1).write.mode("append").parquet(base)

@@ -14,11 +14,12 @@ import graft.{SparkSpec, Tables}
 class StreamOpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  // stage events.parquet alone in a directory (the landing-zone layout)
+  // stage the normalized events as a one-file drop (the landing-zone
+  // layout — landings are written from Tables.events, ts as TimestampType)
   private lazy val streamDir: String = {
     val dir = Files.createTempDirectory("graft-stream")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.events(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
