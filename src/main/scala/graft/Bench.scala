@@ -69,6 +69,22 @@ object Bench {
       // stream keeps the default.
       .config("spark.sql.streaming.stateStore.maintenanceInterval",
         sys.env.getOrElse("SPARK_GRAFT_SS_MAINT", "3600s"))
+      // Micro-batch fixed-cost floor (A/B via env): no-data batches exist to
+      // advance watermarks with idle sources — every finite replay here ends
+      // with processAllAvailable, so they are a pure extra trigger per gate
+      // (measured on the 6 stream gates: 24.7 → 17.8 s together with
+      // minBatchesToRetain). The one gate whose Append-mode emission NEEDS
+      // the trailing no-data batch (stream_session_windows) pins the conf
+      // back on around its own run; hash-equality of all six gates under
+      // these settings is pinned by tools/selfcheck.py on a Verify dump run
+      // with the same envs. minBatchesToRetain=2 (default 100) keeps two
+      // triggers of offset/commit/state history — a replay that is deleted
+      // right after the run has no restart to serve; production keeps the
+      // default for its restart window.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_NO_DATA_MB", "false"))
+      .config("spark.sql.streaming.minBatchesToRetain",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_RETAIN", "2"))
       // Cross-query codegen reuse knobs (A/B via env): the suite compiles
       // ~138 distinct plans against a 100-entry janino cache (static conf),
       // and stage IDs baked into generated class names make otherwise

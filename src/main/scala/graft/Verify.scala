@@ -20,6 +20,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine defaults unless overridden — lets the Bench session's
+      // streaming fixed-cost settings be correctness-checked through the
+      // same oracle compare (the driver sets no env)
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_NO_DATA_MB", "true"))
+      .config("spark.sql.streaming.minBatchesToRetain",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_RETAIN", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -887,11 +887,20 @@ object ExtQueries {
         import graft.streaming.StreamOps
         val landing = StreamOps.eventsLandingWithSentinel(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = spark.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
         val out = try {
           // 4 (round-7 re-measurement under honest toRdd materialization:
           // 8 → 2.3 s, 4 → 2.0 s, 2 → 2.0 s, 1 → 2.4 s — the earlier "8 is
           // 15% faster" read didn't survive; task overhead wins at 8+)
           spark.conf.set("spark.sql.shuffle.partitions", "4")
+          // This gate's Append-mode emission NEEDS one trailing no-data
+          // micro-batch: the sentinel's trigger only UPDATES the watermark;
+          // closed sessions flush in the batch AFTER it, which carries no
+          // data. Pin the conf on here so a session tuned for the other
+          // finite replays (which disable no-data batches — they only pay
+          // for them) cannot truncate this gate's output.
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
           // 2 files per trigger: both base drops in trigger 1, the sentinel
           // (newest mtime) ALONE in trigger 2 — the flush still happens in a
           // strictly later micro-batch, one fewer trigger to pay for
@@ -899,7 +908,11 @@ object ExtQueries {
           StreamOps.runToMemory(StreamOps.sessionCounts(stream, gapSeconds = 1800),
             "stream_session_sink", OutputMode.Append())
           spark.table("stream_session_sink")
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         out
           .filter(col("user_id") =!= StreamOps.SentinelUser)
           .select(col("user_id"), col("n_events"),
