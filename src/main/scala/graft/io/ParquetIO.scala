@@ -90,13 +90,18 @@ object ParquetIO {
     * clustered output compose `ZOrder.layout` BEFORE the write instead.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-              targetBytes: Long = 256L * 1024 * 1024): Unit = {
+              targetBytes: Long = 256L * 1024 * 1024,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     require(targetBytes > 0)
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath).coalesce(nFiles)
+    // callers that know the table's schema pass it and skip footer
+    // inference — at object-store scale that is a listing + ranged GET
+    // per compaction run; None keeps the generic infer-from-footers path
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(inPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(outPath)
   }
 

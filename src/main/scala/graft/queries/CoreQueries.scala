@@ -1237,9 +1237,11 @@ object CoreQueries {
         Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice")
           .repartition(64) // the small-files mess a per-trigger append leaves
           .write.mode("overwrite").parquet(s"$base/small")
+        val k4Schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderstatus STRING, o_totalprice DOUBLE")
         graft.io.ParquetIO.compact(spark, s"$base/small", s"$base/compacted",
-          targetBytes = 8L * 1024 * 1024)
-        spark.read.parquet(s"$base/compacted")
+          targetBytes = 8L * 1024 * 1024, schema = Some(k4Schema))
+        spark.read.schema(k4Schema).parquet(s"$base/compacted")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("price_avg"))
       }),

@@ -962,7 +962,7 @@ object ExtQueries {
             .parquet(landing)
           StreamOps.applyChangesStream(changes, snap, s"$base/ckpt", "o_orderkey", "op")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.read.parquet(snap)
+        spark.read.schema("o_orderkey BIGINT, price DOUBLE").parquet(snap)
           .select(col("o_orderkey"), round(col("price"), 2).as("price"))
       }),
 

@@ -332,8 +332,11 @@ object StreamOps {
         if (!fs.exists(dst) && fs.exists(aside))
           require(fs.rename(aside, dst),
             s"snapshot recovery failed: cannot restore $aside to $dst")
+        // snapshot columns = change columns minus the op marker; declaring
+        // the schema skips per-trigger footer inference on the re-read
+        val snapSchema = StructType(batch.schema.filterNot(_.name == opCol))
         val merged = graft.ops.Merge.applyChanges(
-          ss.read.parquet(snapshotPath), batch, keyCol, opCol)
+          ss.read.schema(snapSchema).parquet(snapshotPath), batch, keyCol, opCol)
         merged.coalesce(outFiles).write.mode("overwrite").parquet(tmp.toString)
         fs.delete(aside, true) // leftover from a completed earlier swap
         require(fs.rename(dst, aside),
@@ -364,7 +367,7 @@ object StreamOps {
       import org.apache.spark.sql.functions._
       val path = s"$tmpRoot/graft_stream_" +
         s"${ProcessHandle.current().pid()}_cdc_${dir.hashCode.toHexString}"
-      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val o = graft.Tables.orders(spark, dir)
       val u = o.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("price"),
           lit("U").as("op"))
