@@ -62,4 +62,27 @@ object SchemaOps {
     */
   def normalizeToStringSchema(df: DataFrame, expected: Seq[String]): DataFrame =
     normalizeColumns(df, expected.map(_ -> StringType))
+
+  /** Physical-type drift guard: cast ONLY the columns whose actual type
+    * differs from the expected logical type, leaving conforming columns
+    * (and any extra columns) untouched. The common case — nothing drifted —
+    * returns `df` itself, so scans keep exact predicate pushdown and
+    * column pruning; a cast is introduced only where the source really
+    * changed under us (upstream regeneration flipping a timestamp's
+    * physical unit, an id narrowing int64→int32, a float→double promotion).
+    * Unlike [[normalizeColumns]] this never renames, reorders, or invents
+    * columns: a MISSING expected column is left missing so downstream
+    * resolution fails loudly instead of silently computing on NULLs.
+    *
+    * Timestamp drift caveat: casts are wall-clock-preserving only under a
+    * pinned session timezone (sessions here run UTC); a raw integer column
+    * standing in for a timestamp needs a unit-aware conversion, not a cast
+    * — callers own that case (see `graft.Tables.events`).
+    */
+  def conformTypes(df: DataFrame, expected: Seq[(String, DataType)]): DataFrame = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val drifted = expected.filter { case (n, dt) => actual.get(n).exists(_ != dt) }
+    if (drifted.isEmpty) df
+    else df.withColumns(drifted.map { case (n, dt) => n -> col(n).cast(dt) }.toMap)
+  }
 }

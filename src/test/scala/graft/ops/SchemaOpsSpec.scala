@@ -59,4 +59,40 @@ class SchemaOpsSpec extends AnyFunSuite with SparkSpec {
     val out = SchemaOps.normalizeToStringSchema(clean, Seq("title", "link"))
     assert(out.collect().map(_.toSeq).toSeq === Seq(Seq("x", "y")))
   }
+
+  test("conformTypes is the identity when nothing drifted") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val out = SchemaOps.conformTypes(df,
+      Seq("id" -> LongType, "name" -> StringType))
+    assert(out eq df, "no-drift pass must not rebuild the plan")
+  }
+
+  test("conformTypes casts only the drifted columns, preserves values") {
+    val df = Seq((7, "a", 1.5f)).toDF("id", "name", "score")
+    val out = SchemaOps.conformTypes(df,
+      Seq("id" -> LongType, "name" -> StringType, "score" -> DoubleType))
+    assert(out.schema("id").dataType === LongType)
+    assert(out.schema("name").dataType === StringType)
+    assert(out.schema("score").dataType === DoubleType)
+    val r = out.head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getDouble(2) === 1.5)
+  }
+
+  test("conformTypes NTZ->LTZ timestamp drift is wall-clock-preserving under UTC") {
+    val df = spark.sql(
+      "SELECT TIMESTAMP_NTZ '2024-05-01 12:34:56.789' AS ts")
+    val out = SchemaOps.conformTypes(df, Seq("ts" -> TimestampType))
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.selectExpr("CAST(ts AS STRING)").head().getString(0)
+      === "2024-05-01 12:34:56.789")
+  }
+
+  test("conformTypes leaves missing expected columns missing (loud downstream)") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val out = SchemaOps.conformTypes(df,
+      Seq("id" -> LongType, "gone" -> StringType))
+    assert(out.columns.toSeq === Seq("id", "name"),
+      "no invented NULL column — resolution must fail loudly downstream")
+  }
 }
