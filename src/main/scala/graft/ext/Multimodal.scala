@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   *     sampling (no JDK video codec exists) and for fixtures where the
   *     oracle must reproduce the values without a decoder.
   *
-  * Audio/video stay stubbed — the container has no such codec and the JDK
-  * ships none; swapping in javacv/ffmpeg changes only a `MediaCodec`
-  * implementation, never a signature, schema, or plan shape.
+  *   - [[Multimodal.WavCodec]] — a REAL audio codec on
+  *     `javax.sound.sampled` (JDK built-in, headless-safe): parses
+  *     RIFF/WAVE containers to true sample rate / channels / frame count
+  *     and decodes 16-bit PCM to samples for feature extraction (RMS,
+  *     zero-crossing rate, peak).
+  *
+  * Video stays stubbed — the JDK ships no video codec; swapping in
+  * javacv/ffmpeg changes only a codec implementation, never a signature,
+  * schema, or plan shape.
   */
 object Multimodal {
 
@@ -282,5 +288,152 @@ object Multimodal {
     decodeMeta(spark, media, codec)
       .select(col("mediaId"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frameIdx"))
+  }
+
+  // ----- audio (REAL RIFF/WAVE via javax.sound.sampled) ---------------------
+
+  /** Typed metadata for a decoded audio blob. `nSamples` is the per-channel
+    * frame count; `durationMs` is floor(nSamples * 1000 / sampleRate).
+    */
+  case class AudioMeta(mediaId: Long, nBytes: Long, format: String,
+                       sampleRate: Int, channels: Int, nSamples: Long,
+                       durationMs: Long)
+
+  /** Scalar features over the decoded PCM: root-mean-square amplitude,
+    * sign-change count, and peak absolute sample value.
+    */
+  case class AudioFeatures(mediaId: Long, rms: Double, zeroCrossings: Long,
+                           peak: Int)
+
+  /** Pluggable audio codec; serializable for mapPartitions closures. */
+  trait AudioCodec extends Serializable {
+    def decodeMeta(id: Long, bytes: Array[Byte]): AudioMeta
+    /** Mono 16-bit samples, or None when the payload is not decodable
+      * 16-bit PCM (corrupt container, compressed encoding, multi-channel).
+      */
+    def decodePcm(id: Long, bytes: Array[Byte]): Option[Array[Short]]
+  }
+
+  /** REAL audio codec on `javax.sound.sampled` (JDK built-in; container
+    * parsing needs no audio device, so it is headless/executor-safe).
+    * Corrupt or unsupported payloads yield `format = "undecodable"` /
+    * `None` rather than an exception — same crash-safety contract as
+    * [[ImageIoCodec]].
+    */
+  object WavCodec extends AudioCodec {
+    import javax.sound.sampled.AudioSystem
+
+    def decodeMeta(id: Long, bytes: Array[Byte]): AudioMeta =
+      try {
+        val aff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        AudioMeta(id, bytes.length.toLong,
+          aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
+          f.getSampleRate.toInt, f.getChannels, frames,
+          frames * 1000L / f.getSampleRate.toInt)
+      } catch { case scala.util.control.NonFatal(_) =>
+        AudioMeta(id, bytes.length.toLong, "undecodable", 0, 0, 0L, 0L)
+      }
+
+    def decodePcm(id: Long, bytes: Array[Byte]): Option[Array[Short]] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val pcm16 = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1
+          if (!pcm16) None
+          else {
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1).toInt
+              out(i) = (if (f.isBigEndian) (lo << 8) | (hi & 0xff)
+                        else (hi << 8) | lo).toShort
+              i += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic REAL-audio media table: each id becomes an actual
+    * RIFF/WAVE payload (encoded with `javax.sound.sampled` inside the
+    * partition) holding a 16-bit mono PCM sawtooth with
+    * `k = id%8+1` exact periods of 256 samples at
+    * `sampleRate = 8000*(id%3+1)` — sample(i) = ((i mod 256) - 128) * 64.
+    * Whole periods make every feature a closed form an oracle can state
+    * WITHOUT a decoder (RMS = 64*sqrt(5461.5), zero crossings = 2k-1,
+    * peak = 8192), so a hash match proves the true encode→decode
+    * round-trip, exactly like [[syntheticImageTable]] does for PNG.
+    */
+  def syntheticWavTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sampleRate = 8000 * ((id % 3).toInt + 1)
+        val n = 256 * ((id % 8).toInt + 1)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((i % 256) - 128) * 64
+          pcm(2 * i) = (s & 0xff).toByte        // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaBlob(id, bos.toByteArray)
+      }
+    }.toDF("mediaId", "payload")
+  }
+
+  /** Decode audio metadata per blob — partition-batched like [[decodeMeta]]. */
+  def decodeAudioMeta(spark: SparkSession, media: DataFrame,
+                      codec: AudioCodec = WavCodec): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.map(b => codec.decodeMeta(b.mediaId, b.payload))
+    }
+  }
+
+  /** RMS / zero-crossing / peak features over the decoded PCM. Undecodable
+    * payloads surface as (NaN-free) zero rows with `peak = -1` so they are
+    * filterable without poisoning float aggregates downstream.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+                    codec: AudioCodec = WavCodec): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.map { b =>
+        codec.decodePcm(b.mediaId, b.payload) match {
+          case Some(s) if s.nonEmpty =>
+            var sumSq = 0.0; var zc = 0L; var peak = 0; var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              sumSq += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0)))
+                zc += 1
+              i += 1
+            }
+            AudioFeatures(b.mediaId, math.sqrt(sumSq / s.length), zc, peak)
+          case _ => AudioFeatures(b.mediaId, 0.0, 0L, -1)
+        }
+      }
+    }
   }
 }

@@ -1083,6 +1083,49 @@ object ExtQueries {
           .select(col("mediaId").as("media_id"), col("width"), col("height"))
       }),
 
+    // ----- multimodal REAL audio codec (javax.sound.sampled) ----------------
+    // Payloads are ACTUAL RIFF/WAVE containers encoded in-partition; sample
+    // rate and frame count are pure arithmetic in the id, so the oracle
+    // predicts the decoded header WITHOUT a decoder — a hash match proves
+    // the true WAV encode→parse round-trip (format name, rate, channels,
+    // frame count, floor-division duration).
+    GQ("mm_audio_meta_real",
+      Some("""SELECT doc_id AS media_id, 'wave' AS format,
+             |  CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+             |  1 AS channels,
+             |  CAST(256 * (doc_id % 8 + 1) AS BIGINT) AS n_samples,
+             |  CAST(256 * (doc_id % 8 + 1) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT)
+             |    AS duration_ms
+             |FROM documents WHERE doc_id < 1000""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticWavTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
+        Multimodal.decodeAudioMeta(spark, media)
+          .select(col("mediaId").as("media_id"), col("format"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nSamples").as("n_samples"), col("durationMs").as("duration_ms"))
+      }),
+
+    // Features over the DECODED PCM: the sawtooth holds k = id%8+1 whole
+    // 256-sample periods, so RMS (64*sqrt(5461.5), from Σv² over
+    // -128..127 = 1,398,144), zero crossings (2k-1: one mid-period rise
+    // per period + k-1 wrap-around falls), and peak (|-128·64| = 8192) are
+    // closed forms — decoded-sample arithmetic must land exactly on them.
+    GQ("mm_audio_features_real",
+      Some("""SELECT doc_id AS media_id,
+             |  round(64 * sqrt(5461.5), 4) AS rms,
+             |  CAST(2 * (doc_id % 8 + 1) - 1 AS BIGINT) AS zero_crossings,
+             |  8192 AS peak
+             |FROM documents WHERE doc_id < 1000""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticWavTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
+        Multimodal.audioFeatures(spark, media)
+          .select(col("mediaId").as("media_id"),
+            round(col("rms"), 4).as("rms"),
+            col("zeroCrossings").as("zero_crossings"), col("peak"))
+      }),
+
     // ----- skew: salted two-phase aggregate ----------------------------------
     // Oracle is the PLAIN group-by — the point is that the salted rewrite is
     // row-identical while bounding per-task hot-key volume.

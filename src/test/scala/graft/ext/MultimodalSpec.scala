@@ -113,4 +113,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f(3L).toSeq !== f(40L).toSeq, "different images, different features")
     assert(math.abs(f(3L).sum - 1.0f) < 1e-3, "L1 normalized")
   }
+
+  test("WavCodec decodes a REAL RIFF/WAVE: header fields match the generator") {
+    // id 5: rate 8000*(5%3+1)=24000, k=(5%8)+1=6 periods -> 1536 samples
+    val media = Multimodal.syntheticWavTable(spark, Seq(5L).toDF("id"), "id")
+    val m = Multimodal.decodeAudioMeta(spark, media).head()
+    assert(m.format === "wave")
+    assert(m.sampleRate === 24000 && m.channels === 1)
+    assert(m.nSamples === 1536L)
+    assert(m.durationMs === 1536L * 1000 / 24000)
+  }
+
+  test("WavCodec PCM round-trip: decoded samples equal the sawtooth formula") {
+    val media = Multimodal.syntheticWavTable(spark, Seq(2L).toDF("id"), "id")
+    val payload = media.select("payload").head().getAs[Array[Byte]](0)
+    val pcm = Multimodal.WavCodec.decodePcm(2L, payload).get
+    assert(pcm.length === 256 * ((2 % 8) + 1))
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      assert(s === (((i % 256) - 128) * 64).toShort, s"sample $i")
+    }
+  }
+
+  test("audioFeatures: RMS/zero-crossings/peak hit the whole-period closed forms") {
+    val media = Multimodal.syntheticWavTable(spark, Seq(0L, 7L).toDF("id"), "id")
+    val f = Multimodal.audioFeatures(spark, media)
+      .collect().map(x => x.mediaId -> x).toMap
+    Seq(0L, 7L).foreach { id =>
+      val k = (id % 8) + 1
+      assert(f(id).zeroCrossings === 2 * k - 1, s"id $id")
+      assert(f(id).peak === 8192)
+      assert(math.abs(f(id).rms - 64 * math.sqrt(5461.5)) < 1e-9)
+    }
+  }
+
+  test("WavCodec: corrupt bytes are 'undecodable'/None, never an exception") {
+    val junk = Seq((1L, "this is not audio".getBytes("UTF-8")))
+      .toDF("mediaId", "payload")
+    val m = Multimodal.decodeAudioMeta(spark, junk).head()
+    assert(m.format === "undecodable" && m.sampleRate === 0 && m.nSamples === 0L)
+    assert(Multimodal.WavCodec.decodePcm(1L, "junk".getBytes("UTF-8")).isEmpty)
+    val feats = Multimodal.audioFeatures(spark, junk).head()
+    assert(feats.peak === -1, "undecodable rows are filterable, not poisonous")
+  }
 }
