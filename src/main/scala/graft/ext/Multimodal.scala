@@ -290,6 +290,50 @@ object Multimodal {
         explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frameIdx"))
   }
 
+  /** Deterministic REAL multi-frame media table: each id becomes an actual
+    * ANIMATED GIF (written frame-by-frame with `javax.imageio`'s sequence
+    * writer inside the partition) with `id % 24 + 1` frames of 16×16
+    * id-seeded solid color — the frame count is pure arithmetic in the id,
+    * so a frame-sampling oracle can predict the sampled indices WITHOUT a
+    * decoder while the engine really parses the multi-frame container
+    * ([[ImageIoCodec.decodeMeta]]'s `getNumImages(allowSearch = true)`
+    * walks the actual GIF frame blocks). This is the honest JDK-only stand-
+    * in for video frame sampling: a true video codec (H.264 …) is the one
+    * thing the JDK does not ship.
+    */
+  def syntheticGifTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = (id % 24).toInt + 1
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val c = ((id * 37 + f * 11) % 256).toInt
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color(c, c, c))
+              g.fillRect(0, 0, 16, 16)
+            } finally g.dispose()
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        MediaBlob(id, bos.toByteArray)
+      }
+    }.toDF("mediaId", "payload")
+  }
+
   // ----- audio (REAL RIFF/WAVE via javax.sound.sampled) ---------------------
 
   /** Typed metadata for a decoded audio blob. `nSamples` is the per-channel

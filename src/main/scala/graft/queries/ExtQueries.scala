@@ -1083,6 +1083,26 @@ object ExtQueries {
           .select(col("mediaId").as("media_id"), col("width"), col("height"))
       }),
 
+    // ----- multimodal REAL multi-frame container (animated GIF) -------------
+    // Payloads are ACTUAL animated GIFs written frame-by-frame in-partition;
+    // the frame count is id arithmetic, so the oracle predicts the sampled
+    // stride indices without a decoder while the engine truly walks the
+    // GIF's frame blocks (getNumImages(true)) — the real-container twin of
+    // the FakeCodec-based mm_frame_sample.
+    GQ("mm_frame_sample_real",
+      Some("""WITH m AS (SELECT doc_id, doc_id % 24 + 1 AS nf
+             |           FROM documents WHERE doc_id < 500)
+             |SELECT doc_id AS media_id,
+             |       CAST(unnest(generate_series(0, nf - 1, 6)) AS INTEGER) AS frame_idx
+             |FROM m""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticGifTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 500), "doc_id")
+        Multimodal.sampleFrames(spark, media, stride = 6,
+            codec = Multimodal.ImageIoCodec)
+          .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"))
+      }),
+
     // ----- multimodal REAL audio codec (javax.sound.sampled) ----------------
     // Payloads are ACTUAL RIFF/WAVE containers encoded in-partition; sample
     // rate and frame count are pure arithmetic in the id, so the oracle

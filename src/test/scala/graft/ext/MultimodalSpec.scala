@@ -114,6 +114,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(f(3L).sum - 1.0f) < 1e-3, "L1 normalized")
   }
 
+  test("syntheticGifTable writes REAL animated GIFs: decoded frame count " +
+    "matches the generator and sampleFrames strides within it") {
+    // ids 0 (1 frame), 13 (14 frames), 23 (24 frames)
+    val media = Multimodal.syntheticGifTable(spark, Seq(0L, 13L, 23L).toDF("id"), "id")
+    val metas = Multimodal.decodeMeta(spark, media, Multimodal.ImageIoCodec)
+      .collect().map(m => m.mediaId -> m).toMap
+    Seq(0L, 13L, 23L).foreach { id =>
+      assert(metas(id).format === "gif")
+      assert(metas(id).nFrames === (id % 24).toInt + 1, s"id $id")
+      assert(metas(id).width === 16 && metas(id).height === 16)
+    }
+    val sampled = Multimodal.sampleFrames(spark, media, stride = 6,
+        codec = Multimodal.ImageIoCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sampled(0L) === Seq(0))
+    assert(sampled(13L) === Seq(0, 6, 12))
+    assert(sampled(23L) === Seq(0, 6, 12, 18))
+  }
+
   test("WavCodec decodes a REAL RIFF/WAVE: header fields match the generator") {
     // id 5: rate 8000*(5%3+1)=24000, k=(5%8)+1=6 periods -> 1536 samples
     val media = Multimodal.syntheticWavTable(spark, Seq(5L).toDF("id"), "id")
