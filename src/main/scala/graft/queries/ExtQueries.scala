@@ -990,6 +990,35 @@ object ExtQueries {
         out.select(col("event_type"), col("n"), round(col("value_sum"), 4).as("value_sum"))
       }),
 
+    // BOUNDED-STATE streaming dedup under the gate: the production form —
+    // dropDuplicatesWithinWatermark evicts a key once the watermark passes
+    // its event time + delay, so state is O(redelivery window), not
+    // O(stream lifetime). The replay's duplicates are byte-identical copies
+    // (same event times, delivered one trigger later), so a delay covering
+    // the table's span absorbs them all and the final counts must equal the
+    // plain batch GROUP BY — same oracle as the unbounded-state gate, with
+    // eviction mechanics live in the plan.
+    GQ("stream_dedup_wm_counts",
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY event_type""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLandingWithDuplicates(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
+          StreamOps.runToMemory(
+            StreamOps.dedupByKeyWithinWatermark(stream, "ts", "35 days", "event_id")
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum")),
+            "stream_dedup_wm_sink", OutputMode.Complete())
+          spark.table("stream_dedup_wm_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out.select(col("event_type"), col("n"), round(col("value_sum"), 4).as("value_sum"))
+      }),
+
     // mapGroupsWithState under the gate: per-user running totals emitted
     // every micro-batch in Update mode; a user's n_events strictly increases
     // across its emissions, so the final state is the per-user row with the

@@ -248,6 +248,19 @@ object StreamOps {
   def dedupByKey(events: DataFrame, keyCols: String*): DataFrame =
     events.dropDuplicates(keyCols)
 
+  /** The 24×7 production form of [[dedupByKey]]: state is BOUNDED — a key
+    * is only remembered until the watermark on `tsCol` passes its event
+    * time plus `watermark`, then evicted. The guarantee weakens accordingly
+    * (duplicates arriving further apart than the watermark delay are NOT
+    * absorbed), which is the honest contract of at-least-once ingest with
+    * finite state: size the delay to the source's maximum redelivery
+    * window, not to the stream's lifetime.
+    */
+  def dedupByKeyWithinWatermark(events: DataFrame, tsCol: String,
+                                watermark: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run any of the above to a named in-memory sink and block until the
     * source is drained — the hermetic local harness (and the pattern for
     * tests); production would swap `format("parquet").option("path", ...)`.

@@ -184,6 +184,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       Map(2L -> 20.0, 3L -> 30.0), "idle restart must not re-merge committed changes")
   }
 
+  test("dedupByKeyWithinWatermark absorbs replayed duplicates; bounded state") {
+    // duplicate landing: originals then byte-identical copies one trigger
+    // later — a delay covering the table's span must absorb every copy
+    val landing = StreamOps.eventsLandingWithDuplicates(spark, sfDir)
+    val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
+    StreamOps.runToMemory(
+      StreamOps.dedupByKeyWithinWatermark(stream, "ts", "35 days", "event_id")
+        .groupBy("user_id").count(),
+      "wm_dedup", OutputMode.Complete())
+    val got = spark.table("wm_dedup").as[(Long, Long)].collect().toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(got === want, "every replayed duplicate inside the delay absorbed")
+  }
+
+  test("RocksDB state store provider: streaming agg ≡ batch under the " +
+    "production state backend") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = StreamOps.readEventStream(spark, streamDir)
+      StreamOps.runToMemory(
+        StreamOps.windowedCounts(stream, 3600, 3600), "rocks_tumb",
+        OutputMode.Complete())
+      val got = spark.table("rocks_tumb")
+        .select("window_start_s", "event_type", "n")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Tables.events(spark, sfDir)
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "3600 seconds"),
+          $"event_type")
+        .count()
+        .select(org.apache.spark.sql.functions.unix_timestamp($"window.start"),
+          $"event_type", $"count")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want, "RocksDB-backed state must be result-identical")
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningUserStats accumulates per-key state across a batch") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     StreamOps.runToMemory(
