@@ -85,14 +85,19 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_NO_DATA_MB", "false"))
       .config("spark.sql.streaming.minBatchesToRetain",
         sys.env.getOrElse("SPARK_GRAFT_MIN_RETAIN", "2"))
-      // Cross-query codegen reuse knobs (A/B via env): the suite compiles
-      // ~138 distinct plans against a 100-entry janino cache (static conf),
-      // and stage IDs baked into generated class names make otherwise
-      // identical stages cache-miss across queries.
+      // Cross-query codegen reuse: the suite compiles ~142 distinct plans,
+      // and with stage IDs baked into generated class names (engine default,
+      // a debuggability aid) otherwise byte-identical stages cache-miss
+      // across queries — the janino cache is keyed on the source string.
+      // Stable names + a cache sized for the whole suite turn repeated
+      // scan/agg/exchange stages into cache hits (interleaved same-weather
+      // A/B, 4 runs each way: every cgfalse run beat its default neighbor,
+      // median delta ~5 s / ~6%). Semantics unaffected; Verify keeps engine
+      // defaults.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.codegen.useIdInClassName",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
       // Optimizer constraint propagation is O(plan-width^2) per node on the
       // wide text/pair plans; correctness never depends on it.
       .config("spark.sql.constraintPropagation.enabled",
@@ -329,7 +334,15 @@ object Bench {
     val nErrors = results.count(_._3.nonEmpty)
     val total = if (nErrors > 0) -1.0 else results.map(_._2).sum
     // Full per-query line first (for humans reading the log)…
-    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"value":${r3(total)}}""")
+    // Janino-compile telemetry: compile count and cumulative ms over the
+    // whole JVM (warm-up included) — the deterministic counterpart to the
+    // weather-swung wall clock for judging codegen-reuse changes.
+    val cgSrc = org.apache.spark.metrics.source.CodegenMetrics
+    val cgN = cgSrc.METRIC_COMPILATION_TIME.getCount
+    // histogram values are milliseconds (CodeGenerator.doCompile); the
+    // reservoir mean x count is an estimate of total compile ms
+    val cgMs = (cgSrc.METRIC_COMPILATION_TIME.getSnapshot.getMean * cgN).toLong
+    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"codegen_compiles":$cgN,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
     // …then a COMPACT summary as the LAST line: the driver keeps only the
     // final ~2000 chars of stdout, and the full line (~4 KB at 100 queries)
     // has been truncated mid-object — and therefore unparseable — every
