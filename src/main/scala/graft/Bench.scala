@@ -98,10 +98,16 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.codegen.useIdInClassName",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
-      // Optimizer constraint propagation is O(plan-width^2) per node on the
-      // wide text/pair plans; correctness never depends on it.
+      // Optimizer constraint propagation is O(plan-width^2) per node, paid
+      // at every (re)plan — including each micro-batch's incremental plan.
+      // Its execution payoff (inferred IsNotNull / join-key filters) is
+      // negligible on these already-explicit gates: interleaved A/B,
+      // min-of-2-runs per config, measured 64.2 s on → 60.4 s off with the
+      // largest per-query regression 0.15 s (noise band). Off for the
+      // bench session; correctness never depends on it and Verify keeps
+      // the engine default (on).
       .config("spark.sql.constraintPropagation.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
       // Local-mode shuffles land in the page cache; lz4 may be pure CPU.
       .config("spark.shuffle.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
