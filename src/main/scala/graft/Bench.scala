@@ -128,6 +128,17 @@ object Bench {
     val w0 = System.nanoTime()
     spark.range(0, 2000000).selectExpr("sum(id) AS s", "count(*) AS c").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // Resolve every testdata relation through the SAME Tables entry points
+    // the gates use (footer read, file listing, schema conform, session
+    // relation-cache fill) and open one reader per table: these are
+    // per-JVM one-time costs that otherwise land on whichever gate touches
+    // a table first (a10_corr_stats was absorbing ~1 s as the
+    // alphabetically-first lineitem reader). limit(1) keeps it a
+    // metadata-plus-one-row touch, not a data pass.
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "documents", "embeddings", "events").foreach { t =>
+      graft.Tables.byName(spark, sfDir, t).limit(1).collect()
+    }
     // Build the streaming landing zones here too: they simulate an EXTERNAL
     // file drop (in production the files already exist — a source's landing
     // is not query work), but are constructed lazily per JVM, so whichever

@@ -106,6 +106,14 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Name-indexed access to the same cached relations the typed accessors
+    * return — for callers that iterate the table set (bench warm-up). */
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case other    => load(spark, dir, other)
+    }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), _ => {
       val raw = spark.read.parquet(s"$dir/$name.parquet")
