@@ -599,4 +599,52 @@ object Dedup {
       exact.unionByName(near)
     }
   }
+
+  /** Cross-corpus EXACT-SUBSTRING duplicate spans (the ExactSubstr pattern
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a token position opens a duplicated k-gram iff that k-gram
+    * occurs >= 2 times ANYWHERE in the corpus (a second doc or a repeat in
+    * the same doc — both are duplicated training text), and maximal runs of
+    * consecutive duplicated positions coalesce into one span, closed at the
+    * last run position + k. Output: (id, span_start, span_end, n_grams)
+    * with token-index bounds, span_end exclusive.
+    *
+    * The reference implementation builds a corpus-wide suffix array — a
+    * global sorted structure no executor can hold. The Spark shape instead
+    * rides TWO exchanges: the positional k-gram stream is shuffled once on
+    * the gram (`repartition`), the occurrence counts are a partial-combined
+    * aggregate OF that exchange (count(*) >= 2, no count-distinct state),
+    * and the gram-granularity filter hash-joins back onto the stream
+    * without moving it ([[graft.ext.Pack.bigramLmScores]] discipline — a
+    * sort-merge would sort the full stream). The island rollup is the
+    * second exchange, on the doc id, and every stage partial-aggregates
+    * map-side. No suffix array, no all-pairs, no driver-side state — at
+    * 100 TB the gram stream is ~tokens-per-corpus rows of (hashable,
+    * bounded) k-gram keys, exactly the shuffle a 1000-executor cluster
+    * absorbs; skewed grams (boilerplate headers) partial-combine before
+    * the wire.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 2, "span gram width must be >= 2")
+    val stream = df
+      .select(col(idCol).as("id"), graft.ext.TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("id"), posexplode(
+        graft.functions.ShingleStrings.shingleStrings(col("ts"), k))
+        .as(Seq("pos", "gram")))
+      .repartition(col("gram"))
+    val dup = stream.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val dupPos = stream.join(dup.hint("shuffle_hash"), Seq("gram"))
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    // gaps-and-islands: consecutive duplicated positions share pos - rn
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupPos.withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
 }

@@ -609,6 +609,32 @@ object ExtQueries {
           .select("doc_id")
       }),
 
+    // Cross-corpus exact-substring duplicate spans (ExactSubstr, Lee et al.):
+    // a position is duplicated iff its 8-token gram occurs >= 2 times in the
+    // whole corpus (cross-doc or within-doc); consecutive duplicated
+    // positions coalesce to maximal spans, end exclusive at last pos + 8.
+    // Token-index bounds and gram STRINGS (not hashes) keep the formula
+    // renderable in both dialects verbatim.
+    GQ("dedup_substring_spans",
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+             |             FROM documents),
+             |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |             array_to_string(ts[i:i+7], ' ') AS gram
+             |      FROM tok, LATERAL unnest(generate_series(1, len(ts) - 7)) AS t(i)),
+             |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+             |isl AS (SELECT doc_id, pos,
+             |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |        FROM p)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+             |       count(*) AS n_grams
+             |FROM isl GROUP BY doc_id, grp
+             |""".stripMargin),
+      (spark, dir) =>
+        Dedup.exactSubstringSpans(Tables.documents(spark, dir), "doc_id", "text",
+          k = 8)
+          ),
+
     // ----- similarity search -------------------------------------------------
     GQ("ann_topk_bruteforce",
       Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
