@@ -51,6 +51,12 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
 
   test("round-2 operators survive empty inputs") {
     assert(Dedup.dropNearDups(emptyDocs, "doc_id", "text", 3, 0.4).count() === 0)
+    assert(Dedup.exactSubstringSpans(emptyDocs, "doc_id", "text", 4).count() === 0)
+    // docs shorter than k produce no grams, hence no spans — even when the
+    // short docs are identical to each other
+    assert(Dedup.exactSubstringSpans(
+      Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text"),
+      "doc_id", "text", 4).count() === 0)
     assert(ext.Splits.byHash(emptyDocs, "doc_id",
       Seq("train" -> 0.9, "test" -> 0.1)).count() === 0)
     assert(emptyDocs.select(ext.TextOps.redactPii(col("text")),

@@ -77,6 +77,20 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("dedup_substring_spans: gram stream shuffles once, counts ride a " +
+    "partial-combined exchange, filter joins back without a sort") {
+    val p = plan("dedup_substring_spans")
+    // stream repartition + partial-agg counts + island window = 3; a
+    // re-shuffle of the stream for the join or a window without reuse
+    // would push this to 4+
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram occurrence counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the gram filter must hash-join, never sort the stream:\n$p")
+  }
+
   test("txt_top_ngram_frac: zero shuffles, zero windows — per-row sorted-run " +
     "arithmetic") {
     val p = plan("txt_top_ngram_frac")
