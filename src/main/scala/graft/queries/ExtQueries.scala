@@ -927,10 +927,17 @@ object ExtQueries {
           // finite replays (which disable no-data batches — they only pay
           // for them) cannot truncate this gate's output.
           spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-          // 2 files per trigger: both base drops in trigger 1, the sentinel
-          // (newest mtime) ALONE in trigger 2 — the flush still happens in a
-          // strictly later micro-batch, one fewer trigger to pay for
-          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
+          // ALL drops (both base files + the sentinel) in ONE data trigger:
+          // the watermark is computed at END-of-batch from the max event
+          // time seen — sentinel included — so every real session is
+          // already closed < watermark when the trailing no-data batch
+          // runs, and the flush emits there exactly as it did when the
+          // sentinel rode its own trigger. Sessions never spanned triggers
+          // in this landing (both base drops always shared trigger 1), so
+          // collapsing to one data trigger drops a whole micro-batch
+          // (~0.6 s) without weakening what the gate proves: append-mode
+          // session_window emission through watermark advance.
+          val stream = StreamOps.readEventStream(spark, landing)
           StreamOps.runToMemory(StreamOps.sessionCounts(stream, gapSeconds = 1800),
             "stream_session_sink", OutputMode.Append())
           spark.table("stream_session_sink")
