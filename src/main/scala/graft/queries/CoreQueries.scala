@@ -33,6 +33,10 @@ final case class GQ(name: String, oracle: Option[String], run: (SparkSession, St
   */
 object CoreQueries {
 
+  // k3's previous scratch location (see the gate's per-invocation-path
+  // comment): deleted on the NEXT invocation so the leak stays one copy
+  private val k3PrevLoc = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   // shared by rank_top_per_group (window form) and rank_top_per_group_agg
   // (bounded-heap aggregate form): both must produce the identical rows
   private val topPerGroupSql =
@@ -445,11 +449,21 @@ object CoreQueries {
         import graft.io.Catalog
         val db = "graft_k3_db"
         val table = "orders_by_status"
-        val loc = s"${graft.Scratch.root}/graft_k3_${ProcessHandle.current().pid()}"
+        // location is unique PER INVOCATION, not per process: the session
+        // FileStatusCache remembers the previous run's file listing for a
+        // reused path, and a delete+recreate at the same location makes the
+        // next insertInto plan against phantom files (FileNotFoundException
+        // when the same JVM runs this gate twice — warm-up + measured run).
+        // The previous invocation's files are removed below, so the leak
+        // stays one copy per JVM, same as before.
+        val loc = s"${graft.Scratch.root}/graft_k3_${ProcessHandle.current().pid()}_${System.nanoTime()}"
         Catalog.ensureDatabase(spark, db)
         Catalog.dropTable(spark, db, table)
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+        k3PrevLoc.getAndSet(loc) match {
+          case null => ()
+          case prev => fs.delete(new org.apache.hadoop.fs.Path(prev), true): Unit
+        }
         Catalog.createExternalTable(spark, db, table,
           StructType(Seq(StructField("o_orderkey", LongType),
             StructField("o_totalprice", DoubleType))),

@@ -274,7 +274,17 @@ object StreamOps {
       s"graft_ckpt_${ProcessHandle.current().pid()}_${name}_${System.nanoTime()}")
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .option("checkpointLocation", ckpt.toString).start()
-    try { q.processAllAvailable(); q.stop() }
+    try {
+      q.processAllAvailable(); q.stop()
+      // diagnostic: GRAFT_STREAM_PROGRESS=true dumps per-micro-batch wall
+      // and phase durations to stderr — splits trigger machinery (plan/
+      // state-commit/WAL) from real work when tuning gate overhead.
+      if (sys.env.getOrElse("GRAFT_STREAM_PROGRESS", "false") == "true")
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-progress] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
+    }
     finally deleteTree(ckpt.toFile)
   }
 
