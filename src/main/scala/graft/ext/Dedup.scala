@@ -500,6 +500,66 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-dup REMOVAL with cluster-bucketed candidate
+    * generation — the semantic sibling of [[dropNearDups]]'s lexical path.
+    *
+    * Pipeline: (1) `nClusters` deterministic centroids (the lowest-id
+    * corpus vectors — a seeded assignment, zero Lloyd iterations, so the
+    * partition is exactly reproducible by the oracle; a production run
+    * swaps in trained k-means centroids without touching the rest of the
+    * plan); (2) every vector assigned to its max-cosine centroid (per-row
+    * argmax against broadcast literals — no shuffle; cosines rounded to 6
+    * decimals before the argmax so the cell boundary is engine-portable,
+    * ties to the lower centroid index); (3) same-cell pairs with
+    * cosine ≥ `threshold` via a hash equi-join on the cell id — the
+    * all-pairs loop of [[embeddingCosinePairs]] shrinks to Σ(cell size)²;
+    * (4) the higher id of every qualifying pair drops, survivors returned.
+    *
+    * 100 TB shape: real deployments run nClusters in the 10⁴–10⁵ range
+    * (the paper uses 50k on LAION), so the cell join distributes over that
+    * many keys and per-cell pair work is (n/nClusters)² — the skew escape
+    * for a runaway hot cell is the same salting used by [[ngramJaccardPairs]]'s
+    * hub cap. Centroid collect is O(nClusters·dim), never O(corpus).
+    */
+  def semDedupDrop(df: DataFrame, idCol: String, vecCol: String,
+                   nClusters: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    val centroids: Array[Array[Float]] = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(nClusters)
+      .collect().map(_.getSeq[Float](1).toArray)
+    if (centroids.isEmpty) return df.select(col(idCol).as("id"))
+    def litVec(a: Array[Float]): Column =
+      array(a.toSeq.map(x => lit(x)): _*).cast("array<float>")
+    // argmax as array_max over (cosine, -index) structs: struct ordering is
+    // field-by-field, so ties on the rounded cosine resolve to the LARGER
+    // -index = smaller centroid index — the oracle's ORDER BY cos DESC, idx
+    val scored = centroids.toSeq.zipWithIndex.map { case (cv, i) =>
+      struct(
+        round(SimSearch.safeCosine(
+          dotF(col("vec"), litVec(cv)), col("nrm"), normF(litVec(cv))), 6).as("c"),
+        lit(-i).as("ni"))
+    }
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), normF(col(vecCol)).as("nrm"))
+      .withColumn("cell", -array_max(array(scored: _*)).getField("ni"))
+    val a = assigned.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    // rounded like the assignment: the drop/keep boundary must be the same
+    // decision both engines make on the same pair
+    val cos = round(SimSearch.safeCosine(
+      dotF(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6)
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") && cos >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select("id").join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
   /** Blocked fuzzy-match join: pairs of documents whose normalized prefixes
     * are within `maxDist` edit distance, candidate-limited to shared BLOCK
     * keys — the record-linkage pattern that keeps an edit-distance join

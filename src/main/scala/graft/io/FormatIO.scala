@@ -30,6 +30,17 @@ object FormatIO {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar interchange format Spark ships natively
+    * (vectorized reader, predicate pushdown, same splittable-stripe
+    * distribution model as parquet). Declared schema on read for the same
+    * one-pass discipline as the text formats.
+    */
+  def writeOrc(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Write `df` out as `format`, read it straight back with the SAME schema
     * — the round-trip proves value fidelity through the text encoding and
     * is what the format gates run.
@@ -39,6 +50,7 @@ object FormatIO {
     format match {
       case "csv" => writeCsv(df, path); readCsv(spark, path, df.schema)
       case "json" => writeJsonl(df, path); readJsonl(spark, path, df.schema)
+      case "orc" => writeOrc(df, path); readOrc(spark, path, df.schema)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

@@ -1237,6 +1237,21 @@ object CoreQueries {
           .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal_sum"))
       }),
 
+    // ----- S10 — ORC round-trip: Spark's second native columnar format
+    // (vectorized reader, pushdown, splittable stripes), same gate shape as
+    // the text formats: write, read back through a declared schema,
+    // aggregate. Doubles are IEEE-exact through ORC; only the re-associated
+    // SUM needs rounding.
+    GQ("s10_orc_roundtrip",
+      Some("""SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 4) AS price_sum
+             |FROM part GROUP BY p_brand""".stripMargin),
+      (spark, dir) => {
+        val out = s"${graft.Scratch.root}/graft_s10_orc_${ProcessHandle.current().pid()}"
+        graft.io.FormatIO.roundTrip(Tables.part(spark, dir).coalesce(4), out, "orc")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 4).as("price_sum"))
+      }),
+
     // ----- K4 — small-file compaction round-trip: 64 tiny files rewritten
     // to byte-targeted files (CompactionSpec pins the file-count math);
     // the oracle proves the rewrite lost and duplicated nothing.

@@ -569,6 +569,31 @@ object ExtQueries {
       (spark, dir) =>
         Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup REMOVAL with
+    // cluster-bucketed candidates. Seeded deterministic centroids (the 8
+    // lowest-id vectors, zero Lloyd iterations) make the cluster partition
+    // oracle-reproducible, so the gate hash-checks the exact survivor set
+    // end to end — centroid argmax assignment (rounded cosine, ties to the
+    // lower index), within-cell cosine pairs, min-id survivorship.
+    GQ("semdedup_drop",
+      Some("""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             |           FROM embeddings ORDER BY vec_id LIMIT 8),
+             |r AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS idx, ce FROM c),
+             |a AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v FROM embeddings e),
+             |asg AS (SELECT a.vec_id, a.v,
+             |          (SELECT r.idx FROM r
+             |           ORDER BY round(list_cosine_similarity(a.v, r.ce), 6) DESC, r.idx
+             |           LIMIT 1) AS cell
+             |        FROM a),
+             |p AS (SELECT DISTINCT y.vec_id AS id_b
+             |      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+             |      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4)
+             |SELECT vec_id FROM asg WHERE vec_id NOT IN (SELECT id_b FROM p)
+             |""".stripMargin),
+      (spark, dir) =>
+        Dedup.semDedupDrop(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          nClusters = 8, threshold = 0.4)),
+
     // ----- incremental exact dedup vs a fingerprint history ------------------
     // docs 0-99 stand in as prior runs' persisted fingerprints. The corpus
     // has NO natural duplicates, so the batch is doc_id >= 100 plus two

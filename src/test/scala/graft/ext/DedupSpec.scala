@@ -336,4 +336,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"doc 3 within-doc repetition must be flagged, got ${d3.toSeq}")
     assert(!spans.contains(4L), "unique doc has no spans")
   }
+
+  test("semDedupDrop removes the higher id of each same-cell similar pair") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),        // centroid 0
+      (2L, Array(0f, 1f, 0f, 0f)),        // centroid 1
+      (3L, Array(0.999f, 0.01f, 0f, 0f)), // ≈ vec 1 → cell 0, drops vs 1
+      (4L, Array(0f, 0.995f, 0.1f, 0f)),  // ≈ vec 2 → cell 1, drops vs 2
+      (5L, Array(0.7f, 0.7f, 0f, 0f)),    // cos ≈ .707 to both → survives
+      (6L, Array(-1f, 0f, 0f, 0f)),       // anti-parallel → survives
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedupDrop(vecs, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.95).as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L, 6L))
+  }
+
+  test("semDedupDrop: nClusters beyond corpus size keeps every vector (no pairs above threshold)") {
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semDedupDrop(vecs, "vec_id", "embedding",
+      nClusters = 16, threshold = 0.9).as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
 }

@@ -36,6 +36,15 @@ class FormatIOSpec extends AnyFunSuite with SparkSpec {
       (3L, Some("gamma, delta"), None)))
   }
 
+  test("orc round-trip preserves values and nulls exactly") {
+    val back = FormatIO.roundTrip(df, tmp("orc"), "orc")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (1L, Some("alpha"), Some(2.5)),
+      (2L, None, Some(-0.125)),
+      (3L, Some("gamma, delta"), None)))
+  }
+
   test("unsupported format fails loudly") {
     intercept[IllegalArgumentException] {
       FormatIO.roundTrip(df, tmp("bad"), "xml")
