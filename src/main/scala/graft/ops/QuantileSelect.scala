@@ -98,25 +98,40 @@ object QuantileSelect {
     val hiRef = lit(hi.toArray)
     def inBand(j: Int): Column =
       v >= element_at(loRef, j + 1) && v <= element_at(hiRef, j + 1)
-    // ONE action for round 2: the below/band counts AND the band values
-    // ride the same aggregate — the values through BoundedSortedCollect,
-    // whose state is hard-capped at bandCap doubles (overflow evaluates to
+    // ONE action for round 2: the below/band counts AND the band values.
+    // The two ride SEPARATE aggregate branches of one union — mixing the
+    // declarative sums with the TypedImperativeAggregate in a single agg
+    // forced the whole thing onto interpreted ObjectHashAggregate, so all
+    // n rows paid 2·probs interpreted when()-sums (measured: the dominant
+    // cost of profile_equidepth at sf0.1). Split, the counts branch stays
+    // whole-stage-codegen over the full scan, and only the ~8n/accuracy
+    // band rows (codegen'd filter) reach the object aggregate — whose
+    // state is still hard-capped at bandCap doubles (overflow evaluates to
     // NULL and takes the retry/fallback below, exactly like a count-based
     // cap miss). Signed zeros normalize to +0.0 on ingestion (the
-    // PercentileCompact discipline). The former shape ran a separate
-    // filter+collect action after the counts — one scan more per call.
+    // PercentileCompact discipline).
     val anyBand = probs.indices.map(inBand).reduce(_ || _)
     val countAggs = probs.indices.flatMap { j =>
       Seq(coalesce(sum(when(v < element_at(loRef, j + 1), 1L)), lit(0L)).as(s"below_$j"),
         coalesce(sum(when(inBand(j), 1L)), lit(0L)).as(s"band_$j"))
-    } :+ graft.functions.BoundedSortedCollect.boundedSortedCollect(
-      when(anyBand, when(v === 0.0, lit(0.0)).otherwise(v)),
-      math.min(bandCap, Int.MaxValue.toLong).toInt).as("__bandvals")
-    val c = df.agg(countAggs.head, countAggs.tail: _*).head()
-    val below = probs.indices.map(j => c.getLong(2 * j))
-    val bandN = probs.indices.map(j => c.getLong(2 * j + 1))
+    }
+    val countsBranch = df.agg(countAggs.head, countAggs.tail: _*)
+      .select(array(probs.indices.flatMap(j =>
+          Seq(col(s"below_$j"), col(s"band_$j"))): _*).as("nums"),
+        lit(null).cast("array<double>").as("vals"))
+    val bandBranch = df.filter(anyBand)
+      .agg(graft.functions.BoundedSortedCollect.boundedSortedCollect(
+        when(v === 0.0, lit(0.0)).otherwise(v),
+        math.min(bandCap, Int.MaxValue.toLong).toInt).as("vals"))
+      .select(lit(null).cast("array<bigint>").as("nums"), col("vals"))
+    val rows = countsBranch.unionAll(bandBranch).collect()
+    val cRow = rows.find(!_.isNullAt(0)).get
+    val vRow = rows.find(_.isNullAt(0)).get
+    val nums = cRow.getSeq[Long](0)
+    val below = probs.indices.map(j => nums(2 * j))
+    val bandN = probs.indices.map(j => nums(2 * j + 1))
     val bandVals: Option[Seq[Double]] =
-      if (c.isNullAt(2 * probs.size)) None else Some(c.getSeq[Double](2 * probs.size))
+      if (vRow.isNullAt(1)) None else Some(vRow.getSeq[Double](1))
 
     val positions = probs.map(_ * (n - 1))
     val bracketed = probs.indices.forall { j =>
