@@ -335,6 +335,33 @@ object ExtQueries {
             col("avg_token_len"), col("punct_ratio"))
           ),
 
+    // Model-based quality gate: hashed bag-of-words linear classifier
+    // (fastText hashing trick — the C4/CCNet model-filter operator shape).
+    // Deterministic placeholder weights render into both dialects from ONE
+    // generator; bucket assignment rides the md5 portable base word; the
+    // gate is FLOAT-FREE — it hash-checks the exact integer logit
+    // numerator and the integer-rule keep decision (engines' round()
+    // implementations measurably disagree on systematic near-tie doubles,
+    // so the float rendering stays API-only).
+    GQ("quality_classifier", {
+      val qcW = graft.ext.QualityModel.defaultWeights(64)
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              |            FROM documents),
+              |b AS (SELECT doc_id, ${graft.ext.QualityModel.bucketDuckSql("t", 64)} AS bkt FROM tok),
+              |s AS (SELECT doc_id, CAST(sum((${graft.ext.QualityModel.weightsDuckSql(qcW)})[bkt + 1]) AS BIGINT) AS sw,
+              |             count(*) AS n
+              |      FROM b GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(25 * s.n + s.sw AS BIGINT) AS q_num,
+              |       CAST(s.n AS BIGINT) AS n_tokens,
+              |       25 * s.n + s.sw >= 0 AS keep
+              |FROM documents d JOIN s ON d.doc_id = s.doc_id
+              |""".stripMargin)
+      },
+      (spark, dir) =>
+        graft.ext.QualityModel.score(Tables.documents(spark, dir), "doc_id", "text",
+          graft.ext.QualityModel.defaultWeights(64), biasUnits = 25)
+          .select("doc_id", "q_num", "n_tokens", "keep")),
+
     GQ("txt_langid",
       Some(s"""SELECT doc_id,
               |  $duckLangCase AS lang_pred
