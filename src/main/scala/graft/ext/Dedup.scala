@@ -434,6 +434,32 @@ object Dedup {
       .filter(col("component") === col(idCol))
       .drop("component")
 
+  /** Near-dup removal with QUALITY-AWARE survivor selection: one doc per
+    * [[canonicalizeNearDups]] component again, but the survivor is the
+    * member with the HIGHEST `qualityCol` (ties → min id; NULL quality
+    * loses to any scored member) — the production policy: a crawl usually
+    * keeps the cleanest copy of a duplicated page, not the first-seen id.
+    * Pairs with [[QualityModel.score]] / [[TextOps.qualityMetrics]] as the
+    * quality source. Same single extra exchange as [[dropNearDups]]: the
+    * survivor is a `min_by` hash aggregate on the component key, never a
+    * window sort.
+    */
+  def dropNearDupsByQuality(df: DataFrame, idCol: String, textCol: String,
+                            qualityCol: String, n: Int, threshold: Double): DataFrame = {
+    val q = col(qualityCol).cast("double")
+    // min_by skips rows whose order struct holds a NULL field — null
+    // quality rides an explicit nulls-last rank instead (the
+    // dedupIncremental discipline)
+    val ord = struct(
+      when(q.isNull, 1).otherwise(0).as("__qn"),
+      coalesce(-q, lit(0.0)).as("__nq"),
+      col(idCol).as("__id"))
+    canonicalizeNearDups(df, idCol, textCol, n, threshold)
+      .groupBy(col("component"))
+      .agg(min_by(col(idCol), ord).as(idCol))
+      .select(idCol)
+  }
+
   /** Incremental exact dedup for batch ingestion: keep rows of `batch`
     * whose normalized fingerprint ([[TextOps.fingerprint]]) is NOT in the
     * `historyFps` table (one `fp` column — the persisted state of earlier

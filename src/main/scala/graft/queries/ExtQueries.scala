@@ -585,6 +585,41 @@ object ExtQueries {
           .select("doc_id")
           ),
 
+    // Quality-aware survivor selection over the SAME component graph: the
+    // production dedup policy (keep the cleanest copy, not the first id) —
+    // survivor = max n_chars, ties to min doc_id. Oracle reuses the
+    // recursive-closure components and ranks members per component.
+    GQ("dedup_drop_near_quality",
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(ts)-2),
+             |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+             |       FROM tok),
+             |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+             |com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |          FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |          WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4),
+             |und AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |        UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (SELECT u, v FROM und
+             |                UNION
+             |                SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u),
+             |comp AS (SELECT u, least(u, min(v)) AS lbl FROM reach GROUP BY u),
+             |lab AS (SELECT d.doc_id, d.n_chars, coalesce(c.lbl, d.doc_id) AS component
+             |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+             |SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (PARTITION BY component
+             |                                    ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM lab) WHERE rn = 1
+             |""".stripMargin),
+      (spark, dir) =>
+        Dedup.dropNearDupsByQuality(Tables.documents(spark, dir), "doc_id", "text",
+          qualityCol = "n_chars", n = 3, threshold = 0.4)
+          .select("doc_id")
+          ),
+
     GQ("dedup_embedding_cosine",
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

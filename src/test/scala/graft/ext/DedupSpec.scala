@@ -337,6 +337,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!spans.contains(4L), "unique doc has no spans")
   }
 
+  test("dropNearDupsByQuality keeps the best-quality member, not the min id") {
+    val scored = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", 50L), // better copy, higher id
+      (3L, "the quick brown fox jumps over the lazy cat tonight", 20L), // same component
+      (4L, "completely different words here about spark engines today", 5L),
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.dropNearDupsByQuality(scored, "doc_id", "text",
+      "quality", n = 3, threshold = 0.4).as[Long].collect().toSet
+    assert(kept === Set(2L, 4L), "component {1,2,3} survives via max quality (doc 2)")
+    // quality tie resolves to min id
+    val tied = scored.withColumn("quality", lit(7L))
+    val keptTied = Dedup.dropNearDupsByQuality(tied, "doc_id", "text",
+      "quality", n = 3, threshold = 0.4).as[Long].collect().toSet
+    assert(keptTied === Set(1L, 4L))
+  }
+
   test("semDedupDrop removes the higher id of each same-cell similar pair") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),        // centroid 0
