@@ -1164,6 +1164,44 @@ object ExtQueries {
             round(col("value_sum"), 4).as("value_sum"))
       }),
 
+    // The SAME running-stats state machine on Spark 4's transformWithState
+    // API (named ValueState from the processor handle — the successor to
+    // mapGroupsWithState), under the RocksDB state-store provider the API
+    // requires: engine-surface coverage of the NEW arbitrary-state path,
+    // gated against the identical batch oracle as stream_user_stats.
+    GQ("stream_user_stats_tws",
+      Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum
+             |FROM events GROUP BY user_id""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLanding(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevProv = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(StreamOps.runningUserStatsTWS(spark, stream),
+            "stream_user_stats_tws_sink", OutputMode.Update())
+          spark.table("stream_user_stats_tws_sink")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevProv match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id"),
+          Seq(col("n_events").desc))
+          .select(col("user_id"), col("n_events"),
+            round(col("value_sum"), 4).as("value_sum"))
+      }),
+
     // ----- multimodal plumbing ----------------------------------------------
     // Payload = UTF-8 bytes of documents.text (no codec libs in-container);
     // FakeCodec metadata is a pure function of byte length, reproduced in SQL.

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twins of the batch event-time operators
@@ -378,6 +378,42 @@ object StreamOps {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** [[runningUserStats]]' state machine on the `transformWithState` API
+    * (Spark 4's arbitrary-state successor to mapGroupsWithState): named
+    * `ValueState` obtained from the processor handle, per-key update +
+    * emit each micro-batch. Functionally identical output — the point is
+    * engine-surface coverage of the NEW state API, whose state is
+    * schema-evolvable and multi-variable where GroupState is one opaque
+    * blob. Requires the RocksDB state-store provider (the API rejects the
+    * HDFS-backed one); callers set
+    * `spark.sql.streaming.stateStore.providerClass` before starting.
+    */
+  class RunningUserStatsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserStat] {
+    @transient private var stat: ValueState[UserStat] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stat = getHandle.getValueState[UserStat]("stat",
+        org.apache.spark.sql.Encoders.product[UserStat], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserStat] = {
+      val prev = if (stat.exists()) stat.get() else UserStat(user, 0L, 0.0)
+      val (n, s) = rows.foldLeft((prev.n_events, prev.value_sum)) {
+        case ((cnt, acc), e) => (cnt + 1, acc + e.value)
+      }
+      val next = UserStat(user, n, s)
+      stat.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserStatsTWS(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** CDC change landing over orders: three single-file drops (updates,

@@ -240,4 +240,33 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
       .groupBy("user_id").count().as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  test("transformWithState running stats ≡ mapGroupsWithState ≡ batch " +
+    "(new arbitrary-state API, RocksDB-backed)") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      // transformWithState requires the RocksDB provider
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = StreamOps.readEventStream(spark, streamDir)
+      StreamOps.runToMemory(
+        StreamOps.runningUserStatsTWS(spark, stream), "running_tws",
+        OutputMode.Update())
+      // Update mode re-emits a user's row per micro-batch; final state =
+      // the max-n_events emission per user (n strictly increases)
+      val got = graft.ops.AggOps.dedupByKeyOrdered(spark.table("running_tws"),
+          Seq("user_id"), Seq($"n_events".desc))
+        .select("user_id", "n_events")
+        .as[(Long, Long)].collect().toMap
+      val want = Tables.events(spark, sfDir)
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      assert(got === want)
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
