@@ -68,6 +68,63 @@ object AggOps {
     sketches.groupBy(rollupKeys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch"))).as("approx_distinct"))
 
+  /** §2b — MERGEABLE quantile sketches (DataSketches KLL via
+    * [[graft.functions.QuantileSketchKll]]): the quantile analogue of
+    * [[hllSketches]]. Spark has no storable/mergeable quantile state
+    * (`approx_percentile` keeps its sketch internal), so at 100 TB a
+    * latency-percentile rollup either rescans raw data or keeps these
+    * kilobyte KLL sketches per fine group and merges upward. Rank error is
+    * ε ≈ 1.65 % at the default k=200 regardless of n.
+    */
+  def kllSketches(df: DataFrame, keys: Seq[String], target: String,
+                  k: Int = 200): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.QuantileSketchKll
+        .kllSketchAgg(col(target), k).as("kll_sketch"))
+
+  /** Roll fine KLL sketches up to `rollupKeys` and extract quantile values
+    * at the given normalized ranks (one `array<double>` per group).
+    */
+  def kllRollupQuantiles(sketches: DataFrame, rollupKeys: Seq[String],
+                         ranks: Seq[Double], k: Int = 200): DataFrame = {
+    import graft.functions.QuantileSketchKll._
+    sketches.groupBy(rollupKeys.map(col): _*)
+      .agg(kllQuantiles(kllMergeAgg(col("kll_sketch"), k), ranks).as("quantiles"))
+  }
+
+  /** §2b — theta sketches over an integral id column: mergeable
+    * distinct-count state that also supports set INTERSECTION / DIFFERENCE
+    * (see [[graft.functions.ThetaSketchOps]] for why HLL can't answer
+    * overlap questions). One binary sketch per group.
+    */
+  def thetaSketches(df: DataFrame, keys: Seq[String], target: String,
+                    lgNomEntries: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.ThetaSketchOps
+        .thetaSketchAgg(col(target), lgNomEntries).as("theta_sketch"))
+
+  /** Pairwise audience overlap from per-group theta sketches: for every
+    * unordered group pair (a < b), |A∩B|, |A\B| and |A∪B| estimates —
+    * EXACT while sketches stay under their nominal entries, bounded-error
+    * beyond. The self-join is over the tiny sketch table (one row per
+    * group), broadcast by AQE/stats; the raw data is never rescanned —
+    * that is the entire point of sketch-typed state.
+    */
+  def thetaOverlaps(sketches: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.ThetaSketchOps._
+    val a = sketches.select(col(keyCol).as("key_a"), col("theta_sketch").as("sk_a"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("theta_sketch").as("sk_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        round(thetaIntersectEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("overlap"),
+        round(thetaANotBEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("only_a"),
+        round(thetaEstimate(col("sk_a")) +
+          thetaANotBEstimate(col("sk_b"), col("sk_a")))
+          .cast("long").as("union_n"))
+  }
+
   /** Top-k rows per group under (score desc, id asc) via the
     * [[graft.functions.TopKPairs]] bounded-heap aggregate — the scale form
     * of `WindowOps.topNPerGroup`: the window form sorts EVERY row of every

@@ -1184,6 +1184,69 @@ object CoreQueries {
           .select("l_returnflag", "n_distinct")
       }),
 
+    // mergeable QUANTILE sketches (DataSketches KLL — Spark ships no
+    // storable quantile state): per-(flag,status) sketches of
+    // l_extendedprice union-merged to per-flag DECILES, the same
+    // sketch-once/roll-up-forever contract as hll_sketch_merge but for
+    // order statistics. Accuracy-scored gate: each merged-sketch decile
+    // must land between the EXACT quantiles at rank ±0.05 (3× KLL's
+    // ε≈1.65% @ k=200, 99% confidence — deterministic pass in practice);
+    // the gate emits the per-flag count of in-bound deciles, expected 9.
+    GQ("kll_quantile_rollup",
+      Some("""SELECT l_returnflag, CAST(9 AS BIGINT) AS ok_deciles
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val deciles = (1 to 9).map(_ / 10.0)
+        val probs = deciles.map(_ - 0.05) ++ deciles.map(_ + 0.05)
+        val approx = AggOps.kllRollupQuantiles(
+          AggOps.kllSketches(li, Seq("l_returnflag", "l_linestatus"),
+            "l_extendedprice"),
+          Seq("l_returnflag"), deciles)
+        val exact = li.groupBy("l_returnflag")
+          .agg(graft.functions.PercentileCompact
+            .percentileCompact(col("l_extendedprice"), probs).as("e"))
+        approx.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            (0 until 9).map(i =>
+              when(col("e").getItem(i) <= col("quantiles").getItem(i) &&
+                col("quantiles").getItem(i) <= col("e").getItem(i + 9), 1L)
+                .otherwise(0L))
+              .reduce(_ + _).as("ok_deciles"))
+      }),
+
+    // theta-sketch audience overlap: per-event-type sketches over user_id,
+    // pairwise |A∩B| / |A\B| / |A∪B| from SKETCH STATE ONLY (the raw
+    // events are scanned exactly once) — the set-algebra HLL cannot do.
+    // Under 2^12 nominal entries a theta sketch retains every hash, so on
+    // this data the estimates are EXACT integers and the gate is a plain
+    // hash-equality oracle against DuckDB's exact distinct set ops; at
+    // corpus scale the same code returns bounded-error estimates.
+    GQ("theta_user_overlap",
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+             |p AS (SELECT a.event_type AS key_a, b.event_type AS key_b
+             |      FROM (SELECT DISTINCT event_type FROM events) a
+             |      JOIN (SELECT DISTINCT event_type FROM events) b
+             |        ON a.event_type < b.event_type),
+             |ov AS (SELECT x.event_type AS key_a, y.event_type AS key_b,
+             |              CAST(count(*) AS BIGINT) AS overlap
+             |       FROM tu x JOIN tu y
+             |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+             |       GROUP BY 1, 2)
+             |SELECT p.key_a, p.key_b,
+             |       coalesce(ov.overlap, 0) AS overlap,
+             |       ca.n - coalesce(ov.overlap, 0) AS only_a,
+             |       ca.n + cb.n - coalesce(ov.overlap, 0) AS union_n
+             |FROM p LEFT JOIN ov ON p.key_a = ov.key_a AND p.key_b = ov.key_b
+             |JOIN cnt ca ON ca.event_type = p.key_a
+             |JOIN cnt cb ON cb.event_type = p.key_b""".stripMargin),
+      (spark, dir) =>
+        AggOps.thetaOverlaps(
+          AggOps.thetaSketches(Tables.events(spark, dir),
+            Seq("event_type"), "user_id"),
+          "event_type")),
+
     // ----- J4/J5 — existence joins. left_semi/left_anti never materialize
     // the right side's columns and have EXISTS / NOT EXISTS semantics
     // (NULL-safe, unlike NOT IN).

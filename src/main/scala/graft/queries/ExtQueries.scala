@@ -1202,6 +1202,37 @@ object ExtQueries {
             round(col("value_sum"), 4).as("value_sum"))
       }),
 
+    // Stream-STATIC join: every micro-batch enriches against a broadcast
+    // batch dimension (no state, no watermark) — the streaming-enrichment
+    // shape missing between the stateful gates above and the batch J1.
+    // The sink holds enriched rows; the gate aggregates them and the
+    // oracle is the equivalent batch join+agg.
+    GQ("stream_static_enrich",
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+             |       round(sum(value), 4) AS value_sum
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLanding(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing)
+          val dim = Tables.customer(spark, dir)
+            .select("c_custkey", "c_mktsegment")
+          StreamOps.runToMemory(
+            StreamOps.enrichWithDim(stream, dim, "user_id", "c_custkey")
+              .select("c_mktsegment", "value"),
+            "stream_static_enrich_sink", OutputMode.Append())
+          spark.table("stream_static_enrich_sink")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("value_sum"))
+      }),
+
     // ----- multimodal plumbing ----------------------------------------------
     // Payload = UTF-8 bytes of documents.text (no codec libs in-container);
     // FakeCodec metadata is a pure function of byte length, reproduced in SQL.

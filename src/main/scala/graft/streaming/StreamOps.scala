@@ -238,6 +238,17 @@ object StreamOps {
         coalesce(col("b_id"), lit(-1L)).as("b_id"))
   }
 
+  /** Stream-STATIC join: enrich a stream against a batch dimension table,
+    * broadcast to every task — the standard streaming-enrichment shape
+    * (every micro-batch joins against the same static relation; no state,
+    * no watermark, the dim snapshot is read per batch). At cluster scale
+    * the broadcast hint keeps each micro-batch shuffle-free on the stream
+    * side — exactly the J1 batch posture, carried into the stream.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Streaming exact dedup on an id column: `dropDuplicates` keeps the
     * FIRST arrival of each key across micro-batches (state = seen keys).
     * The un-watermarked form is the finite-replay/backfill shape; a

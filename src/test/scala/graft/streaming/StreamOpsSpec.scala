@@ -241,6 +241,22 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("stream-static enrich ≡ batch broadcast join") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    StreamOps.runToMemory(
+      StreamOps.enrichWithDim(stream, dim, "user_id", "c_custkey")
+        .select("event_id", "c_mktsegment"),
+      "enrich_sink", OutputMode.Append())
+    val got = spark.table("enrich_sink")
+      .as[(Long, String)].collect().toSet
+    val want = Tables.events(spark, sfDir)
+      .join(dim, $"user_id" === $"c_custkey")
+      .select("event_id", "c_mktsegment")
+      .as[(Long, String)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("transformWithState running stats ≡ mapGroupsWithState ≡ batch " +
     "(new arbitrary-state API, RocksDB-backed)") {
     val prev = spark.conf.getOption(
