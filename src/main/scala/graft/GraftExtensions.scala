@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BagBound, BoundedSortedCollect, CollapseWhitespace, FastTokens, FloatVectorDot, FreqItems, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, TopKPairs, TopKTerms}
+import graft.functions.{BagBound, BoundedSortedCollect, CollapseWhitespace, FastTokens, FloatVectorDot, FreqItems, KllMergeAgg, KllQuantiles, KllSketchAgg, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, ThetaANotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKPairs, TopKTerms}
 
 /** ONE-LINE installer for every graft Catalyst extension point — the whole
   * library activates from configuration alone, no code changes:
@@ -110,6 +110,40 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CollapseWhitespace].getName, "collapse_ws"),
       (es: Seq[Expression]) => { requireArity("collapse_ws", es, 1)
         CollapseWhitespace(es(0)) }),
+    // sketch aggregates/scalars (mergeable quantile + set-operation state;
+    // optional second arg = k / lgNomEntries, defaulted like the API)
+    ("kll_sketch_agg",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (es: Seq[Expression]) =>
+        KllSketchAgg(es(0), if (es.length > 1) intLit(es(1)) else 200)),
+    ("kll_merge_agg",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (es: Seq[Expression]) =>
+        KllMergeAgg(es(0), if (es.length > 1) intLit(es(1)) else 200)),
+    ("kll_quantiles",
+      new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+      (es: Seq[Expression]) => { requireArity("kll_quantiles", es, 2)
+        KllQuantiles(es(0), doubleArrayLit(es(1))) }),
+    ("theta_sketch_agg",
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (es: Seq[Expression]) =>
+        ThetaSketchAgg(es(0), if (es.length > 1) intLit(es(1)) else 12)),
+    ("theta_union_agg",
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (es: Seq[Expression]) =>
+        ThetaUnionAgg(es(0), if (es.length > 1) intLit(es(1)) else 12)),
+    ("theta_estimate",
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (es: Seq[Expression]) => { requireArity("theta_estimate", es, 1)
+        ThetaEstimate(es(0)) }),
+    ("theta_intersect_estimate",
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
+      (es: Seq[Expression]) => { requireArity("theta_intersect_estimate", es, 2)
+        ThetaIntersectEstimate(es(0), es(1)) }),
+    ("theta_a_not_b_estimate",
+      new ExpressionInfo(classOf[ThetaANotBEstimate].getName, "theta_a_not_b_estimate"),
+      (es: Seq[Expression]) => { requireArity("theta_a_not_b_estimate", es, 2)
+        ThetaANotBEstimate(es(0), es(1)) }),
   )
 
   private def requireArity(fn: String, es: Seq[Expression], n: Int): Unit =

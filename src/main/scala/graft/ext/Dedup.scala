@@ -502,6 +502,61 @@ object Dedup {
       .select(col("__graft_row.*"))
   }
 
+  /** [[dedupIncremental]] with a BLOOM prefilter on the history check — the
+    * shape that wins when the standing history dwarfs the daily batch: the
+    * plain form shuffles/joins EVERY batch fingerprint against the history
+    * table, while here a one-row bloom filter (built from history in one
+    * scan, `-n·ln(fpp)/ln²2` bits, carried as a LITERAL so the probe stays
+    * a scan-side codegen'd predicate — the same `might_contain` machinery
+    * Catalyst's own runtime join pruning injects) splits the batch:
+    * definitely-new fingerprints (bloom miss) skip the join entirely;
+    * only the `dups + fpp·batch` maybe-rows pay the exact anti-join, so
+    * the result is LOSSLESS — the bloom only prunes work, never rows.
+    *
+    * Driver-memory contract: the serialized filter must fit the driver and
+    * the plan (1 M history fps at 1 % fpp ≈ 1.2 MB; 100 M ≈ 120 MB — size
+    * `fpp` accordingly or fall back to [[dedupIncremental]]'s
+    * partition-aligned anti-join beyond that). `expectedItems <= 0` sizes
+    * the filter from a `count()` of the history (one extra cheap action on
+    * the single-column fps table); pass the tracked count to skip it.
+    *
+    * NULL-fingerprint rows (NULL text) bypass the bloom and the anti-join
+    * — NULL never matches history (NOT EXISTS semantics), identical to
+    * [[dedupIncremental]].
+    */
+  def dedupIncrementalBloom(batch: DataFrame, idCol: String, textCol: String,
+                            historyFps: DataFrame, fpp: Double = 0.01,
+                            expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    val fp = "__graft_fp"
+    val ord = struct(
+      when(col(idCol).isNull, 0).otherwise(1).as("__nn"), col(idCol).as("__id"))
+    val deduped = batch.withColumn(fp, TextOps.fingerprint(col(textCol)))
+      .groupBy(col(fp))
+      .agg(min_by(struct(batch.columns.map(col): _*), ord).as("__graft_row"))
+    val n = math.max(1L, if (expectedItems > 0) expectedItems else historyFps.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = historyFps
+      .agg(gcol(new BloomFilterAggregate(gexp(xxhash64(col("fp"))),
+        Literal(n), Literal(numBits)).toAggregateExpression()).as("__bloom"))
+      .head().getAs[Array[Byte]]("__bloom")
+    // empty/all-NULL history serializes to a null filter: nothing can match
+    val afterHistory = if (bloomBytes == null) deduped else {
+      val mightContain = gcol(BloomFilterMightContain(
+        gexp(lit(bloomBytes)), gexp(xxhash64(col(fp)))))
+      val definiteNew = deduped.filter(col(fp).isNotNull && !mightContain)
+      val maybe = deduped.filter(col(fp).isNotNull && mightContain)
+        .join(historyFps.select(col("fp").as(fp)), Seq(fp), "left_anti")
+      definiteNew.unionByName(maybe)
+        .unionByName(deduped.filter(col(fp).isNull))
+    }
+    afterHistory.select(col("__graft_row.*"))
+  }
+
   /** Embedding near-dup: all pairs (id_a < id_b) with cosine ≥ `threshold`.
     * Brute-force O(n²) pair join — ground truth / verification scale only;
     * the ANN path for 100 TB is [[SimSearch.lshTopK]]. Similarity is

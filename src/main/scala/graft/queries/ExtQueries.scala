@@ -696,6 +696,41 @@ object ExtQueries {
           .select("doc_id")
       }),
 
+    // Bloom-prefiltered incremental dedup: SAME semantics and oracle as
+    // dedup_incremental (the bloom only prunes join work, never rows —
+    // definitely-new fps skip the history anti-join, maybes verify
+    // exactly), which is precisely the claim the shared hash gate proves.
+    GQ("dedup_incremental_bloom",
+      Some("""WITH batch0 AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5
+             |  UNION ALL SELECT doc_id + 29900, text FROM documents WHERE doc_id BETWEEN 100 AND 104
+             |),
+             |fp AS (SELECT doc_id,
+             |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |       FROM batch0),
+             |hist AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |         FROM documents WHERE doc_id < 100),
+             |kept AS (SELECT doc_id,
+             |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |         FROM fp b
+             |         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp))
+             |SELECT doc_id FROM kept WHERE rn = 1
+             |""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val batch = docs.filter(col("doc_id") >= 100).select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(100, 104))
+            .select((col("doc_id") + 29900).as("doc_id"), col("text")))
+        val history = docs.filter(col("doc_id") < 100)
+          .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+        Dedup.dedupIncrementalBloom(batch, "doc_id", "text",
+          historyFps = history)
+          .select("doc_id")
+      }),
+
     // Cross-corpus exact-substring duplicate spans (ExactSubstr, Lee et al.):
     // a position is duplicated iff its 8-token gram occurs >= 2 times in the
     // whole corpus (cross-doc or within-doc); consecutive duplicated

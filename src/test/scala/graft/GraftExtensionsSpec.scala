@@ -63,6 +63,20 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         .head().isNullAt(0), "3 values past cap 2 must evaluate NULL")
       assert(s.sql("SELECT simhash64_md5(array('a','b')) = simhash64_md5(array('a','b'))")
         .head().getBoolean(0))
+      // round-8 additions: sketch aggregates + scalars, SQL-only pipeline
+      // (KLL median of 1..3 = 2; theta overlap of {5,6,7}∩{6,7} = 2 exact)
+      assert(s.sql("SELECT kll_quantiles(kll_merge_agg(sk), array(0.5D)) FROM " +
+        "(SELECT kll_sketch_agg(CAST(score AS DOUBLE)) AS sk FROM ext_scores)")
+        .head().getSeq[Double](0) === Seq(2.0))
+      assert(s.sql("SELECT theta_estimate(theta_union_agg(sk)) FROM " +
+        "(SELECT theta_sketch_agg(id) AS sk FROM ext_scores GROUP BY score)")
+        .head().getDouble(0) === 3.0)
+      val overlapRow = s.sql(
+        "SELECT theta_intersect_estimate(a.sk, b.sk), theta_a_not_b_estimate(a.sk, b.sk) FROM " +
+          "(SELECT theta_sketch_agg(id) AS sk FROM ext_scores) a, " +
+          "(SELECT theta_sketch_agg(id) AS sk FROM ext_scores WHERE id > 5) b")
+        .head()
+      assert(overlapRow.getDouble(0) === 2.0 && overlapRow.getDouble(1) === 1.0)
 
       // 2. planner strategy injected: the as-of node plans WITHOUT the
       // builder's experimental-methods fallback having to add it

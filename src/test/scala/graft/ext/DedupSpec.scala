@@ -232,6 +232,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(keptIds === Set((None, "same text"), (None, "only nulls")))
   }
 
+  test("dedupIncrementalBloom ≡ dedupIncremental on every edge case") {
+    val history = Seq("seen before", "also seen").toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp"))
+    val batch = Seq(
+      (10L, "Seen   BEFORE"),   // history hit -> dropped
+      (11L, "fresh one"),       // kept
+      (12L, "fresh one"),       // in-batch repeat -> dropped
+      (13L, "also  seen"),      // second history hit -> dropped
+      (14L, null: String),      // NULL fp bypasses bloom AND anti-join
+      (15L, null: String),      // ...but dedups against 14
+      (16L, "another fresh"),   // kept
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val exact = ids(Dedup.dedupIncremental(batch, "doc_id", "text", history))
+    assert(exact === Seq(11L, 14L, 16L))
+    // default fpp, tiny fpp (all-maybe path), and fpp≈1 (max false
+    // positives -> everything verifies exactly): all must equal the
+    // exact-anti-join form — the bloom prunes WORK, never rows
+    for (fpp <- Seq(0.01, 1e-9, 0.9)) {
+      assert(ids(Dedup.dedupIncrementalBloom(batch, "doc_id", "text",
+        history, fpp = fpp)) === exact, s"fpp=$fpp diverged")
+    }
+    // empty history: bloom aggregate over zero rows must not crash, and
+    // nothing can be dropped by history
+    assert(ids(Dedup.dedupIncrementalBloom(batch, "doc_id", "text",
+      history.limit(0))) === Seq(10L, 11L, 13L, 14L, 16L))
+    // pre-sized history (skips the count action) — same answer
+    assert(ids(Dedup.dedupIncrementalBloom(batch, "doc_id", "text",
+      history, expectedItems = 2L)) === exact)
+  }
+
   test("gopherQualityFilter: each rule drops its violator independently") {
     val ok = (1 to 60).map(i => s"tok$i").mkString(" ")     // 60 tokens, avg len ~5
     val docs = Seq(
