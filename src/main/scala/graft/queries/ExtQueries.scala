@@ -1074,6 +1074,52 @@ object ExtQueries {
             round(col("value_sum"), 4).as("value_sum"), col("start_s"), col("end_s"))
       }),
 
+    // The SAME session semantics hand-built on transformWithState with
+    // EVENT-TIME TIMERS (ListState of open intervals; a session emits only
+    // when a timer's expiry proves the watermark passed end+gap) — the
+    // full arbitrary-state surface of the Spark 4 API, pinned to the SAME
+    // gaps-and-islands oracle as the native session_window gate above and
+    // the batch operator: three session implementations, one truth.
+    GQ("stream_session_tws",
+      Some(sessionIslandsSql),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLandingWithSentinel(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = spark.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        val prevProv = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          // timers fire in the trailing no-data batch after the sentinel
+          // advances the watermark — same flush shape as session_window
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val stream = StreamOps.readEventStream(spark, landing)
+          StreamOps.runToMemory(
+            StreamOps.sessionizeTWS(spark, stream, gapSeconds = 1800),
+            "stream_session_tws_sink", OutputMode.Append())
+          spark.table("stream_session_tws_sink")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+          prevProv match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+        out
+          .filter(col("user_id") =!= StreamOps.SentinelUser)
+          .select(col("user_id"), col("n_events"),
+            round(col("value_sum"), 4).as("value_sum"), col("start_s"), col("end_s"))
+      }),
+
     // Streaming EXACT DEDUP under the gate: the landing replays every base
     // drop a second time (originals in trigger 1, copies in trigger 2), so the
     // dropDuplicates state must absorb 10k replayed keys — the aggregate

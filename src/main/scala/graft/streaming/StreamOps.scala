@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twins of the batch event-time operators
@@ -236,6 +236,87 @@ object StreamOps {
         "leftOuter")
       .select(col("l_user").as("user_id"), col("a_id"),
         coalesce(col("b_id"), lit(-1L)).as("b_id"))
+  }
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessInterval(start_us: Long, end_us: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, n_events: Long, value_sum: Double,
+                        start_s: Long, end_s: Long)
+
+  /** Gap-based sessionization on `transformWithState` with EVENT-TIME
+    * TIMERS — the full arbitrary-state surface: per-user `ListState` of
+    * open session intervals, merged incrementally as (possibly unordered)
+    * events arrive, and a registered timer per open interval whose expiry
+    * (`end + gap + 1 ms`) firing proves the watermark has passed any event
+    * that could still extend it — only then does the session emit. This is
+    * what `session_window` does internally, hand-built on the new API; the
+    * gate pins it to the SAME gaps-and-islands oracle as the native form
+    * and the batch operator, so all three session definitions stay one
+    * truth.
+    *
+    * Semantics: events `delta <= gap` apart merge ('>' splits — the
+    * island oracle's rule); `start_s`/`end_s` and the interval arithmetic
+    * run in microseconds (the events table's precision), timers in the
+    * engine's milliseconds. Requires an upstream `withWatermark` (enforced
+    * by the API for `TimeMode.EventTime`) and the RocksDB provider.
+    */
+  class SessionizerTWS(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var open: ListState[SessInterval] = _
+    private def gapMs = gapUs / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[SessInterval]("open",
+        org.apache.spark.sql.Encoders.product[SessInterval], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      val incoming = rows.map(e => SessInterval(micros(e.ts), micros(e.ts), 1L, e.value))
+      val all = (if (open.exists()) open.get().toBuffer else
+        scala.collection.mutable.Buffer.empty[SessInterval]) ++ incoming
+      // interval merge under the `delta <= gap` rule, robust to unordered
+      // arrival: sort by start, fold neighbors whose gap is within bound
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessInterval]
+      all.sortBy(i => (i.start_us, i.end_us)).foreach { iv =>
+        if (merged.nonEmpty && iv.start_us - merged.last.end_us <= gapUs) {
+          val p = merged.remove(merged.length - 1)
+          merged += SessInterval(p.start_us, math.max(p.end_us, iv.end_us),
+            p.n + iv.n, p.sum + iv.sum)
+        } else merged += iv
+      }
+      open.put(merged.toArray)
+      // one timer per open interval: fires once the watermark proves no
+      // event can merge into it (re-registering the same expiry is a no-op;
+      // a superseded expiry just finds its interval already merged away)
+      merged.foreach(iv => getHandle.registerTimer(iv.end_us / 1000L + gapMs + 1L))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val wmMs = timers.getCurrentWatermarkInMs()
+      val current = if (open.exists()) open.get().toArray else Array.empty[SessInterval]
+      val (closed, still) = current.partition(iv => iv.end_us / 1000L + gapMs < wmMs)
+      if (still.isEmpty) open.clear() else open.put(still)
+      closed.iterator.map(iv => SessionOut(user, iv.n, iv.sum,
+        iv.start_us / 1000000L, iv.end_us / 1000000L + gapUs / 1000000L))
+    }
+  }
+
+  /** [[SessionizerTWS]] wired to an event stream: watermark (required by
+    * `TimeMode.EventTime`), key by user, Append emission on timer expiry.
+    */
+  def sessionizeTWS(spark: SparkSession, events: DataFrame, gapSeconds: Long,
+                    watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizerTWS(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-STATIC join: enrich a stream against a batch dimension table,

@@ -241,6 +241,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("sessionizeTWS (event-time timers) ≡ batch gaps-and-islands sessions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevNoData = spark.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // timers fire in the trailing batch AFTER the sentinel advances the
+      // watermark — that batch carries no data
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val landing = StreamOps.eventsLandingWithSentinel(spark, sfDir)
+      val stream = StreamOps.readEventStream(spark, landing)
+      StreamOps.runToMemory(
+        StreamOps.sessionizeTWS(spark, stream, gapSeconds = 1800),
+        "sess_tws", OutputMode.Append())
+      val got = spark.table("sess_tws")
+        .filter($"user_id" =!= StreamOps.SentinelUser)
+        .select($"user_id", $"n_events", round($"value_sum", 4).as("v"),
+          $"start_s", $"end_s")
+        .as[(Long, Long, Double, Long, Long)].collect().toSet
+
+      val byUser = Window.partitionBy($"user_id").orderBy($"us")
+      val want = Tables.events(spark, sfDir)
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        .withColumn("prev", lag($"us", 1).over(byUser))
+        .withColumn("new", when($"prev".isNull || $"us" - $"prev" > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("seq", sum($"new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"seq")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("v"),
+          (min($"us") / 1000000L).cast("long").as("start_s"),
+          (max($"us") / 1000000L + 1800L).cast("long").as("end_s"))
+        .select($"user_id", $"n_events", $"v", $"start_s", $"end_s")
+        .as[(Long, Long, Double, Long, Long)].collect().toSet
+      assert(got === want && got.nonEmpty)
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData.foreach(v => spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", v))
+    }
+  }
+
   test("stream-static enrich ≡ batch broadcast join") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
