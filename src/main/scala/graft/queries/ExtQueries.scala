@@ -1283,6 +1283,43 @@ object ExtQueries {
             round(col("value_sum"), 4).as("value_sum"))
       }),
 
+    // MapState on transformWithState — the third state shape (ValueState:
+    // stream_user_stats_tws; ListState+timers: stream_session_tws): per-user
+    // type→count map, one store entry per touched type per micro-batch.
+    GQ("stream_type_counts_tws",
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY user_id, event_type""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLanding(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevProv = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
+          StreamOps.runToMemory(StreamOps.typeCountsTWS(spark, stream),
+            "stream_type_counts_tws_sink", OutputMode.Update())
+          spark.table("stream_type_counts_tws_sink")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevProv match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+        // Update mode re-emits a (user,type) row per touching batch; final
+        // state = the max count (n strictly increases)
+        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id", "event_type"),
+          Seq(col("n").desc))
+          .select("user_id", "event_type", "n")
+      }),
+
     // Stream-STATIC join: every micro-batch enriches against a broadcast
     // batch dimension (no state, no watermark) — the streaming-enrichment
     // shape missing between the stateful gates above and the batch J1.

@@ -238,6 +238,46 @@ object StreamOps {
         coalesce(col("b_id"), lit(-1L)).as("b_id"))
   }
 
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on `transformWithState` with
+    * `MapState` — the third state shape of the Spark 4 API (ValueState:
+    * [[RunningUserStatsProcessor]]; ListState + timers: [[SessionizerTWS]]).
+    * MapState is the right container when the per-key state is itself
+    * keyed (here: type → count): point lookups and single-entry updates
+    * against the store instead of rewriting one monolithic blob per event
+    * — the difference between O(touched types) and O(all types) state I/O
+    * per micro-batch at 100 TB.
+    */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      // fold the batch locally, then ONE store update per touched type
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(e => delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1L)
+      delta.iterator.map { case (t, d) =>
+        val next = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, next)
+        TypeCount(user, t, next)
+      }
+    }
+  }
+
+  def typeCountsTWS(spark: SparkSession, events: DataFrame): Dataset[TypeCount] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessInterval(start_us: Long, end_us: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double,

@@ -290,6 +290,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("typeCountsTWS (MapState) final counts ≡ batch groupBy(user, type)") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = StreamOps.readEventStream(spark, streamDir)
+      StreamOps.runToMemory(StreamOps.typeCountsTWS(spark, stream),
+        "type_counts_tws", OutputMode.Update())
+      val got = graft.ops.AggOps.dedupByKeyOrdered(
+          spark.table("type_counts_tws"), Seq("user_id", "event_type"),
+          Seq($"n".desc))
+        .select("user_id", "event_type", "n")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type").count()
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want && got.nonEmpty)
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static enrich ≡ batch broadcast join") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
