@@ -1964,6 +1964,116 @@ object ExtQueries {
           .select("l_orderkey", "l_linenumber", "o_orderkey")
       }),
 
+    // ----- technical indicators (the reference's stock-analytics domain) -----
+    // All one window pass per (user, time) ordering. EMA/MACD are LEFT
+    // FOLDS over a bounded trailing frame, rendered verbatim in both
+    // dialects (Spark collect_list+aggregate ≡ DuckDB list+list_reduce) —
+    // same float ops, same order, bit-identical before the display round.
+    GQ("fin_ema",
+      Some("""SELECT user_id, event_id,
+             |  round(list_reduce(
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+             |    (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ema
+             |FROM events""".stripMargin),
+      (spark, dir) =>
+        TechIndicators.ema(Tables.events(spark, dir), "user_id",
+            Seq("ts", "event_id"), "value", alpha = 0.2, span = 30)
+          .select(col("user_id"), col("event_id"), round(col("ema"), 6).as("ema"))),
+
+    GQ("fin_rsi",
+      Some("""WITH d AS (
+             |  SELECT user_id, event_id, ts,
+             |    coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta
+             |  FROM events),
+             |g AS (SELECT user_id, event_id, ts,
+             |    avg(CASE WHEN delta > 0.0 THEN delta ELSE 0.0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+             |    avg(CASE WHEN delta < 0.0 THEN -delta ELSE 0.0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+             |  FROM d)
+             |SELECT user_id, event_id,
+             |  round(CASE WHEN ag + al = 0.0 THEN NULL
+             |             ELSE 100.0 * (ag / (ag + al)) END, 4) AS rsi
+             |FROM g""".stripMargin),
+      (spark, dir) =>
+        TechIndicators.rsi(Tables.events(spark, dir), "user_id",
+            Seq("ts", "event_id"), "value", period = 14)
+          .select(col("user_id"), col("event_id"), round(col("rsi"), 4).as("rsi"))),
+
+    GQ("fin_macd",
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 35 PRECEDING AND CURRENT ROW) AS vf,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 77 PRECEDING AND CURRENT ROW) AS vs
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  round(list_reduce(vf, (acc, x) -> acc * (1.0 - 2.0/13.0) + x * (2.0/13.0))
+             |      - list_reduce(vs, (acc, x) -> acc * (1.0 - 2.0/27.0) + x * (2.0/27.0)), 6) AS macd
+             |FROM w""".stripMargin),
+      (spark, dir) =>
+        TechIndicators.macd(Tables.events(spark, dir), "user_id",
+            Seq("ts", "event_id"), "value", fast = 12, slow = 26)
+          .select(col("user_id"), col("event_id"), round(col("macd"), 6).as("macd"))),
+
+    // mean/σ as left-fold Σx / Σx² over the collected frame (see
+    // TechIndicators.bollinger): bit-identical across engines where the
+    // built-in windowed avg/stddev re-associate differently. Display round
+    // is 6, NOT 4: value is 2-decimal and frames hold ≤20 rows, so the
+    // mean has ≤6 decimals — at round-4 a 5th-decimal 5 is an EXACT
+    // midpoint and the engines' round() disagree there (Spark rounds the
+    // shortest decimal rendering half-up, DuckDB rounds the binary value
+    // — observed 45.75375 → 45.7538 vs 45.7537); at round-6 the mean sits
+    // ON the grid and the σ terms are irrational, so no midpoints exist.
+    GQ("fin_bollinger",
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+             |  FROM events),
+             |s AS (SELECT user_id, event_id,
+             |    CAST(len(vals) AS DOUBLE) AS n,
+             |    list_reduce(list_prepend(0.0, vals), (acc, x) -> acc + x) AS s1,
+             |    list_reduce(list_prepend(0.0, vals), (acc, x) -> acc + x * x) AS s2
+             |  FROM w),
+             |b AS (SELECT user_id, event_id, s1 / n AS ma,
+             |    CASE WHEN n < 2 THEN NULL ELSE
+             |      sqrt(CASE WHEN (s2 - s1 * s1 / n) / (n - 1) < 0.0 THEN 0.0
+             |                ELSE (s2 - s1 * s1 / n) / (n - 1) END) END AS sd
+             |  FROM s)
+             |SELECT user_id, event_id,
+             |  round(ma, 6) AS bb_mid,
+             |  round(ma + 2.0 * sd, 6) AS bb_up,
+             |  round(ma - 2.0 * sd, 6) AS bb_dn
+             |FROM b""".stripMargin),
+      (spark, dir) =>
+        TechIndicators.bollinger(Tables.events(spark, dir), "user_id",
+            Seq("ts", "event_id"), "value", period = 20, k = 2.0)
+          .select(col("user_id"), col("event_id"),
+            round(col("bb_mid"), 6).as("bb_mid"),
+            round(col("bb_up"), 6).as("bb_up"),
+            round(col("bb_dn"), 6).as("bb_dn"))),
+
+    GQ("fin_drawdown",
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, value,
+             |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  round(CASE WHEN peak = 0.0 THEN NULL
+             |             ELSE (peak - value) / peak END, 6) AS drawdown
+             |FROM p""".stripMargin),
+      (spark, dir) =>
+        TechIndicators.drawdown(Tables.events(spark, dir), "user_id",
+            Seq("ts", "event_id"), "value")
+          .select(col("user_id"), col("event_id"),
+            round(col("drawdown"), 6).as("drawdown"))),
+
     // ----- moving window frame (§2b ranking/frames) --------------------------
     GQ("w2_moving_avg",
       Some("""SELECT o_custkey, o_orderkey,
