@@ -726,8 +726,11 @@ object ExtQueries {
             .select((col("doc_id") + 29900).as("doc_id"), col("text")))
         val history = docs.filter(col("doc_id") < 100)
           .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+        // expectedItems passed from the known history scope (doc_id < 100):
+        // the production caller tracks its history count — skipping the
+        // sizing count() saves one driver action
         Dedup.dedupIncrementalBloom(batch, "doc_id", "text",
-          historyFps = history)
+          historyFps = history, expectedItems = 100L)
           .select("doc_id")
       }),
 
