@@ -1967,6 +1967,33 @@ object ExtQueries {
           .select("l_orderkey", "l_linenumber", "o_orderkey")
       }),
 
+    // ----- graph: PageRank over the customer–supplier trade graph -----------
+    // Symmetrized bipartite edges (supplier keys offset out of the customer
+    // id space), 5 fixed iterations; the oracle unrolls the SAME iterations
+    // as chained CTEs (PageRank.pageRankOracleSql) — one float formula,
+    // both dialects. Symmetrization makes dangling mass exactly 0.0, so
+    // the operator's full dangling-redistribution term is a bit-exact
+    // no-op here while staying live for real directed graphs.
+    GQ("graph_pagerank",
+      Some(graft.ext.PageRank.pageRankOracleSql(
+        """SELECT o_custkey AS src, l_suppkey + 100000 AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |UNION
+          |SELECT l_suppkey + 100000 AS src, o_custkey AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+        iterations = 5)),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+        val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        val fwd = joined.select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      }),
+
     // ----- technical indicators (the reference's stock-analytics domain) -----
     // All one window pass per (user, time) ordering. EMA/MACD are LEFT
     // FOLDS over a bounded trailing frame, rendered verbatim in both
