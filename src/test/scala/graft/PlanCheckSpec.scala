@@ -342,4 +342,28 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
       s"the window's key exchange is the only shuffle:\n$p")
   }
+
+  test("fin_ema / fin_bollinger: one window pass, one key exchange — indicators stay frame-local") {
+    for (name <- Seq("fin_ema", "fin_bollinger")) {
+      val p = plan(name)
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"$name: the (user) window shuffle must be the only exchange:\n$p")
+      assert(p.linesIterator.count(_.contains("Window")) === 1,
+        s"$name: one window pass computes every frame column:\n$p")
+    }
+  }
+
+  test("theta_user_overlap: sketch self-join broadcasts; raw events scanned for sketches only") {
+    val p = plan("theta_user_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row-per-group sketch pair join must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"two sketch aggregations (one per join side over the same relation), nothing more:\n$p")
+  }
+
+  test("kll_quantile_rollup: sketch + exact percentile rollups, no more than three exchanges") {
+    val p = plan("kll_quantile_rollup")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"fine-sketch agg, rollup merge, exact-percentile agg — the join of two 3-row sides is free:\n$p")
+  }
 }
