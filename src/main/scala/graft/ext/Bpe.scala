@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016's subword
+  * algorithm, the tokenizer-training half the [[Vocab]] word-level build
+  * doesn't cover): greedy loop of (count adjacent symbol pairs over the
+  * word-frequency relation, weighted by word count) → (merge the most
+  * frequent pair everywhere). The heavy step each round is ONE distributed
+  * aggregation over the vocabulary relation — at 100 TB the word-frequency
+  * table is the already-reduced output of a corpus scan (millions of rows,
+  * not the corpus), which is exactly why real BPE trainers operate on it;
+  * only the argmax RULE (one row) comes to the driver per round.
+  *
+  * Symbol sequences are carried as `(tok)(tok)…` strings: each token is
+  * wrapped in its own delimiters, so merging pair (a,b) is a plain
+  * substring replace of `(a)(b)` → `(ab)` in which ADJACENT occurrences
+  * share no characters — `(a)(b)(a)(b)` merges both in one left-to-right
+  * pass, the greedy non-overlapping semantics BPE specifies and BOTH
+  * engines' non-regex `replace` implement identically (a space-separated
+  * rendering loses the shared boundary space to the first match, silently
+  * skipping every second adjacent occurrence; regex lookarounds would fix
+  * that but DuckDB's RE2 has none — this encoding needs neither).
+  * Tie-break on equal pair counts: lexicographic, total order, both
+  * dialects.
+  */
+object Bpe {
+
+  /** Lowercased alphabetic word frequencies — the trainer's input relation. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(lower(col("w")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The character-wrapped initial sequence: "low" → "(l)(o)(w)". */
+  private val seq0 =
+    array_join(transform(
+      filter(split(col("word"), ""), c => c =!= ""), // Java split can emit a trailing ""
+      c => concat(lit("("), c, lit(")"))), "")
+
+  /** Adjacent symbol pairs of a wrapped sequence, as "a b" strings. */
+  private def pairsOf(seqCol: String) = {
+    val toks = split(expr(s"substring($seqCol, 2, length($seqCol) - 2)"), "\\)\\(")
+    graft.functions.ShingleStrings.shingleStrings(toks, 2)
+  }
+
+  /** Learn `numMerges` merge rules from the corpus: (rank, pair) with
+    * pair as "a b" in merge order.
+    */
+  def trainMerges(spark: SparkSession, df: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var words = wordCounts(df, textCol)
+      .select(col("word"), col("cnt"), seq0.as("seq"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    for (i <- 1 to numMerges) {
+      val best = words
+        .select(col("cnt"), explode(pairsOf("seq")).as("pg"))
+        .groupBy("pg").agg(sum(col("cnt")).as("total"))
+        .orderBy(desc("total"), asc("pg")).limit(1)
+        .collect()(0).getString(0)
+      rules += (i -> best)
+      val Array(a, b) = best.split(" ", 2)
+      // tokens are alphabetic by construction — safe to inline in the expr
+      words = words
+        .withColumn("seq", expr(s"replace(seq, '($a)($b)', '($a$b)')"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("rank", "pair")
+  }
+
+  /** DuckDB render of the SAME training loop (iterations unrolled), over a
+    * `documents(text)` table; emits (rank, pair) like [[trainMerges]].
+    * Every iteration CTE is `AS MATERIALIZED`: each w_i is referenced by
+    * three downstream CTEs, and DuckDB's default inlining re-executes the
+    * whole chain per reference — exponential in iterations (measured 103 s
+    * for 6 merges at sf0.1; materialized: sub-second).
+    */
+  def trainMergesOracleSql(numMerges: Int): String = {
+    def bestRef(i: Int) = s"(SELECT pg FROM b$i)"
+    val iters = (1 to numMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT pg, CAST(sum(cnt) AS BIGINT) AS total FROM (
+         |  SELECT cnt, unnest(list_transform(generate_series(1, len(ts) - 1),
+         |           k -> ts[k] || ' ' || ts[k + 1])) AS pg
+         |  FROM (SELECT cnt, regexp_split_to_array(substr(seq, 2, length(seq) - 2), '\\)\\(') AS ts
+         |        FROM $prev) x) y GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pg FROM p$i ORDER BY total DESC, pg LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt, replace(seq,
+         |    '(' || split_part(${bestRef(i)}, ' ', 1) || ')(' || split_part(${bestRef(i)}, ' ', 2) || ')',
+         |    '(' || replace(${bestRef(i)}, ' ', '') || ')') AS seq FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to numMerges)
+      .map(i => s"SELECT $i AS rank, ${bestRef(i)} AS pair")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+       |    FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |  array_to_string(list_transform(string_split(word, ''), c -> '(' || c || ')'), '') AS seq
+       |  FROM words),
+       |$iters
+       |$out
+       |""".stripMargin
+  }
+}

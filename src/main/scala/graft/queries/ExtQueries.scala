@@ -1967,6 +1967,17 @@ object ExtQueries {
           .select("l_orderkey", "l_linenumber", "o_orderkey")
       }),
 
+    // ----- BPE tokenizer training (Sennrich 2016) ----------------------------
+    // Six greedy merge rounds over the word-frequency relation; the oracle
+    // unrolls the SAME loop (Bpe.trainMergesOracleSql) — identical pair
+    // counting, identical lexicographic tie-break, identical (tok)-wrapped
+    // substring merges. The gate pins the learned merge TABLE itself.
+    GQ("bpe_train_merges",
+      Some(graft.ext.Bpe.trainMergesOracleSql(numMerges = 6)),
+      (spark, dir) =>
+        graft.ext.Bpe.trainMerges(spark, Tables.documents(spark, dir),
+          "text", numMerges = 6)),
+
     // ----- graph: PageRank over the customer–supplier trade graph -----------
     // Symmetrized bipartite edges (supplier keys offset out of the customer
     // id space), 5 fixed iterations; the oracle unrolls the SAME iterations

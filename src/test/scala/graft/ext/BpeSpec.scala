@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def train(corpus: Seq[String], k: Int): Seq[String] =
+    Bpe.trainMerges(spark, corpus.toDF("text"), "text", k)
+      .orderBy("rank").select("pair").as[String].collect().toSeq
+
+  test("hand corpus: counts weight by word frequency, ties break lexicographically") {
+    // low×3, lower×1, lowest×1: (l,o)=(o,w)=5 tie -> lex picks "l o";
+    // then (lo,w)=5; then (low,e)=2; then the 1-count tie -> "lowe r"
+    val rules = train(Seq("low low low", "lower lowest"), 4)
+    assert(rules === Seq("l o", "lo w", "low e", "lowe r"))
+  }
+
+  test("adjacent occurrences both merge in one pass (the (tok) encoding's point)") {
+    // "aaaa" -> (a)(a)(a)(a): merging "a a" must yield (aa)(aa) — a
+    // boundary-sharing rendering merges only the first pair and the
+    // second rule would come out "a a"/"aa a" instead of "aa aa"
+    val rules = train(Seq("aaaa"), 2)
+    assert(rules === Seq("a a", "aa aa"))
+  }
+
+  test("non-alphabetic and case-folded words: filtered and merged consistently") {
+    // "Ab AB ab" all fold to "ab"; "x9" and "!" are dropped by the
+    // alphabetic filter, so the only learnable pair is (a,b)
+    val rules = train(Seq("Ab AB ab x9 !"), 1)
+    assert(rules === Seq("a b"))
+  }
+}
