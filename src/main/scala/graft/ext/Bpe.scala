@@ -73,6 +73,62 @@ object Bpe {
     rules.toSeq.toDF("rank", "pair")
   }
 
+  /** The inference half: apply learned merge rules to every document and
+    * count resulting subword units — entirely SCAN-SIDE (the rules are
+    * literals baked into a replace chain; no shuffle until the per-doc
+    * sum), which is the deployment shape: a trained tokenizer is a
+    * constant, encoding is a map. Alphabetic words (the trainer's domain)
+    * go through the merge chain; any other token counts as one unit.
+    * Output: (doc_id, n_subwords).
+    */
+  def encodeCounts(df: DataFrame, idCol: String, textCol: String,
+                   rules: Seq[String]): DataFrame = {
+    val w = lower(col("w"))
+    val wrapped = array_join(transform(
+      filter(split(w, ""), c => c =!= ""),
+      c => concat(lit("("), c, lit(")"))), "")
+    val mergedSeq = rules.foldLeft[org.apache.spark.sql.Column](wrapped) {
+      (seq, rule) =>
+        val Array(a, b) = rule.split(" ", 2)
+        org.apache.spark.sql.functions.replace(
+          seq, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+    val units = when(w.rlike("^[a-z]+$"),
+      length(mergedSeq) - length(
+        org.apache.spark.sql.functions.replace(mergedSeq, lit("("), lit(""))))
+      .otherwise(lit(1))
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(col(idCol), units.as("n"))
+      .groupBy(idCol).agg(sum(col("n")).as("n_subwords"))
+  }
+
+  /** DuckDB render of [[encodeCounts]] chained onto the training CTEs:
+    * the merge rules come from the SAME unrolled b1..bK scalar subqueries,
+    * so one SQL statement trains and encodes — gate-ready.
+    */
+  def encodeCountsOracleSql(numMerges: Int): String = {
+    val train = trainMergesOracleSql(numMerges)
+    val withCtes = train.substring(0, train.lastIndexOf("SELECT 1 AS rank"))
+      .trim.stripSuffix(",")
+    def bestRef(i: Int) = s"(SELECT pg FROM b$i)"
+    val wrapped =
+      "array_to_string(list_transform(string_split(lower(w), ''), c -> '(' || c || ')'), '')"
+    val mergedSeq = (1 to numMerges).foldLeft(wrapped) { (seq, i) =>
+      s"""replace($seq,
+         |  '(' || split_part(${bestRef(i)}, ' ', 1) || ')(' || split_part(${bestRef(i)}, ' ', 2) || ')',
+         |  '(' || replace(${bestRef(i)}, ' ', '') || ')')""".stripMargin
+    }
+    s"""$withCtes,
+       |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents),
+       |enc AS (SELECT doc_id,
+       |  CASE WHEN regexp_matches(lower(w), '^[a-z]+$$') THEN
+       |    length($mergedSeq) - length(replace($mergedSeq, '(', ''))
+       |  ELSE 1 END AS n FROM tok)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_subwords FROM enc GROUP BY doc_id
+       |""".stripMargin
+  }
+
   /** DuckDB render of the SAME training loop (iterations unrolled), over a
     * `documents(text)` table; emits (rank, pair) like [[trainMerges]].
     * Every iteration CTE is `AS MATERIALIZED`: each w_i is referenced by

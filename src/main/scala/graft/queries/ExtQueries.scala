@@ -1978,6 +1978,20 @@ object ExtQueries {
         graft.ext.Bpe.trainMerges(spark, Tables.documents(spark, dir),
           "text", numMerges = 6)),
 
+    // The inference half: train 4 rules, bake them into a scan-side
+    // replace chain, count subword units per document. The oracle trains
+    // with the same unrolled CTEs and encodes with the same chain — one
+    // statement proves train AND apply end-to-end.
+    GQ("bpe_encode",
+      Some(graft.ext.Bpe.encodeCountsOracleSql(numMerges = 4)),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val rules = graft.ext.Bpe.trainMerges(spark, docs, "text", numMerges = 4)
+          .orderBy("rank").select("pair")
+          .collect().map(_.getString(0)).toSeq
+        graft.ext.Bpe.encodeCounts(docs, "doc_id", "text", rules)
+      }),
+
     // ----- graph: PageRank over the customer–supplier trade graph -----------
     // Symmetrized bipartite edges (supplier keys offset out of the customer
     // id space), 5 fixed iterations; the oracle unrolls the SAME iterations

@@ -26,6 +26,19 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(rules === Seq("a a", "aa aa"))
   }
 
+  test("encodeCounts: merges shrink unit counts; non-alpha tokens count 1") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "low low 42!"), (2L, "lower")).toDF("doc_id", "text")
+    // rules (l,o) then (lo,w): "low" -> (low) = 1 unit; "lower" -> (low)(e)(r) = 3
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", Seq("l o", "lo w"))
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L + 1L + 1L), (2L, 3L))) // low, low, "42!"
+    // no rules: every char is a unit
+    val raw = Bpe.encodeCounts(docs, "doc_id", "text", Seq.empty)
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(raw === Seq((1L, 3L + 3L + 1L), (2L, 5L)))
+  }
+
   test("non-alphabetic and case-folded words: filtered and merged consistently") {
     // "Ab AB ab" all fold to "ab"; "x9" and "!" are dropped by the
     // alphabetic filter, so the only learnable pair is (a,b)
