@@ -66,4 +66,22 @@ object JoinOps {
     */
   def antiJoin(fact: DataFrame, filterRel: DataFrame, usingCols: Seq[String]): DataFrame =
     fact.join(filterRel, usingCols, "left_anti")
+
+  /** Incremental JOIN view maintenance (insert-only deltas): the new rows
+    * of (A ∪ ΔA) ⋈ (B ∪ ΔB) are exactly
+    *   ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    * — the algebraic delta rule that lets a standing join VIEW absorb a
+    * daily increment at delta cost: every term has a delta on at least one
+    * side (broadcast it), so the standing 100 TB relations are probed, not
+    * recomputed, and the maintained view is `old ∪ this`. The companion of
+    * [[graft.ops.AggOps.buildAggState]]'s aggregate maintenance, for joins.
+    */
+  def incrementalJoinDelta(a: DataFrame, deltaA: DataFrame,
+                           b: DataFrame, deltaB: DataFrame,
+                           usingCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.functions.broadcast(deltaA).join(b, usingCols)
+      .unionByName(a.join(
+        org.apache.spark.sql.functions.broadcast(deltaB), usingCols))
+      .unionByName(deltaA.join(
+        org.apache.spark.sql.functions.broadcast(deltaB), usingCols))
 }

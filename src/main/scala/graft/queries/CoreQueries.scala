@@ -981,6 +981,29 @@ object CoreQueries {
             col("mn"), col("mx"))
       }),
 
+    // incremental JOIN maintenance: the delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB.
+    // Base = even order/customer keys, deltas = odd; old view ∪ delta must
+    // equal the full join — which is exactly the oracle.
+    GQ("incremental_join",
+      Some("""SELECT o_orderkey, o_totalprice, c_custkey, c_mktsegment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |""".stripMargin),
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_custkey").as("c_custkey"))
+        val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+        val (oBase, oDelta) = (o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1))
+        val (cBase, cDelta) = (c.filter(col("c_custkey") % 2 === 0),
+          c.filter(col("c_custkey") % 2 === 1))
+        val oldView = oBase.join(cBase, Seq("c_custkey"))
+        val delta = JoinOps.incrementalJoinDelta(
+          oBase, oDelta, cBase, cDelta, Seq("c_custkey"))
+        oldView.unionByName(delta)
+          .select("o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment")
+      }),
+
     // ----- declarative data-quality rule check -------------------------------
     // deequ/dbt-test pattern: k named predicates in ONE wide aggregation
     // over ONE scan, exploded to a long report. Violation = predicate false

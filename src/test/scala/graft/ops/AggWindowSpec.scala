@@ -220,4 +220,20 @@ class AggWindowSpec extends AnyFunSuite with SparkSpec {
     assert(out((2L, 500L)) === 9.0, "single-observation key: just itself")
     assert(out.size === 5, "no extrapolation outside each key's span")
   }
+
+  test("incrementalJoinDelta: old view + delta == full join, no row lost or doubled") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val da = Seq((2L, "da2"), (4L, "da4")).toDF("k", "av")    // matches base b AND delta b
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val db = Seq((3L, "db3"), (4L, "db4")).toDF("k", "bv")
+    val full = a.unionByName(da).join(b.unionByName(db), Seq("k"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val maintained = a.join(b, Seq("k"))
+      .unionByName(graft.ops.JoinOps.incrementalJoinDelta(a, da, b, db, Seq("k")))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(maintained === full)
+    // every quadrant fired: base-base (1), delta-base (2,da2,b2),
+    // base-delta (3), delta-delta (4)
+    assert(full.map(_._1).distinct === Seq(1L, 2L, 3L, 4L))
+  }
 }
