@@ -2011,10 +2011,15 @@ object ExtQueries {
         val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
         val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
         val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        // distinct BEFORE symmetrizing: forward edges always have
+        // src < 100000 <= dst and reversed ones the opposite, so the two
+        // sets are disjoint and their union needs no second dedup —
+        // half the distinct shuffle (the oracle's UNION dedups the same
+        // disjoint sets to the same rows)
         val fwd = joined.select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 100000L).as("dst"))
+          (col("l_suppkey") + 100000L).as("dst")).distinct()
         val edges = fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
         graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
           .select(col("node"), round(col("rank"), 6).as("rank"))
       }),
