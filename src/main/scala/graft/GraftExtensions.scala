@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BagBound, BoundedSortedCollect, CollapseWhitespace, FastTokens, FloatVectorDot, FreqItems, KllMergeAgg, KllQuantiles, KllSketchAgg, LexiconHits, MinHashSketch, MyersBound, PercentileCompact, ShingleHashes, ShingleStrings, SimHash64, SortedLowerBound, ThetaANotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKPairs, TopKTerms}
+import graft.functions.{NfcNormalize, StripAccents}
 
 /** ONE-LINE installer for every graft Catalyst extension point — the whole
   * library activates from configuration alone, no code changes:
@@ -140,6 +141,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
       (es: Seq[Expression]) => { requireArity("theta_intersect_estimate", es, 2)
         ThetaIntersectEstimate(es(0), es(1)) }),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => { requireArity("nfc_normalize", es, 1)
+        NfcNormalize(es(0)) }),
+    ("strip_accents",
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (es: Seq[Expression]) => { requireArity("strip_accents", es, 1)
+        StripAccents(es(0)) }),
     ("theta_a_not_b_estimate",
       new ExpressionInfo(classOf[ThetaANotBEstimate].getName, "theta_a_not_b_estimate"),
       (es: Seq[Expression]) => { requireArity("theta_a_not_b_estimate", es, 2)

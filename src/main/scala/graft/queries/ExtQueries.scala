@@ -1967,6 +1967,38 @@ object ExtQueries {
           .select("l_orderkey", "l_linenumber", "o_orderkey")
       }),
 
+    // ----- Unicode normalization (NFC / strip accents / case fold) ----------
+    // The canonicalization pass multilingual dedup needs: visually equal
+    // strings in precomposed vs combining form hash apart without NFC.
+    // Inputs are CONSTRUCTED (the testdata corpus is ASCII, where these
+    // ops are identity): Spark builds them from \u escapes, the oracle
+    // from chr() codepoints — same logical strings, and the gate proves
+    // the JDK Normalizer and DuckDB's utf8proc agree on precomposed,
+    // combining-mark, undecomposable (ß, Ø) and mixed inputs.
+    GQ("txt_normalize_unicode",
+      Some("""WITH t(id, s) AS (VALUES
+             | (CAST(1 AS BIGINT), 'caf' || chr(233)), (2, 'cafe' || chr(769)),
+             | (3, 'n' || chr(771)), (4, chr(252)), (5, 'stra' || chr(223) || 'e'),
+             | (6, chr(216)), (7, 'hello'), (8, ''),
+             | (9, 'A' || chr(768) || 'B'), (10, chr(233) || 'e' || chr(769)))
+             |SELECT id, nfc_normalize(s) AS nfc, strip_accents(s) AS stripped,
+             |       lower(strip_accents(s)) AS folded FROM t""".stripMargin),
+      (spark, dir) => {
+        import graft.functions.UnicodeNorm.{nfc, stripAccents}
+        // explicit \u escapes: rows 2/3/9/10 are the COMBINING-MARK forms
+        // (U+0301 etc.) — the inputs NFC actually has to recompose; a
+        // precomposed literal would make the normalization a no-op
+        val rows = Seq(
+          1L -> "caf\u00e9", 2L -> "cafe\u0301", 3L -> "n\u0303",
+          4L -> "\u00fc", 5L -> "stra\u00dfe", 6L -> "\u00d8",
+          7L -> "hello", 8L -> "", 9L -> "A\u0300B", 10L -> "\u00e9e\u0301")
+        import spark.implicits._
+        rows.toDF("id", "s")
+          .select(col("id"), nfc(col("s")).as("nfc"),
+            stripAccents(col("s")).as("stripped"),
+            lower(stripAccents(col("s"))).as("folded"))
+      }),
+
     // ----- BPE tokenizer training (Sennrich 2016) ----------------------------
     // Six greedy merge rounds over the word-frequency relation; the oracle
     // unrolls the SAME loop (Bpe.trainMergesOracleSql) — identical pair
