@@ -56,18 +56,23 @@ object Bpe {
       .select(col("word"), col("cnt"), seq0.as("seq"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    for (i <- 1 to numMerges) {
-      val best = words
+    var exhausted = false
+    for (i <- 1 to numMerges if !exhausted) {
+      val top = words
         .select(col("cnt"), explode(pairsOf("seq")).as("pg"))
         .groupBy("pg").agg(sum(col("cnt")).as("total"))
         .orderBy(desc("total"), asc("pg")).limit(1)
-        .collect()(0).getString(0)
-      rules += (i -> best)
-      val Array(a, b) = best.split(" ", 2)
-      // tokens are alphabetic by construction — safe to inline in the expr
-      words = words
-        .withColumn("seq", expr(s"replace(seq, '($a)($b)', '($a$b)')"))
-        .localCheckpoint()
+        .collect()
+      if (top.isEmpty) exhausted = true // every word fully merged: stop early
+      else {
+        val best = top(0).getString(0)
+        rules += (i -> best)
+        val Array(a, b) = best.split(" ", 2)
+        // tokens are alphabetic by construction — safe to inline in the expr
+        words = words
+          .withColumn("seq", expr(s"replace(seq, '($a)($b)', '($a$b)')"))
+          .localCheckpoint()
+      }
     }
     import spark.implicits._
     rules.toSeq.toDF("rank", "pair")

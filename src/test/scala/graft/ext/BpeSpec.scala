@@ -39,6 +39,13 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(raw === Seq((1L, 3L + 3L + 1L), (2L, 5L)))
   }
 
+  test("merge budget past exhaustion stops early instead of crashing") {
+    // "ab" x1: one learnable pair, then every word is a single symbol
+    assert(train(Seq("ab"), 5) === Seq("a b"))
+    // an empty/filtered-out corpus learns nothing
+    assert(train(Seq("42 99 !!"), 3) === Seq.empty)
+  }
+
   test("non-alphabetic and case-folded words: filtered and merged consistently") {
     // "Ab AB ab" all fold to "ab"; "x9" and "!" are dropped by the
     // alphabetic filter, so the only learnable pair is (a,b)
