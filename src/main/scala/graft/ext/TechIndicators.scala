@@ -87,8 +87,12 @@ object TechIndicators {
     val vals = collect_list(col(valueCol))
       .over(keyedWindow(keyCol, orderCols).rowsBetween(-(period - 1), 0))
     val n = size(vals).cast("double")
-    val s1 = aggregate(vals, lit(0.0), (acc, x) => acc + x)
-    val s2 = aggregate(vals, lit(0.0), (acc, x) => acc + x * x)
+    // both sums in ONE primitive-loop kernel: the `aggregate` HOF spelling
+    // paid an interpreted lambda per element per fold — the whole gate
+    // cost at sf0.1; summation order (hence bits) is unchanged
+    val st = graft.functions.FoldStats.foldStats(vals)
+    val s1 = st.getField("s1")
+    val s2 = st.getField("s2")
     val ma = s1 / n
     val varS = (s2 - s1 * s1 / n) / (n - 1)
     val sd = when(n < 2, lit(null))
