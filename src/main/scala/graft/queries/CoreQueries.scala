@@ -981,6 +981,23 @@ object CoreQueries {
             col("mn"), col("mx"))
       }),
 
+    // leave-one-out target encoding: the leakage-safe categorical mean.
+    // Subtraction-then-divide is per-row exact given the category sum;
+    // the sum itself re-associates across engines -> round 4 like the
+    // other grouped float-sum gates.
+    GQ("feat_target_encode_loo",
+      Some("""SELECT o_orderkey,
+             |  round((s - o_totalprice) / (n - 1), 4) AS te_loo
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |        sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s,
+             |        count(o_totalprice) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM orders) t
+             |""".stripMargin),
+      (spark, dir) =>
+        graft.ops.FeatureOps.targetEncodeLoo(Tables.orders(spark, dir),
+            "o_orderpriority", "o_totalprice")
+          .select(col("o_orderkey"), round(col("te_loo"), 4).as("te_loo"))),
+
     // incremental JOIN maintenance: the delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB.
     // Base = even order/customer keys, deltas = odd; old view ∪ delta must
     // equal the full join — which is exactly the oracle.
