@@ -50,12 +50,23 @@ object AsOfJoin {
     *                    `dedupByKeyOrdered(desc)` would keep). Empty =
     *                    caller guarantees uniqueness, as before.
     */
+  /** @param direction "backward" (default: greatest right-time ≤ left-time
+    *                   — the leakage-safe form), "forward" (least
+    *                   right-time ≥ left-time), or "nearest" (whichever of
+    *                   the two is closer in time; exact-distance ties take
+    *                   the BACKWARD match). pandas `merge_asof` parity.
+    *                   Forward/nearest look into the future by definition —
+    *                   reference-data repair jobs, not training joins.
+    */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightAttrs: Seq[String],
            tolerance: Option[(Column, Column) => Column] = None,
-           rightTieBreak: Seq[String] = Nil): DataFrame = {
+           rightTieBreak: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
 
     // SQL ASOF equality semantics: NULL = NULL is NO match, and a NULL-time
@@ -95,13 +106,52 @@ object AsOfJoin {
     // last-in-order right row among equal times is the one `last()`
     // carries, which IS the keep-max dedup — at the cost of extra sort
     // keys in the one existing window sort, not a separate pass.
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc +: col("__side").asc +:
+    // backward: ascending-time scan, carry the last right row seen.
+    // forward: the SAME carry under a DESCENDING-time scan — "last seen
+    // from +∞ downward" IS the least right-time ≥ left-time. In both, right
+    // rows order before left rows at equal time (ties match, >= / <=
+    // semantics) and the tie-break stays ascending (last = max wins).
+    def carryWindow(timeOrd: Column) = Window.partitionBy(col("__k"))
+      .orderBy(timeOrd +: col("__side").asc +:
         rightTieBreak.map(a => col("__r").getField(a).asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = carryWindow(col("__t").asc)
+    val wF = carryWindow(col("__t").desc)
 
-    val carried = l.unionByName(r)
-      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+    val unioned = l.unionByName(r)
+    val carried = direction match {
+      case "backward" => unioned
+        .withColumn("__c", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" => unioned
+        .withColumn("__c", last(col("__r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        // both carries in one pass over the union: same key exchange, two
+        // in-partition sorts; per row keep the temporally closer match,
+        // exact ties -> backward. Distances in double seconds; NTZ times
+        // route through TimestampType first (the direct double cast is
+        // disallowed) — wall-clock-preserving under the UTC sessions here.
+        import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+        def secs(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+          case TimestampType | TimestampNTZType => c.cast(TimestampType).cast("double")
+          case _: NumericType => c.cast("double")
+          case other => throw new IllegalArgumentException(
+            s"nearest as-of needs timestamp or numeric times, got ${other.sql}")
+        }
+        val lt = secs(col("__t"), left.schema(leftTime).dataType)
+        val rtOf = (c: Column) =>
+          secs(c.getField("__rt"), right.schema(rightTime).dataType)
+        val both = unioned
+          .withColumn("__cb", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__cf", last(col("__r"), ignoreNulls = true).over(wF))
+        val db = abs(lt - rtOf(col("__cb")))
+        val df = abs(rtOf(col("__cf")) - lt)
+        both.withColumn("__c",
+            when(col("__cb").isNull, col("__cf"))
+              .when(col("__cf").isNull, col("__cb"))
+              .when(df < db, col("__cf"))
+              .otherwise(col("__cb")))
+          .drop("__cb", "__cf")
+    }
 
     val matched = tolerance match {
       case None => col("__c")

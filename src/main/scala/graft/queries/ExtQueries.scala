@@ -1874,6 +1874,64 @@ object ExtQueries {
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
       }),
 
+    // FORWARD as-of: least right-time >= left-time (merge_asof
+    // direction='forward') — same one-window machinery under a descending
+    // scan; DuckDB's ASOF takes the <= condition natively.
+    GQ("asof_forward",
+      Some("""WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |                     ORDER BY o_orderkey DESC) AS rn FROM orders),
+             |rr AS (SELECT * FROM r WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+             |FROM events e ASOF LEFT JOIN rr
+             |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) <= rr.o_orderdate
+             |""".stripMargin),
+      (spark, dir) =>
+        graft.ops.AsOfJoin.asOf(
+          Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+          Tables.orders(spark, dir),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightAttrs = Seq("o_orderkey", "o_totalprice"),
+          rightTieBreak = Seq("o_orderkey"), direction = "forward")
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
+
+    // NEAREST as-of: the temporally closer of the backward and forward
+    // matches, exact-distance ties -> backward (merge_asof
+    // direction='nearest'). Oracle: both ASOF directions joined back and
+    // chosen per row with the same strict-< rule.
+    GQ("asof_nearest",
+      Some("""WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |                     ORDER BY o_orderkey DESC) AS rn FROM orders),
+             |rr AS (SELECT * FROM r WHERE rn = 1),
+             |b AS (SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             |        rr.o_orderkey AS bk, rr.o_totalprice AS bp, rr.o_orderdate AS bt
+             |      FROM events e ASOF LEFT JOIN rr
+             |        ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate),
+             |f AS (SELECT e.event_id, rr.o_orderkey AS fk, rr.o_totalprice AS fp,
+             |        rr.o_orderdate AS ft
+             |      FROM events e ASOF LEFT JOIN rr
+             |        ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) <= rr.o_orderdate)
+             |SELECT b.event_id, b.user_id,
+             |  CASE WHEN bk IS NULL THEN fk WHEN fk IS NULL THEN bk
+             |       WHEN abs(epoch(ft) - epoch(ts)) < abs(epoch(ts) - epoch(bt)) THEN fk
+             |       ELSE bk END AS o_orderkey,
+             |  CASE WHEN bk IS NULL THEN fp WHEN fk IS NULL THEN bp
+             |       WHEN abs(epoch(ft) - epoch(ts)) < abs(epoch(ts) - epoch(bt)) THEN fp
+             |       ELSE bp END AS o_totalprice
+             |FROM b JOIN f USING (event_id)
+             |""".stripMargin),
+      (spark, dir) =>
+        graft.ops.AsOfJoin.asOf(
+          Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+          Tables.orders(spark, dir),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightAttrs = Seq("o_orderkey", "o_totalprice"),
+          rightTieBreak = Seq("o_orderkey"), direction = "nearest")
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
+
     // ----- as-of join via the CUSTOM PHYSICAL OPERATOR -----------------------
     // Same query as asof_event_order, executed by AsOfMergeJoinExec (custom
     // LogicalPlan + Strategy + SparkPlan): children clustered on the key,

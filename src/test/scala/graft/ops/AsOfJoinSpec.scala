@@ -39,6 +39,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(15L).isEmpty, "unknown key stays null")
   }
 
+  test("asOf directions: forward takes the next quote, nearest the closer side (ties backward)") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 12:00:00"), 2.0),
+    ).toDF("k", "t", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10L), // before all: fwd/near -> 1.0, back -> null
+      ("A", ts("2024-01-01 10:30:00"), 11L), // back 1.0; fwd 2.0; nearer to 10:00 -> 1.0
+      ("A", ts("2024-01-01 11:30:00"), 12L), // nearer to 12:00 -> 2.0
+      ("A", ts("2024-01-01 11:00:00"), 13L), // EXACT midpoint: tie -> backward 1.0
+      ("A", ts("2024-01-01 13:00:00"), 14L), // after all: fwd -> null, near -> 2.0
+    ).toDF("k", "t", "qty")
+    def run(d: String) = AsOfJoin.asOf(trades, quotes, "k", "k", "t", "t",
+      Seq("px"), direction = d)
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    val fwd = run("forward")
+    assert(fwd(10L).contains(1.0) && fwd(11L).contains(2.0) &&
+      fwd(13L).contains(2.0) && fwd(14L).isEmpty)
+    val near = run("nearest")
+    assert(near(10L).contains(1.0), "only a future quote exists")
+    assert(near(11L).contains(1.0) && near(12L).contains(2.0))
+    assert(near(13L).contains(1.0), "equidistant tie must take the backward match")
+    assert(near(14L).contains(2.0), "only a past quote exists")
+  }
+
   test("asOf takes ALL attrs from the matched row — a NULL attr stays NULL") {
     val quotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), Some(1.0), Some(100L)),
