@@ -29,4 +29,33 @@ object FeatureOps {
           .otherwise((col("__s") - col(targetCol)) / (col("__n") - 1)))
       .drop("__s", "__n")
   }
+
+  /** K-fold out-of-fold target encoding — the practitioner form of
+    * [[targetEncodeLoo]] (LOO is its k = n limit): each row is encoded
+    * with the category mean computed over the OTHER folds,
+    * (Σ_cat − Σ_cat,fold) / (n_cat − n_cat,fold). The fold column comes
+    * from the caller (any deterministic assigner — `Splits.splitByHash`,
+    * a key modulus, …): fold policy and encoding stay decoupled.
+    *
+    * One (category, fold) aggregate — cardinality × k rows — rolled up to
+    * per-category totals WITHOUT rescanning the facts, both broadcast back
+    * onto the scan; NULL when the out-of-fold slice is empty.
+    */
+  def targetEncodeKFold(df: DataFrame, categoryCol: String, targetCol: String,
+                        foldCol: String, outCol: String = "te_oof"): DataFrame = {
+    val perFold = df.groupBy(col(categoryCol), col(foldCol))
+      .agg(sum(col(targetCol)).as("__sf"), count(col(targetCol)).as("__nf"))
+    // category totals as a WINDOW over the tiny per-fold relation — sums
+    // the k fold sums, so the engine-side float order is (fold partials,
+    // then k-term rollup); the oracle mirrors that exact shape
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(categoryCol))
+    val stats = perFold
+      .withColumn("__s", sum(col("__sf")).over(w))
+      .withColumn("__n", sum(col("__nf")).over(w))
+    df.join(broadcast(stats), Seq(categoryCol, foldCol))
+      .withColumn(outCol,
+        when(col("__n") === col("__nf"), lit(null))
+          .otherwise((col("__s") - col("__sf")) / (col("__n") - col("__nf"))))
+      .drop("__sf", "__nf", "__s", "__n")
+  }
 }

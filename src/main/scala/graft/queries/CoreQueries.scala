@@ -998,6 +998,31 @@ object CoreQueries {
             "o_orderpriority", "o_totalprice")
           .select(col("o_orderkey"), round(col("te_loo"), 4).as("te_loo"))),
 
+    // k-fold out-of-fold target encoding (the practitioner form; LOO above
+    // is its k=n limit). Oracle mirrors the exact aggregation SHAPE —
+    // per-(category, fold) sums rolled up per category — so both engines
+    // run the same two-level float summation; round 4 as ever.
+    GQ("feat_target_encode_kfold",
+      Some("""WITH pf AS (SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+             |         sum(o_totalprice) AS sf, count(o_totalprice) AS nf
+             |       FROM orders GROUP BY 1, 2),
+             |st AS (SELECT cat, fold, sf, nf,
+             |         sum(sf) OVER (PARTITION BY cat) AS s,
+             |         CAST(sum(nf) OVER (PARTITION BY cat) AS BIGINT) AS n
+             |       FROM pf)
+             |SELECT o.o_orderkey,
+             |  round(CASE WHEN st.n = st.nf THEN NULL
+             |        ELSE (st.s - st.sf) / (st.n - st.nf) END, 4) AS te_oof
+             |FROM orders o
+             |JOIN st ON o.o_orderpriority = st.cat AND o.o_orderkey % 5 = st.fold
+             |""".stripMargin),
+      (spark, dir) =>
+        graft.ops.FeatureOps.targetEncodeKFold(
+            Tables.orders(spark, dir)
+              .withColumn("fold", col("o_orderkey") % 5),
+            "o_orderpriority", "o_totalprice", "fold")
+          .select(col("o_orderkey"), round(col("te_oof"), 4).as("te_oof"))),
+
     // incremental JOIN maintenance: the delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB.
     // Base = even order/customer keys, deltas = odd; old view ∪ delta must
     // equal the full join — which is exactly the oracle.

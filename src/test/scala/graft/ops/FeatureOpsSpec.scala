@@ -8,6 +8,24 @@ import graft.SparkSpec
 class FeatureOpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("k-fold OOF encoding uses only other folds; single-fold categories are NULL") {
+    val df = Seq(
+      // cat "a": fold 0 holds {10}, fold 1 holds {20, 30}
+      ("a", 0, 10.0), ("a", 1, 20.0), ("a", 1, 30.0),
+      // cat "b": one fold only -> out-of-fold slice empty -> NULL
+      ("b", 0, 5.0), ("b", 0, 7.0),
+    ).toDF("cat", "fold", "y")
+    val got = FeatureOps.targetEncodeKFold(df, "cat", "y", "fold")
+      .select("cat", "fold", "y", "te_oof")
+      .as[(String, Int, Double, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("a", 0, 10.0, Some(25.0)),  // mean of fold 1 = (20+30)/2
+      ("a", 1, 20.0, Some(10.0)),  // mean of fold 0
+      ("a", 1, 30.0, Some(10.0)),
+      ("b", 0, 5.0, None),
+      ("b", 0, 7.0, None)))
+  }
+
   test("LOO encoding excludes the row's own target; singletons and NULL targets are NULL") {
     val df = Seq(
       ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
