@@ -103,6 +103,37 @@ object AggOps {
       .agg(graft.functions.ThetaSketchOps
         .thetaSketchAgg(col(target), lgNomEntries).as("theta_sketch"))
 
+  /** Trailing-window distinct counts from per-bucket theta sketches: the
+    * dashboard query plain SQL cannot slide — COUNT(DISTINCT) is
+    * NON-additive, so "distinct users in the trailing k days" classically
+    * recounts every window from raw events (k× the scan) — while sketch
+    * union IS additive: sketch each bucket once from one scan of the raw
+    * data, then a RANGE window over the tiny bucket relation unions k
+    * sketches per row. The window is unpartitioned by design: its input is
+    * one row per bucket (days, not events), trivially safe at any corpus
+    * scale — the same justified-SinglePartition posture as the ANN recall
+    * gates. Estimates are exact under `lgNomEntries` saturation.
+    *
+    * Input: (bucketCol ascending-comparable numeric, idCol long-castable).
+    * Output: (bucket, trailing_distinct) — one row per bucket,
+    * RANGE frame [bucket − trailing + 1, bucket] (calendar semantics:
+    * bucket GAPS count toward the trailing span).
+    */
+  def thetaTrailingDistinct(df: DataFrame, bucketCol: String, idCol: String,
+                            trailing: Int, lgNomEntries: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketchOps._
+    require(trailing >= 1, "trailing must be >= 1")
+    val buckets = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(thetaSketchAgg(col(idCol), lgNomEntries).as("__sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")).rangeBetween(-(trailing - 1), 0)
+    buckets
+      .withColumn("trailing_distinct",
+        round(thetaEstimate(thetaUnionAgg(col("__sk"), lgNomEntries).over(w)))
+          .cast("long"))
+      .drop("__sk")
+  }
+
   /** Pairwise audience overlap from per-group theta sketches: for every
     * unordered group pair (a < b), |A∩B|, |A\B| and |A∪B| estimates —
     * EXACT while sketches stay under their nominal entries, bounded-error

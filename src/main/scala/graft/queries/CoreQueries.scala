@@ -1249,6 +1249,25 @@ object CoreQueries {
           .select("l_returnflag", "n_distinct")
       }),
 
+    // trailing-window distinct users via theta-sketch union: distinct is
+    // non-additive, sketch union is — one event scan builds day sketches,
+    // a RANGE window over the 31-row bucket relation unions 7 per day.
+    // Exact under saturation, so the oracle is DuckDB's direct trailing
+    // recount.
+    GQ("theta_trailing_distinct",
+      Some("""WITH b AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS bucket,
+             |                user_id FROM events),
+             |d AS (SELECT DISTINCT bucket FROM b)
+             |SELECT d.bucket, CAST(count(DISTINCT x.user_id) AS BIGINT) AS trailing_distinct
+             |FROM d JOIN b x ON x.bucket BETWEEN d.bucket - 6 AND d.bucket
+             |GROUP BY d.bucket""".stripMargin),
+      (spark, dir) =>
+        AggOps.thetaTrailingDistinct(
+          Tables.events(spark, dir)
+            .select(expr("unix_micros(ts) div 86400000000").as("day"),
+              col("user_id")),
+          "day", "user_id", trailing = 7)),
+
     // mergeable QUANTILE sketches (DataSketches KLL — Spark ships no
     // storable quantile state): per-(flag,status) sketches of
     // l_extendedprice union-merged to per-flag DECILES, the same

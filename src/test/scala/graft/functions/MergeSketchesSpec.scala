@@ -88,6 +88,22 @@ class MergeSketchesSpec extends AnyFunSuite with SparkSpec {
       ("b", "c", 0L, 3L, 4L)))
   }
 
+  test("theta trailing distinct: RANGE frame honors bucket gaps; counts exact under saturation") {
+    val df = Seq(
+      (1L, 10L), (1L, 11L),
+      (2L, 11L), (2L, 12L),
+      // bucket 3 missing entirely — a gap the RANGE frame must respect
+      (4L, 13L),
+      (5L, 10L), (5L, 13L)).toDF("day", "uid")
+    val got = AggOps.thetaTrailingDistinct(df, "day", "uid", trailing = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 2L,   // {10,11}
+      2L -> 3L,   // {10,11} ∪ {11,12}
+      4L -> 1L,   // bucket 3 absent: frame [3,4] holds only {13}
+      5L -> 2L))  // {13} ∪ {10,13} = {10,13}
+  }
+
   test("theta: sketches merge across partitions (serialize path) and union-agg rolls up") {
     import graft.functions.ThetaSketchOps._
     val ev = Tables.events(spark, sfDir).repartition(7)
