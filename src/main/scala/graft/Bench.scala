@@ -94,8 +94,12 @@ object Bench {
       // A/B, 4 runs each way: every cgfalse run beat its default neighbor,
       // median delta ~5 s / ~6%). Semantics unaffected; Verify keeps engine
       // defaults.
+      // 4000: the round-8 registry compiles ~1800 distinct sources across
+      // warm-up + timed run — at the old 2000 cap, LRU eviction was one
+      // registry growth spurt away from re-compiling early-warmed classes
+      // inside the timed loop
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .config("spark.sql.codegen.useIdInClassName",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
       // Optimizer constraint propagation is O(plan-width^2) per node, paid
