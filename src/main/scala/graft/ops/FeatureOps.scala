@@ -30,6 +30,29 @@ object FeatureOps {
       .drop("__s", "__n")
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-selection screen (how much does knowing X tell you about Y)
+    * that at 100 TB must come from ONE contingency aggregate, not
+    * per-category scans: a single (x, y) groupBy count, marginals as
+    * window sums over the tiny contingency relation, then
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) summed over its rows. NULL
+    * categories participate as their own level (they carry information);
+    * result is one row, in nats.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    cells
+      .withColumn("__n", sum(col("__nxy")).over(w.partitionBy()))
+      .withColumn("__nx", sum(col("__nxy")).over(w.partitionBy(col("__x"))))
+      .withColumn("__ny", sum(col("__nxy")).over(w.partitionBy(col("__y"))))
+      .select(((col("__nxy") / col("__n")) *
+        log((col("__nxy") * col("__n")) / (col("__nx") * col("__ny"))))
+        .as("__term"))
+      .agg(sum(col("__term")).as("mi_nats"))
+  }
+
   /** K-fold out-of-fold target encoding — the practitioner form of
     * [[targetEncodeLoo]] (LOO is its k = n limit): each row is encoded
     * with the category mean computed over the OTHER folds,

@@ -998,6 +998,24 @@ object CoreQueries {
             "o_orderpriority", "o_totalprice")
           .select(col("o_orderkey"), round(col("te_loo"), 4).as("te_loo"))),
 
+    // mutual information between two categoricals from ONE contingency
+    // aggregate (marginals as window sums over the tiny cell relation).
+    // Both engines promote integer division to double and share ln's
+    // 1-ulp class -> round 6.
+    GQ("feat_mutual_information",
+      Some("""WITH c AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+             |         count(*) AS nxy FROM orders GROUP BY 1, 2),
+             |m AS (SELECT nxy,
+             |        sum(nxy) OVER () AS n,
+             |        sum(nxy) OVER (PARTITION BY x) AS nx,
+             |        sum(nxy) OVER (PARTITION BY y) AS ny FROM c)
+             |SELECT round(sum((nxy / n) * ln(nxy * n / (nx * ny))), 6) AS mi_nats
+             |FROM m""".stripMargin),
+      (spark, dir) =>
+        graft.ops.FeatureOps.mutualInformation(Tables.orders(spark, dir),
+            "o_orderpriority", "o_orderstatus")
+          .select(round(col("mi_nats"), 6).as("mi_nats"))),
+
     // k-fold out-of-fold target encoding (the practitioner form; LOO above
     // is its k=n limit). Oracle mirrors the exact aggregation SHAPE —
     // per-(category, fold) sums rolled up per category — so both engines

@@ -8,6 +8,17 @@ import graft.SparkSpec
 class FeatureOpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("mutual information: 0 for independent, ln(2) for a 2-level bijection") {
+    // perfectly dependent: y = x over two equiprobable levels -> MI = ln 2
+    val dep = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")).toDF("x", "y")
+    val miDep = FeatureOps.mutualInformation(dep, "x", "y").as[Double].head()
+    assert(math.abs(miDep - math.log(2.0)) < 1e-12)
+    // independent uniform 2x2 -> every cell p=1/4 = px*py -> MI = 0
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")).toDF("x", "y")
+    val miInd = FeatureOps.mutualInformation(ind, "x", "y").as[Double].head()
+    assert(math.abs(miInd) < 1e-12)
+  }
+
   test("k-fold OOF encoding uses only other folds; single-fold categories are NULL") {
     val df = Seq(
       // cat "a": fold 0 holds {10}, fold 1 holds {20, 30}
