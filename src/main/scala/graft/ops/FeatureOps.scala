@@ -53,6 +53,32 @@ object FeatureOps {
       .agg(sum(col("__term")).as("mi_nats"))
   }
 
+  /** Cramér's V association between two categoricals — [[mutualInformation]]'s
+    * normalized companion (0..1, comparable across tables): χ² from the
+    * same single contingency aggregate, V = √(χ²/(n·(min(r,c)−1))).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val m = cells
+      .withColumn("__n", sum(col("__nxy")).over(w.partitionBy()))
+      .withColumn("__nx", sum(col("__nxy")).over(w.partitionBy(col("__x"))))
+      .withColumn("__ny", sum(col("__nxy")).over(w.partitionBy(col("__y"))))
+    // expected count E = nx·ny/n; observed-zero cells are ABSENT from the
+    // contingency relation, so add their Σ E over missing cells via the
+    // identity Σ_all E = n: chi2 = Σ_present (O−E)²/E + (n − Σ_present E)
+    m.agg(
+        sum(pow(col("__nxy") - col("__nx") * col("__ny") / col("__n"), 2) /
+          (col("__nx") * col("__ny") / col("__n"))).as("__chiP"),
+        (max(col("__n")) - sum(col("__nx") * col("__ny") / col("__n"))).as("__chiZ"),
+        max(col("__n")).as("__n"),
+        countDistinct(col("__x")).as("__r"),
+        countDistinct(col("__y")).as("__c"))
+      .select(sqrt((col("__chiP") + col("__chiZ")) /
+        (col("__n") * (least(col("__r"), col("__c")) - 1))).as("cramers_v"))
+  }
+
   /** K-fold out-of-fold target encoding — the practitioner form of
     * [[targetEncodeLoo]] (LOO is its k = n limit): each row is encoded
     * with the category mean computed over the OTHER folds,

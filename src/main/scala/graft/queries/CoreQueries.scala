@@ -1016,6 +1016,25 @@ object CoreQueries {
             "o_orderpriority", "o_orderstatus")
           .select(round(col("mi_nats"), 6).as("mi_nats"))),
 
+    // Cramér's V from the same contingency machinery: χ² with observed-zero
+    // cells folded in via Σ_all E = n (absent cells contribute exactly
+    // their expected count), normalized to 0..1.
+    GQ("feat_cramers_v",
+      Some("""WITH c AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+             |         count(*) AS nxy FROM orders GROUP BY 1, 2),
+             |m AS (SELECT x, y, nxy,
+             |        sum(nxy) OVER () AS n,
+             |        sum(nxy) OVER (PARTITION BY x) AS nx,
+             |        sum(nxy) OVER (PARTITION BY y) AS ny FROM c)
+             |SELECT round(sqrt(
+             |  (sum(pow(nxy - nx * ny / n, 2) / (nx * ny / n)) + (max(n) - sum(nx * ny / n)))
+             |  / (max(n) * (least(count(DISTINCT x), count(DISTINCT y)) - 1))), 6) AS cramers_v
+             |FROM m""".stripMargin),
+      (spark, dir) =>
+        graft.ops.FeatureOps.cramersV(Tables.orders(spark, dir),
+            "o_orderpriority", "o_orderstatus")
+          .select(round(col("cramers_v"), 6).as("cramers_v"))),
+
     // k-fold out-of-fold target encoding (the practitioner form; LOO above
     // is its k=n limit). Oracle mirrors the exact aggregation SHAPE —
     // per-(category, fold) sums rolled up per category — so both engines

@@ -19,6 +19,16 @@ class FeatureOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(miInd) < 1e-12)
   }
 
+  test("Cramér's V: 1 for a bijection, 0 for independence; empty cells handled") {
+    val dep = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")).toDF("x", "y")
+    assert(math.abs(FeatureOps.cramersV(dep, "x", "y").as[Double].head() - 1.0) < 1e-12)
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")).toDF("x", "y")
+    assert(math.abs(FeatureOps.cramersV(ind, "x", "y").as[Double].head()) < 1e-12)
+    // the bijection case above already exercises ABSENT cells ((a,q),(b,p)
+    // never occur): V=1 is only reached because their expected counts fold
+    // in through the sum-of-expectations identity
+  }
+
   test("k-fold OOF encoding uses only other folds; single-fold categories are NULL") {
     val df = Seq(
       // cat "a": fold 0 holds {10}, fold 1 holds {20, 30}
