@@ -40,9 +40,16 @@ case class FoldStats(child: Expression)
     var s2 = 0.0
     var i = 0
     while (i < n) {
-      val x = arr.getDouble(i)
-      s1 += x
-      s2 += x * x
+      // NULL slots are skipped like SQL SUM skips NULLs — an unguarded
+      // getDouble would silently read UnsafeArrayData's zeroed slot as 0.0,
+      // which is only accidentally right for s1 and wrong in spirit for
+      // both. The Bollinger path's collect_list never emits nulls; this
+      // guards the registered SQL surface.
+      if (!arr.isNullAt(i)) {
+        val x = arr.getDouble(i)
+        s1 += x
+        s2 += x * x
+      }
       i += 1
     }
     new GenericInternalRow(Array[Any](s1, s2))

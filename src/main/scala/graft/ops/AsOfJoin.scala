@@ -115,8 +115,12 @@ object AsOfJoin {
       .orderBy(timeOrd +: col("__side").asc +:
         rightTieBreak.map(a => col("__r").getField(a).asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // asc is NULLS FIRST, so a NULL-time left row precedes every right row in
+    // the backward scan and carries no match; the descending scan must pin
+    // NULLS FIRST explicitly (desc defaults to NULLS LAST, which would sort a
+    // NULL-time left row after all right rows and hand it the earliest one).
     val wB = carryWindow(col("__t").asc)
-    val wF = carryWindow(col("__t").desc)
+    val wF = carryWindow(col("__t").desc_nulls_first)
 
     val unioned = l.unionByName(r)
     val carried = direction match {

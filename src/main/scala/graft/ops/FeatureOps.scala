@@ -21,13 +21,17 @@ object FeatureOps {
     */
   def targetEncodeLoo(df: DataFrame, categoryCol: String, targetCol: String,
                       outCol: String = "te_loo"): DataFrame = {
-    val stats = df.groupBy(col(categoryCol))
+    // Null-safe key (<=>): groupBy keeps NULL as its own category group, and
+    // the join-back must keep those rows too — a plain equi-join would
+    // silently drop every NULL-category row, diverging from the window
+    // formulation that preserves all input rows.
+    val stats = df.groupBy(col(categoryCol).as("__cat"))
       .agg(sum(col(targetCol)).as("__s"), count(col(targetCol)).as("__n"))
-    df.join(broadcast(stats), Seq(categoryCol))
+    df.join(broadcast(stats), col(categoryCol) <=> col("__cat"))
       .withColumn(outCol,
         when(col("__n") < 2 || col(targetCol).isNull, lit(null))
           .otherwise((col("__s") - col(targetCol)) / (col("__n") - 1)))
-      .drop("__s", "__n")
+      .drop("__cat", "__s", "__n")
   }
 
   /** Mutual information between two categorical columns — the
@@ -68,15 +72,23 @@ object FeatureOps {
     // expected count E = nx·ny/n; observed-zero cells are ABSENT from the
     // contingency relation, so add their Σ E over missing cells via the
     // identity Σ_all E = n: chi2 = Σ_present (O−E)²/E + (n − Σ_present E)
+    // Level counts must mirror the χ² terms: the window partitions treat a
+    // NULL category as its own level, so count it as one too — countDistinct
+    // over a (isNull, value) struct (a bare countDistinct drops NULLs and
+    // would overestimate V whenever NULLs are present). A degenerate table
+    // (either column constant, or only NULLs → r or c = 1) has no
+    // association to measure: min(r,c)−1 ≤ 0, so return NULL rather than
+    // Inf/NaN.
     m.agg(
         sum(pow(col("__nxy") - col("__nx") * col("__ny") / col("__n"), 2) /
           (col("__nx") * col("__ny") / col("__n"))).as("__chiP"),
         (max(col("__n")) - sum(col("__nx") * col("__ny") / col("__n"))).as("__chiZ"),
         max(col("__n")).as("__n"),
-        countDistinct(col("__x")).as("__r"),
-        countDistinct(col("__y")).as("__c"))
-      .select(sqrt((col("__chiP") + col("__chiZ")) /
-        (col("__n") * (least(col("__r"), col("__c")) - 1))).as("cramers_v"))
+        countDistinct(struct(col("__x").isNull, col("__x"))).as("__r"),
+        countDistinct(struct(col("__y").isNull, col("__y"))).as("__c"))
+      .select(when(least(col("__r"), col("__c")) > 1,
+        sqrt((col("__chiP") + col("__chiZ")) /
+          (col("__n") * (least(col("__r"), col("__c")) - 1)))).as("cramers_v"))
   }
 
   /** K-fold out-of-fold target encoding — the practitioner form of
@@ -92,19 +104,22 @@ object FeatureOps {
     */
   def targetEncodeKFold(df: DataFrame, categoryCol: String, targetCol: String,
                         foldCol: String, outCol: String = "te_oof"): DataFrame = {
-    val perFold = df.groupBy(col(categoryCol), col(foldCol))
+    // Null-safe keys, as in [[targetEncodeLoo]]: NULL category or fold rows
+    // form their own groups and must survive the join-back.
+    val perFold = df.groupBy(col(categoryCol).as("__cat"), col(foldCol).as("__fold"))
       .agg(sum(col(targetCol)).as("__sf"), count(col(targetCol)).as("__nf"))
     // category totals as a WINDOW over the tiny per-fold relation — sums
     // the k fold sums, so the engine-side float order is (fold partials,
     // then k-term rollup); the oracle mirrors that exact shape
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(categoryCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cat"))
     val stats = perFold
       .withColumn("__s", sum(col("__sf")).over(w))
       .withColumn("__n", sum(col("__nf")).over(w))
-    df.join(broadcast(stats), Seq(categoryCol, foldCol))
+    df.join(broadcast(stats),
+        col(categoryCol) <=> col("__cat") && col(foldCol) <=> col("__fold"))
       .withColumn(outCol,
         when(col("__n") === col("__nf"), lit(null))
           .otherwise((col("__s") - col("__sf")) / (col("__n") - col("__nf"))))
-      .drop("__sf", "__nf", "__s", "__n")
+      .drop("__cat", "__fold", "__sf", "__nf", "__s", "__n")
   }
 }

@@ -64,6 +64,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(near(14L).contains(2.0), "only a past quote exists")
   }
 
+  test("asOf: NULL left time matches nothing in every direction") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 12:00:00"), 2.0),
+    ).toDF("k", "t", "px")
+    val trades = Seq(
+      ("A", Option(ts("2024-01-01 11:00:00")), 10L),
+      ("A", Option.empty[Timestamp], 11L), // NULL time: never "at or before"/"at or after" anything
+    ).toDF("k", "t", "qty")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val out = AsOfJoin.asOf(trades, quotes, "k", "k", "t", "t",
+        Seq("px"), direction = d)
+        .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+      assert(out(11L).isEmpty, s"NULL left time must carry no match (direction=$d)")
+      assert(out(10L).nonEmpty, s"non-null row still matches (direction=$d)")
+    }
+  }
+
   test("asOf takes ALL attrs from the matched row — a NULL attr stays NULL") {
     val quotes = Seq(
       ("A", ts("2024-01-01 10:00:00"), Some(1.0), Some(100L)),

@@ -29,6 +29,40 @@ class FeatureOpsSpec extends AnyFunSuite with SparkSpec {
     // in through the sum-of-expectations identity
   }
 
+  test("Cramér's V: NULL is a level (matches χ² terms); degenerate tables give NULL") {
+    // y = (x is null): perfect association, but only if NULL counts as a level
+    val dep = Seq((Some("a"), "p"), (Some("a"), "p"),
+      (Option.empty[String], "q"), (Option.empty[String], "q")).toDF("x", "y")
+    assert(math.abs(FeatureOps.cramersV(dep, "x", "y")
+      .as[Option[Double]].head().get - 1.0) < 1e-12)
+    // constant x -> min(r,c)-1 = 0: no association measurable -> NULL, not Inf
+    val const = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    assert(FeatureOps.cramersV(const, "x", "y").as[Option[Double]].head().isEmpty)
+    // all-NULL x is a single level too -> NULL
+    val allNull = Seq((Option.empty[String], "p"), (Option.empty[String], "q")).toDF("x", "y")
+    assert(FeatureOps.cramersV(allNull, "x", "y").as[Option[Double]].head().isEmpty)
+  }
+
+  test("target encodings keep NULL-category rows (null-safe join-back)") {
+    val df = Seq(
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Some("a"), 5.0), (Some("a"), 7.0),
+    ).toDF("cat", "y")
+    val loo = FeatureOps.targetEncodeLoo(df, "cat", "y")
+      .select("cat", "y", "te_loo")
+      .as[(Option[String], Double, Option[Double])].collect().toSet
+    assert(loo === Set(
+      (None, 10.0, Some(20.0)), (None, 20.0, Some(10.0)),
+      (Some("a"), 5.0, Some(7.0)), (Some("a"), 7.0, Some(5.0))),
+      "NULL category is its own group and every input row survives")
+    val kf = FeatureOps.targetEncodeKFold(
+        df.withColumn("fold", (col("y") > 10.0).cast("int")), "cat", "y", "fold")
+      .select("cat", "y", "te_oof")
+      .as[(Option[String], Double, Option[Double])].collect().toSet
+    assert(kf.map(_._1).contains(None) && kf.size === 4,
+      "k-fold join-back keeps NULL-category rows too")
+  }
+
   test("k-fold OOF encoding uses only other folds; single-fold categories are NULL") {
     val df = Seq(
       // cat "a": fold 0 holds {10}, fold 1 holds {20, 30}
