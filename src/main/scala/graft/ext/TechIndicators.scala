@@ -73,26 +73,31 @@ object TechIndicators {
 
   /** Bollinger bands: SMA(period) ± k·σ_sample(period).
     *
-    * Mean and σ come from LEFT-FOLD Σx / Σx² over the collected frame, not
-    * the built-in windowed avg/stddev: the engines' windowed aggregates
-    * re-associate differently (segment tree vs sequential), and a ~1e-9
-    * drift at a rounding-grid midpoint flips the displayed digit (observed
-    * 5 cells in 30 k at round-4). The fold executes the same float ops in
-    * the same order in both dialects — bit-identical — at the cost of the
-    * textbook two-pass stability, which at period≈20 and double precision
-    * is noise.
+    * Mean and σ come from Σx / Σx² computed SEQUENTIALLY over the bounded
+    * frame, not the engines' tree-associated windowed avg/stddev: windowed
+    * aggregates re-associate differently across engines (segment tree vs
+    * sequential), and a ~1e-9 drift at a rounding-grid midpoint flips the
+    * displayed digit (observed 5 cells in 30 k at round-4).
+    *
+    * Spark evaluates a BOUNDED sliding frame by re-initializing the
+    * aggregation buffer and updating it over the frame's rows in row order
+    * for every output row (`SlidingWindowFunctionFrame.write`) — i.e. a
+    * left fold, bit-identical to `collect_list` + sequential fold and to
+    * DuckDB's `list` + `list_reduce` render (IEEE `0.0 + x ≡ x`, so the
+    * fold's explicit 0.0 seed changes nothing). Plain windowed sums
+    * therefore keep cross-engine bit-parity while dropping the per-row
+    * 20-element array the fold form materialized — that array was the
+    * suite's worst memory-weather amplifier (12.6× ratio swinging to 7.6 s
+    * under contention). TechIndicatorsSpec pins the windowed ≡ fold
+    * equality exactly (not rounded) on the full sf0.1 events table.
+    * `count` (not frame size) mirrors collect_list's NULL-skipping.
     */
   def bollinger(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 valueCol: String, period: Int = 20, k: Double = 2.0): DataFrame = {
-    val vals = collect_list(col(valueCol))
-      .over(keyedWindow(keyCol, orderCols).rowsBetween(-(period - 1), 0))
-    val n = size(vals).cast("double")
-    // both sums in ONE primitive-loop kernel: the `aggregate` HOF spelling
-    // paid an interpreted lambda per element per fold — the whole gate
-    // cost at sf0.1; summation order (hence bits) is unchanged
-    val st = graft.functions.FoldStats.foldStats(vals)
-    val s1 = st.getField("s1")
-    val s2 = st.getField("s2")
+    val w = keyedWindow(keyCol, orderCols).rowsBetween(-(period - 1), 0)
+    val n = count(col(valueCol)).over(w).cast("double")
+    val s1 = sum(col(valueCol)).over(w)
+    val s2 = sum(col(valueCol) * col(valueCol)).over(w)
     val ma = s1 / n
     val varS = (s2 - s1 * s1 / n) / (n - 1)
     val sd = when(n < 2, lit(null))

@@ -64,6 +64,31 @@ class TechIndicatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(hand.get - (2.0 + math.sqrt(2.0))) < 1e-12)
   }
 
+  test("bollinger: windowed sums are BIT-IDENTICAL to the collect_list fold at sf0.1") {
+    // Spark evaluates bounded sliding frames by re-running the aggregate
+    // buffer over the frame in row order per output row — a left fold. This
+    // pins the windowed form (shipped) against the fold form (the DuckDB
+    // oracle's shape) EXACTLY, not rounded, on the full sf0.1 events table:
+    // any future engine change to frame evaluation order must fail here
+    // before it corrupts the oracle gate.
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, 0)
+    val vals = collect_list(col("value")).over(w)
+    val st = graft.functions.FoldStats.foldStats(vals)
+    val mismatches = TechIndicators.bollinger(events, "user_id",
+        Seq("ts", "event_id"), "value", period = 20, k = 2.0)
+      .withColumn("f_s1", st.getField("s1"))
+      .withColumn("f_s2", st.getField("s2"))
+      .withColumn("w_s1", sum(col("value")).over(w))
+      .withColumn("w_s2", sum(col("value") * col("value")).over(w))
+      .filter(col("f_s1") =!= col("w_s1") || col("f_s2") =!= col("w_s2"))
+      .count()
+    assert(mismatches === 0L,
+      "windowed frame sums must fold sequentially, bit-identical to collect_list+fold")
+  }
+
   test("drawdown: distance from the running peak; zero peak guards NULL") {
     val out = TechIndicators.drawdown(series(10, 5, 20, 10), "k", Seq("t"), "v")
       .orderBy("t").select("drawdown").as[Option[Double]].collect()
