@@ -242,6 +242,40 @@ object Multimodal {
     }.toDF("mediaId", "payload")
   }
 
+  /** Deterministic 8×4 STRIPED grayscale PNGs for gating
+    * [[extractFeatures]]: four 2-px vertical strips whose gray values are a
+    * rotation (by id) of (10, 40, 60, 90). Per strip, every pixel's
+    * Rec. 601 luma is the same value L(v) ≈ v (the coefficients sum to 1),
+    * and the strip values always sum to 200 — so the L1-normalized grid
+    * feature for strip j is v_j/200 ∈ {0.05, 0.2, 0.3, 0.45} up to float
+    * accumulation noise (≲1e-6, bounded well inside a round-4 grid step of
+    * 5e-5): the oracle predicts the feature vector with pure id arithmetic
+    * while the engine truly decodes pixels — a hash match proves the
+    * decode → luma → strip-binning → normalization pipeline end to end,
+    * and the rotation proves strips are read at their true x positions.
+    */
+  def syntheticStripeImageTable(spark: SparkSession, df: DataFrame,
+                                idCol: String): DataFrame = {
+    import spark.implicits._
+    val stripVals = Array(10, 40, 60, 90)
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(8, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < 8) {
+          val v = stripVals(((id + x / 2) % 4).toInt)
+          var y = 0
+          while (y < 4) { img.setRGB(x, y, (v << 16) | (v << 8) | v); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaBlob(id, bos.toByteArray)
+      }
+    }.toDF("mediaId", "payload")
+  }
+
   /** Decode metadata per blob. Batched per partition: codec "setup" happens
     * once per partition iterator, not per row — the shape that matters when
     * the real codec has expensive init.

@@ -95,16 +95,24 @@ object TechIndicators {
   def bollinger(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 valueCol: String, period: Int = 20, k: Double = 2.0): DataFrame = {
     val w = keyedWindow(keyCol, orderCols).rowsBetween(-(period - 1), 0)
-    val n = count(col(valueCol)).over(w).cast("double")
-    val s1 = sum(col(valueCol)).over(w)
-    val s2 = sum(col(valueCol) * col(valueCol)).over(w)
+    // the three frame aggregates in ONE select → one Window node evaluating
+    // each sum exactly once; deriving the bands in later withColumns would
+    // re-extract the window expressions per output column (3 Window nodes,
+    // 13 duplicated aggregates — PlanCheckSpec pins the single pass)
+    val withSums = df.select(col("*"),
+      count(col(valueCol)).over(w).cast("double").as("__bb_n"),
+      sum(col(valueCol)).over(w).as("__bb_s1"),
+      sum(col(valueCol) * col(valueCol)).over(w).as("__bb_s2"))
+    val n = col("__bb_n"); val s1 = col("__bb_s1"); val s2 = col("__bb_s2")
     val ma = s1 / n
     val varS = (s2 - s1 * s1 / n) / (n - 1)
     val sd = when(n < 2, lit(null))
       .otherwise(sqrt(when(varS < 0.0, 0.0).otherwise(varS)))
-    df.withColumn("bb_mid", ma)
+    withSums
+      .withColumn("bb_mid", ma)
       .withColumn("bb_up", ma + lit(k) * sd)
       .withColumn("bb_dn", ma - lit(k) * sd)
+      .drop("__bb_n", "__bb_s1", "__bb_s2")
   }
 
   /** Drawdown from the running peak: (peak − value)/peak. */

@@ -1485,6 +1485,28 @@ object ExtQueries {
             col("zeroCrossings").as("zero_crossings"), col("peak"))
       }),
 
+    // Features over DECODED PIXELS: striped PNGs whose strip grays rotate
+    // (10,40,60,90) by id and always sum to 200, so each L1-normalized grid
+    // feature is v/200 exactly at round 4 (float accumulation noise ≲1e-6 vs
+    // a 5e-5 grid step — see syntheticStripeImageTable). The engine truly
+    // decodes and bins pixels; the oracle is pure id arithmetic.
+    GQ("mm_features_real",
+      Some("""SELECT doc_id AS media_id, CAST(j AS INTEGER) AS strip,
+             |  round(CASE (doc_id + j) % 4 WHEN 0 THEN 10 WHEN 1 THEN 40
+             |             WHEN 2 THEN 60 ELSE 90 END / 200.0, 4) AS feat
+             |FROM documents, (SELECT unnest(generate_series(0, 3)) AS j)
+             |WHERE doc_id < 1000""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticStripeImageTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000), "doc_id")
+        Multimodal.extractFeatures(spark, media, dim = 4,
+            codec = Multimodal.ImageIoCodec).toDF()
+          .select(col("mediaId").as("media_id"),
+            posexplode(col("features")).as(Seq("strip", "f")))
+          .select(col("media_id"), col("strip"),
+            round(col("f").cast("double"), 4).as("feat"))
+      }),
+
     // ----- skew: salted two-phase aggregate ----------------------------------
     // Oracle is the PLAIN group-by — the point is that the salted rewrite is
     // row-identical while bounding per-task hot-key volume.
@@ -2358,6 +2380,59 @@ object ExtQueries {
           spark.table("stream_stream_join_sink")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         out.select("user_id", "a_id", "b_id")
+      }),
+
+    // Stream-stream LEFT OUTER join under the gate: the outer form needs the
+    // WATERMARK PROOF the inner form doesn't — a left row NULL-extends only
+    // once the watermark shows no matching right row can still arrive. The
+    // sentinel landing's far-future drop provides that proof in a finite
+    // replay (same end-of-stream flush pattern as the session gates), and
+    // the unmatched rows emit in the trailing no-data batch. The sentinel
+    // must SURVIVE the pre-join filter (it carries the watermark) and is
+    // dropped from the output. Oracle: the equivalent batch LEFT JOIN.
+    GQ("stream_stream_left_outer",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+             |  WHERE user_id % 8 = 0)
+             |SELECT a.user_id, a.event_id AS a_id,
+             |       coalesce(b.event_id, -1) AS b_id
+             |FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+             |  AND b.us > a.us AND b.us <= a.us + 300000000
+             |""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLandingWithSentinel(spark, dir)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = spark.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          // unmatched lefts flush in the batch AFTER the sentinel advanced
+          // the watermark — that batch carries no data, so it must run
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+          // ALL drops (base pair + sentinel) in ONE data trigger: the
+          // watermark is computed at end-of-batch from the max event time
+          // seen — sentinel included — so the unmatched-left flush still
+          // happens in the trailing no-data batch. What THIS gate proves is
+          // the watermark-proven NULL extension (cross-micro-batch pair
+          // buffering is stream_stream_join's job), so the second data
+          // trigger bought nothing but its ~0.6 s of machinery.
+          def side() = StreamOps
+            .readEventStream(spark, landing)
+            .filter(col("user_id") % 8 === 0 ||
+              col("user_id") === StreamOps.SentinelUser)
+          StreamOps.runToMemory(
+            StreamOps.pairsWithinLeftOuter(side(), side(), withinSeconds = 300),
+            "stream_stream_left_outer_sink", OutputMode.Append())
+          spark.table("stream_stream_left_outer_sink")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        out.filter(col("user_id") =!= StreamOps.SentinelUser)
+          .select("user_id", "a_id", "b_id")
       }),
   )
 }
