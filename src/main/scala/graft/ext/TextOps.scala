@@ -275,14 +275,16 @@ object TextOps {
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDocFreq)
       .select(col("line").as("__hot_line"))
-    // Mark hot lines with a LEFT join (the hot relation is tiny by
-    // construction — boilerplate repeated across ≥maxDocFreq docs — so it
-    // broadcasts) and let collect_list's skip-null contract drop them
-    // inside the per-doc aggregate. A doc whose EVERY line is hot still
-    // keeps its group row (empty array → ""), so no join back onto `df`
-    // to resurrect all-boilerplate docs — one exchange fewer than the
-    // former anti-join + left-join-back shape.
-    lines.join(hot, col("line") === col("__hot_line"), "left")
+    // Mark hot lines with a LEFT join and let collect_list's skip-null
+    // contract drop them inside the per-doc aggregate. A doc whose EVERY
+    // line is hot still keeps its group row (empty array → ""), so no join
+    // back onto `df` to resurrect all-boilerplate docs — one exchange fewer
+    // than the former anti-join + left-join-back shape. The hot relation is
+    // tiny BY CONSTRUCTION (boilerplate repeated across ≥maxDocFreq docs)
+    // but hangs off aggregates whose size estimate is derived from the
+    // scan, so the broadcast is pinned explicitly rather than left to the
+    // estimate — an SMJ here would sort the full line relation.
+    lines.join(broadcast(hot), col("line") === col("__hot_line"), "left")
       .groupBy(col(idCol))
       // collect_list order is partition-arbitrary: sort by the carried
       // position before joining back into text

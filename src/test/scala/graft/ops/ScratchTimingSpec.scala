@@ -349,6 +349,57 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boilerplate shapes at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    def docs = graft.Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+          .otherwise(concat(lit("footer "), col("doc_id").cast("string"))),
+        lit("\n"), lit("copyright 2026 example corp")).as("text"))
+    def current = graft.ext.TextOps.removeRepeatedLines(docs, "doc_id", "text", 10)
+    t("current warm")(current.queryExecution.toRdd.count())
+    t("current")(current.queryExecution.toRdd.count())
+    info("plan: " + current.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))
+      .mkString(" || "))
+    // old anti-join + join-back shape
+    def old = {
+      val lines = docs.select(col("doc_id").as("__graft_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val hot = lines.select("__graft_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 10)
+        .select("line")
+      val kept = lines.join(hot, Seq("line"), "left_anti")
+        .groupBy(col("__graft_id"))
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+          "\n").as("text_clean"))
+      docs.select(col("doc_id"))
+        .join(kept.withColumnsRenamed(Map("__graft_id" -> "doc_id")), Seq("doc_id"), "left")
+        .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+    }
+    t("old shape warm")(old.queryExecution.toRdd.count())
+    t("old shape")(old.queryExecution.toRdd.count())
+    // current with explicit broadcast of hot
+    def bcast = {
+      val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val hot = lines.select(col("doc_id"), col("line")).distinct()
+        .groupBy("line").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 10)
+        .select(col("line").as("__hot_line"))
+      lines.join(broadcast(hot), col("line") === col("__hot_line"), "left")
+        .groupBy(col("doc_id"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __hot_line IS NULL" +
+            " THEN struct(pos, line) END)), x -> x.line)"),
+          "\n").as("text_clean"))
+    }
+    t("bcast shape warm")(bcast.queryExecution.toRdd.count())
+    t("bcast shape")(bcast.queryExecution.toRdd.count())
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("pagerank phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     def edges = {
