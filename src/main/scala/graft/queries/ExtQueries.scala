@@ -2120,20 +2120,29 @@ object ExtQueries {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
         iterations = 5)),
       (spark, dir) => {
-        val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-        val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-        val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        // distinct BEFORE symmetrizing: forward edges always have
-        // src < 100000 <= dst and reversed ones the opposite, so the two
-        // sets are disjoint and their union needs no second dedup —
-        // half the distinct shuffle (the oracle's UNION dedups the same
-        // disjoint sets to the same rows)
-        val fwd = joined.select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 100000L).as("dst")).distinct()
-        val edges = fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst")))
-        graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
-          .select(col("node"), round(col("rank"), 6).as("rank"))
+        // shuffle partitions sized to the graph for the EAGER edge-prep
+        // phase (distinct + deg aggregate + checkpoint materialization all
+        // run inside pageRank before this fn returns): 1.2 M edges / 16 k
+        // nodes drown in 32-way task launches, same reasoning as the
+        // stream gates' state-store sizing — restored after
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+          val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+          val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          // distinct BEFORE symmetrizing: forward edges always have
+          // src < 100000 <= dst and reversed ones the opposite, so the two
+          // sets are disjoint and their union needs no second dedup —
+          // half the distinct shuffle (the oracle's UNION dedups the same
+          // disjoint sets to the same rows)
+          val fwd = joined.select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 100000L).as("dst")).distinct()
+          val edges = fwd.unionByName(
+            fwd.select(col("dst").as("src"), col("src").as("dst")))
+          graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
+            .select(col("node"), round(col("rank"), 6).as("rank"))
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
 
     // ----- technical indicators (the reference's stock-analytics domain) -----
