@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the image has 128 GiB; 8g caused GC-bound variance on the
-  // 32-thread bench (pair joins + 128-buffer aggregates)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default (a cap, not a reservation — the image has 128 GiB): 8g was
+  // GC-bound on the 32-thread bench (pair joins + 128-buffer aggregates).
+  // 24g vs 48g measured NO effect beyond the host-weather band on the
+  // 175-query suite (interleaved A/B: 86.7/78.1 s at 24g vs 85.8/96.7 s
+  // at 48g); 48g kept as headroom for the growing registry, not as a
+  // claimed win.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -349,7 +349,7 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("boilerplate shapes at sf0.1") {
+  ignore("boilerplate shapes at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     def docs = graft.Tables.documents(spark, dir).select(col("doc_id"),
       concat(col("text"), lit("\n"),
@@ -400,7 +400,7 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  test("pagerank phases at sf0.1") {
+  ignore("pagerank phases at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     def edges = {
       val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
