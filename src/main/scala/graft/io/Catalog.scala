@@ -36,11 +36,13 @@ object Catalog {
                           location: String): Unit = {
     val cols = (schema.fields.map(f => s"${qi(f.name)} ${f.dataType.sql}") ++
       partitions.map { case (n, t) => s"${qi(n)} $t" }).mkString(", ")
-    val parts = partitions.map { case (n, _) => qi(n) }.mkString(", ")
+    // PARTITIONED BY () is a parse error — omit the clause for unpartitioned tables
+    val parts =
+      if (partitions.isEmpty) ""
+      else partitions.map { case (n, _) => qi(n) }.mkString("\nPARTITIONED BY (", ", ", ")")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${qi(db)}.${qi(table)} ($cols)
-         |USING parquet
-         |PARTITIONED BY ($parts)
+         |USING parquet$parts
          |LOCATION ${qs(location)}""".stripMargin)
   }
 
