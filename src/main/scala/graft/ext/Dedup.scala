@@ -160,11 +160,12 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("common", graft.functions.LongSetOps.intersectSize(col("set_a"), col("set_b")))
-      // same single-expression arithmetic as ngramJaccardPairs — bit-exact
-      // against the same oracle
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("common")).cast("double"))
+      // fused jaccard (one merge per evaluation): the aliased intersect_size
+      // form was re-inlined by predicate pushdown into the verify join
+      // condition and evaluated three times per candidate — see
+      // [[graft.functions.LongSetJaccard]]. Arithmetic is bit-exact against
+      // the same oracle as ngramJaccardPairs.
+      .withColumn("jaccard", graft.functions.LongSetOps.jaccard(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -242,9 +243,9 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
-      .withColumn("common", graft.functions.LongSetOps.intersectSize(col("set_a"), col("set_b")))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("common")).cast("double"))
+      // fused jaccard — one merge per candidate instead of three (see
+      // [[graft.functions.LongSetJaccard]]); bit-exact same arithmetic
+      .withColumn("jaccard", graft.functions.LongSetOps.jaccard(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -6,29 +6,44 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
-/** |A ∩ B| over two `array<bigint>` shingle/sketch sets, primitive end to
-  * end.
+/** Jaccard coefficient |A∩B| / |A∪B| of two `array<bigint>` shingle/sketch
+  * sets, fused into ONE expression so the intersection merge runs once per
+  * evaluation.
   *
-  * `size(array_intersect(a, b))` walks the generic collection path: a boxed
-  * `OpenHashSet[Any]` per row plus an intermediate result array that only
-  * `size` ever reads. On a candidate-verification join (hundreds of
-  * thousands of pairs × ~50-element sets — [[graft.ext.Dedup]]'s prefix and
-  * LSH verifies) that allocation is the dominant cost (measured ~2 s of a
-  * 5.8 s query at sf0.1). This expression copies both arrays to `long[]`,
-  * sorts, and merge-counts — zero boxing, no intermediate array.
+  * Why primitive: `size(array_intersect(a, b))` walks the generic
+  * collection path — a boxed `OpenHashSet[Any]` per row plus an
+  * intermediate result array nothing else reads. On a candidate
+  * verification join (hundreds of thousands of pairs × ~50-element sets —
+  * [[graft.ext.Dedup]]'s prefix and LSH verifies) that allocation was the
+  * dominant cost (measured ~2 s of a 5.8 s query at sf0.1). This
+  * expression copies both arrays to `long[]`, sorts, and merge-counts —
+  * zero boxing, no intermediate array.
+  *
+  * Why fused: the earlier two-step form (an `intersect_size` expression
+  * aliased to `common`, jaccard derived from the alias) looked like one
+  * pass but wasn't — the threshold predicate is pushed into the verify
+  * JOIN CONDITION with the alias inlined, so the plan evaluated the merge
+  * twice in the condition (numerator + denominator) and a third time in
+  * the output projection. Fused, the pushed predicate costs one merge per
+  * candidate and the projection one merge per SURVIVING pair only.
+  *
+  * Arithmetic is bit-identical to the SQL form
+  * `cast(c as double) / cast(sza + szb - c as double)`: same integer union
+  * count, one IEEE double division — oracle comparisons are unaffected.
+  * Two empty sets yield 0/0 = NaN, matching the column formulation (both
+  * dedup producers filter empties out).
   *
   * Inputs are SETS (distinct elements), which both producers
   * ([[ShingleHashes]], `array_distinct`) guarantee; duplicate elements
-  * would count min-multiplicity like a multiset intersect, same as
-  * `array_intersect`'s distinct-result size only when inputs are distinct.
+  * would count min-multiplicity like a multiset intersect.
   *
   * CodegenFallback: per-row work (two sorts + merge) dwarfs the
   * virtual-call overhead codegen would save, same trade as
   * [[ShingleHashes]].
   */
-case class LongSetIntersectSize(left: Expression, right: Expression)
+case class LongSetJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -41,8 +56,8 @@ case class LongSetIntersectSize(left: Expression, right: Expression)
       s"$prettyName requires two array<bigint> (non-null elements) inputs, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
-  override def dataType: DataType = LongType
-  override def prettyName: String = "long_set_intersect_size"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "long_set_jaccard"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toLongArray()
@@ -57,7 +72,7 @@ case class LongSetIntersectSize(left: Expression, right: Expression)
       else if (x(i) < y(j)) i += 1
       else j += 1
     }
-    c
+    c.toDouble / (x.length.toLong + y.length.toLong - c).toDouble
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -65,8 +80,8 @@ case class LongSetIntersectSize(left: Expression, right: Expression)
 }
 
 object LongSetOps {
-  /** Intersection cardinality of two `array<bigint>` set columns. */
-  def intersectSize(a: Column, b: Column): Column =
-    GraftBridge.column(LongSetIntersectSize(
+  /** Jaccard coefficient of two `array<bigint>` set columns (one merge). */
+  def jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(LongSetJaccard(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
