@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * algorithm, the tokenizer-training half the [[Vocab]] word-level build
   * doesn't cover): greedy loop of (count adjacent symbol pairs over the
   * word-frequency relation, weighted by word count) → (merge the most
-  * frequent pair everywhere). The heavy step each round is ONE distributed
-  * aggregation over the vocabulary relation — at 100 TB the word-frequency
-  * table is the already-reduced output of a corpus scan (millions of rows,
-  * not the corpus), which is exactly why real BPE trainers operate on it;
-  * only the argmax RULE (one row) comes to the driver per round.
+  * frequent pair everywhere). The corpus is touched ONCE (the word-count
+  * scan): at 100 TB the word-frequency table is the already-reduced output
+  * of that scan (millions of rows, not the corpus), which is exactly why
+  * real BPE trainers operate on it — and why the merge loop itself runs
+  * driver-side when the vocabulary fits (`driverMaxVocab`), falling back
+  * to a distributed round of ONE aggregation + a 1-row argmax collect per
+  * merge when it doesn't.
   *
   * Symbol sequences are carried as `(tok)(tok)…` strings: each token is
   * wrapped in its own delimiters, so merging pair (a,b) is a plain
@@ -34,11 +36,12 @@ object Bpe {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** The character-wrapped initial sequence: "low" → "(l)(o)(w)". */
-  private val seq0 =
-    array_join(transform(
-      filter(split(col("word"), ""), c => c =!= ""), // Java split can emit a trailing ""
-      c => concat(lit("("), c, lit(")"))), "")
+  /** The character-wrapped initial sequence: "low" → "(l)(o)(w)" — the
+    * [[graft.functions.WrapChars]] kernel (one pass; the split/transform/
+    * array_join chain allocated per char and cost ~0.7 s of the encode
+    * scan at sf0.1).
+    */
+  private val seq0 = graft.functions.WrapChars.wrapChars(col("word"))
 
   /** Adjacent symbol pairs of a wrapped sequence, as "a b" strings. */
   private def pairsOf(seqCol: String) = {
@@ -50,28 +53,66 @@ object Bpe {
     * pair as "a b" in merge order.
     */
   def trainMerges(spark: SparkSession, df: DataFrame, textCol: String,
-                  numMerges: Int): DataFrame = {
+                  numMerges: Int, driverMaxVocab: Long = 1L << 21): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     var words = wordCounts(df, textCol)
       .select(col("word"), col("cnt"), seq0.as("seq"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    var exhausted = false
-    for (i <- 1 to numMerges if !exhausted) {
-      val top = words
-        .select(col("cnt"), explode(pairsOf("seq")).as("pg"))
-        .groupBy("pg").agg(sum(col("cnt")).as("total"))
-        .orderBy(desc("total"), asc("pg")).limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true // every word fully merged: stop early
-      else {
-        val best = top(0).getString(0)
-        rules += (i -> best)
-        val Array(a, b) = best.split(" ", 2)
-        // tokens are alphabetic by construction — safe to inline in the expr
-        words = words
-          .withColumn("seq", expr(s"replace(seq, '($a)($b)', '($a$b)')"))
-          .localCheckpoint()
+    // The corpus scan is done — `words` is the REDUCED word-frequency
+    // relation (vocabulary-sized regardless of corpus size). When it fits
+    // the driver, run the merge loop in memory: k distributed rounds of
+    // (tiny aggregate + argmax collect + checkpoint) are pure per-iteration
+    // machinery — same size-gated-driver-with-distributed-fallback shape as
+    // the dedup union-find. Bit-identical to the distributed loop: integer
+    // pair counts, the same left-to-right non-overlapping String.replace
+    // semantics as Spark's replace(), and the lexicographic tie-break is
+    // byte order either way (pairs are ASCII by the wordCounts filter).
+    if (words.count() <= driverMaxVocab) {
+      val vocab = words.select("cnt", "seq").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      var seqs = vocab.map(_._2)
+      var exhausted = false
+      for (i <- 1 to numMerges if !exhausted) {
+        val totals = scala.collection.mutable.HashMap.empty[String, Long]
+        var w = 0
+        while (w < seqs.length) {
+          val toks = seqs(w).substring(1, seqs(w).length - 1).split("\\)\\(")
+          val cnt = vocab(w)._1
+          var k = 0
+          while (k < toks.length - 1) { // overlapping bigrams, like pairsOf
+            val pg = toks(k) + " " + toks(k + 1)
+            totals.update(pg, totals.getOrElse(pg, 0L) + cnt)
+            k += 1
+          }
+          w += 1
+        }
+        if (totals.isEmpty) exhausted = true // every word fully merged
+        else {
+          val best = totals.minBy { case (pg, total) => (-total, pg) }._1
+          rules += (i -> best)
+          val Array(a, b) = best.split(" ", 2)
+          seqs = seqs.map(_.replace(s"($a)($b)", s"($a$b)"))
+        }
+      }
+    } else {
+      var exhausted = false
+      for (i <- 1 to numMerges if !exhausted) {
+        val top = words
+          .select(col("cnt"), explode(pairsOf("seq")).as("pg"))
+          .groupBy("pg").agg(sum(col("cnt")).as("total"))
+          .orderBy(desc("total"), asc("pg")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true // every word fully merged: stop early
+        else {
+          val best = top(0).getString(0)
+          rules += (i -> best)
+          val Array(a, b) = best.split(" ", 2)
+          // tokens are alphabetic by construction — safe to inline in the expr
+          words = words
+            .withColumn("seq", expr(s"replace(seq, '($a)($b)', '($a$b)')"))
+            .localCheckpoint()
+        }
       }
     }
     import spark.implicits._
@@ -89,9 +130,7 @@ object Bpe {
   def encodeCounts(df: DataFrame, idCol: String, textCol: String,
                    rules: Seq[String]): DataFrame = {
     val w = lower(col("w"))
-    val wrapped = array_join(transform(
-      filter(split(w, ""), c => c =!= ""),
-      c => concat(lit("("), c, lit(")"))), "")
+    val wrapped = graft.functions.WrapChars.wrapChars(w)
     val mergedSeq = rules.foldLeft[org.apache.spark.sql.Column](wrapped) {
       (seq, rule) =>
         val Array(a, b) = rule.split(" ", 2)

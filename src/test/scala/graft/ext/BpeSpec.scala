@@ -46,6 +46,17 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(train(Seq("42 99 !!"), 3) === Seq.empty)
   }
 
+  test("distributed fallback learns the same rules as the driver fast path") {
+    // driverMaxVocab=0 forces the distributed loop; default takes the
+    // in-memory loop — same greedy, same tie-break, same merge semantics
+    val corpus = Seq("low low low lower lowest", "newest newest widest",
+      "aaaa abab low newest", "wide wider widest newest")
+    val k = 6
+    val dist = Bpe.trainMerges(spark, corpus.toDF("text"), "text", k, driverMaxVocab = 0L)
+      .orderBy("rank").select("pair").as[String].collect().toSeq
+    assert(dist === train(corpus, k))
+  }
+
   test("non-alphabetic and case-folded words: filtered and merged consistently") {
     // "Ab AB ab" all fold to "ab"; "x9" and "!" are dropped by the
     // alphabetic filter, so the only learnable pair is (a,b)

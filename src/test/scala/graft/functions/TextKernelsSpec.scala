@@ -89,6 +89,25 @@ class TextKernelsSpec extends AnyFunSuite with SparkSpec {
     kern.foreach { case (id, h) => assert(h == agg(id), s"doc $id") }
   }
 
+  test("WrapChars ≡ the split/filter/transform/array_join chain") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val chain = (w: org.apache.spark.sql.Column) => array_join(transform(
+      filter(split(w, ""), c => c =!= ""),
+      c => concat(lit("("), c, lit(")"))), "")
+    val inputs = Seq("", "a", "low", "zzzzzzzz", "abcdefghijklmnopqrstuvwxyz",
+      "é日ß", "a b", "(x)")
+    val rows = inputs.toDF("w")
+      .select(WrapChars.wrapChars(col("w")).as("k"), chain(col("w")).as("c"))
+      .collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"mismatch for '$in'")
+    }
+    assert(Seq(Tuple1(null: String)).toDF("w")
+      .select(WrapChars.wrapChars(col("w"))).first().isNullAt(0))
+  }
+
   test("TokenEntropy hand-computed values and edges") {
     val spark0 = spark
     import spark0.implicits._
