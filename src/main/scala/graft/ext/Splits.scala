@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /** Hex threshold for a cumulative fraction, zero-padded to 8 chars. */
-  private def hexThreshold(cum: Double): String = {
+  private[ext] def hexThreshold(cum: Double): String = {
     val v = math.min((cum * 4294967296.0).toLong, 4294967295L) // 16^8 - 1
     f"$v%08x"
   }

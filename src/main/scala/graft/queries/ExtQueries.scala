@@ -295,6 +295,19 @@ object ExtQueries {
           .select("doc_id", "lang")
           ),
 
+    // CCNet-style quality-tier subsampling: three equal-population tiers
+    // by doc length (exact percentile fences, strict-< lower-tier rule),
+    // thinned at 0.2/0.6/keep-all via the md5-hex coin. Oracle renders the
+    // SAME probs/thresholds from the same builder — they cannot drift.
+    GQ("ccnet_bucket_sample",
+      Some(graft.ext.Sampling.qualityBucketSampleOracleSql(
+        "documents", "n_chars", "doc_id", "doc_id", Seq(0.2, 0.6, 1.0))),
+      (spark, dir) =>
+        Sampling.qualityBucketSample(Tables.documents(spark, dir),
+          "n_chars", "doc_id", Seq(0.2, 0.6, 1.0))
+          .select("doc_id", "bucket")
+          ),
+
     // Exact token-count quantiles (linear interpolation both engines);
     // scalar columns rather than an array so the hash compare stays simple.
     GQ("txt_length_quantiles",
