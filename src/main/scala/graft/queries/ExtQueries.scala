@@ -260,6 +260,34 @@ object ExtQueries {
           .select("doc_id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
           ),
 
+    // DSIR hashed-n-gram importance scores (integer-exact scaled variant):
+    // English docs as the target domain, the whole corpus as source; the
+    // oracle renders the same md5 bucket, Laplace smoothing, and
+    // single-expression ratio arithmetic from the builder beside the impl.
+    GQ("dsir_importance",
+      Some(graft.ext.Dsir.importanceScoresOracleSql(1024, "lang = 'en'")),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        graft.ext.Dsir.importanceScoresWithin(docs, col("lang") === "en",
+          "doc_id", "text", 1024)
+          .withColumnsRenamed(Map("id" -> "doc_id"))
+      }),
+
+    // The resampling half: top-200 most target-like docs, id tie-break —
+    // TakeOrderedAndProject, never a global corpus sort.
+    GQ("dsir_resample_top",
+      Some(s"""WITH s AS (${graft.ext.Dsir.importanceScoresOracleSql(1024, "lang = 'en'")})
+              |SELECT doc_id, w_sum_scaled FROM s
+              |ORDER BY w_sum_scaled DESC, doc_id LIMIT 200""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val scored = graft.ext.Dsir.importanceScoresWithin(docs,
+          col("lang") === "en", "doc_id", "text", 1024)
+        graft.ext.Dsir.resampleTop(scored, 200)
+          .withColumnsRenamed(Map("id" -> "doc_id"))
+          .select("doc_id", "w_sum_scaled")
+      }),
+
     // Symmetric int8 embedding quantization: every byte of q and the exact
     // double scale must match DuckDB's rendering of the same arithmetic
     // (rounding ties included). The vector is emitted as a comma-joined
