@@ -175,4 +175,19 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.fuzzyPairsBlocked(emptyDocs, "doc_id", "text", 3,
       dualBlock = true).count() === 0)
   }
+
+  test("round-9 curation operators survive empty inputs") {
+    val emptyScored = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    assert(Sampling.qualityBucketSample(emptyScored, "score", "doc_id",
+      Seq(0.5, 1.0)).count() === 0)
+    assert(Dsir.importanceScoresWithin(emptyDocs, lit(false), "doc_id", "text",
+      64).count() === 0)
+    assert(Dsir.importanceScores(emptyDocs, emptyDocs, "doc_id", "text",
+      64).count() === 0)
+    // non-empty corpus, EMPTY target: every bucket's ct is 0 — scores
+    // must still compute (Laplace smoothing keeps the ratio finite)
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assert(Dsir.importanceScoresWithin(docs, lit(false), "doc_id", "text",
+      64).count() === 2)
+  }
 }

@@ -366,4 +366,26 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
       s"fine-sketch agg, rollup merge, exact-percentile agg — the join of two 3-row sides is free:\n$p")
   }
+
+  test("dsir_importance: B-row ratio table broadcasts; corpus shuffles on bucket + doc key only") {
+    val p = plan("dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ratio table must broadcast onto the exploded corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scoring must never sort or cross the corpus:\n$p")
+  }
+
+  test("dsir_resample_top: top-m plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("dsir_resample_top")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("ccnet_bucket_sample: tier + coin are one scan — no join, no window over the corpus") {
+    val p = plan("ccnet_bucket_sample")
+    // the fence selection runs as separate driver-side actions; the gated
+    // plan itself is scan → filter/project only
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window")
+      && !p.contains("Join"),
+      s"bucket assignment must be a pure scan-side pass:\n$p")
+  }
 }
