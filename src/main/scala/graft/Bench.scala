@@ -28,11 +28,8 @@ object Bench {
     sb.append("\"").toString
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.io.ParquetIO.deleteRecursively(f)
 
   private var warmStreamDir: String = _
 

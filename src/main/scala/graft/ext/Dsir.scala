@@ -43,6 +43,17 @@ object Dsir {
     conv(substring(md5(gram.cast("binary")), 1, 8), 16, 10)
       .cast("long") % numBuckets
 
+  /** The ONE scaled-ratio expression (`round(1e9·((ct+1)·(ns+B)) /
+    * ((cs+1)·(nt+B)))`) — shared by both scoring paths because it must
+    * stay bit-identical to the DuckDB oracle render.
+    */
+  private def rScaled(cs: Column, ct: Column, ns: Column, nt: Column,
+                      numBuckets: Int): Column = {
+    val bd = lit(numBuckets.toDouble)
+    round(lit(1e9) * ((ct + lit(1.0)) * (ns + bd)) /
+      ((cs + lit(1.0)) * (nt + bd))).cast("long")
+  }
+
   /** (doc id, bucket) of every word-bigram instance — the exploded
     * hashed-feature relation both distributions and the scorer derive
     * from.
@@ -74,14 +85,12 @@ object Dsir {
     val tcnt = t.groupBy("b").agg(count(lit(1)).as("ct")).localCheckpoint()
     val stot = scnt.agg(sum(col("cs")).as("ns"))
     val ttot = tcnt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    val bd = lit(numBuckets.toDouble)
     scnt
       .join(tcnt, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(stot)).crossJoin(broadcast(ttot))
-      .select(col("b"),
-        round(lit(1e9) * ((col("ct") + lit(1.0)) * (col("ns") + bd)) /
-          ((col("cs") + lit(1.0)) * (col("nt") + bd))).cast("long").as("r_scaled"))
+      .select(col("b"), rScaled(col("cs"), col("ct"), col("ns"), col("nt"),
+        numBuckets).as("r_scaled"))
   }
 
   /** Per-document integer importance score over `corpus`:
@@ -121,11 +130,9 @@ object Dsir {
         count(when(col("is_t"), lit(1))).as("ct"))
       .localCheckpoint() // ≤B rows; read by the ratio join AND the totals
     val tot = cnt.agg(sum(col("cs")).as("ns"), sum(col("ct")).as("nt"))
-    val bd = lit(numBuckets.toDouble)
     val rt = cnt.crossJoin(broadcast(tot))
-      .select(col("b"),
-        round(lit(1e9) * ((col("ct") + lit(1.0)) * (col("ns") + bd)) /
-          ((col("cs") + lit(1.0)) * (col("nt") + bd))).cast("long").as("r_scaled"))
+      .select(col("b"), rScaled(col("cs"), col("ct"), col("ns"), col("nt"),
+        numBuckets).as("r_scaled"))
     hb.join(broadcast(rt), Seq("b"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("w_sum_scaled"))

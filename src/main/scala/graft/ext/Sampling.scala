@@ -104,8 +104,7 @@ object Sampling {
     // (a "ffffffff" compare would drop the 1-in-2^32 exact-match keys)
     val thresholds = array(rates.map(r =>
       lit(if (r >= 1.0) "g" else Splits.hexThreshold(r))): _*)
-    val h = substring(md5(concat(col(keyCol).cast("string"), lit(salt))
-      .cast("binary")), 1, 8)
+    val h = Splits.hexDigest(col(keyCol), salt)
     df.filter(col(scoreCol).isNotNull)
       .withColumn("bucket", bucket)
       .filter(h < element_at(thresholds, (col("bucket") + 1).cast("int")))

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /** Hex threshold for a cumulative fraction, zero-padded to 8 chars. */
+  /** The uniform [0, 16^8) keep-coin: first 8 hex chars of the salted key
+    * digest. ONE definition shared by every digest-threshold op
+    * (splitColumn, weightedKeep, Sampling.qualityBucketSample) — the
+    * byte-for-byte cross-engine contract of their oracles hangs on this
+    * exact expression.
+    */
+  private[ext] def hexDigest(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
+
   private[ext] def hexThreshold(cum: Double): String = {
     val v = math.min((cum * 4294967296.0).toLong, 4294967295L) // 16^8 - 1
     f"$v%08x"
@@ -30,7 +39,7 @@ object Splits {
     require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
     val total = fractions.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
-    val h = substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
+    val h = hexDigest(key, salt)
     val cums = fractions.scanLeft(0.0)(_ + _._2).tail
     // last branch is the otherwise-arm: rounding can't orphan rows
     fractions.init.zip(cums.init).reverse.foldLeft(
@@ -62,7 +71,7 @@ object Splits {
                    rates: Map[String, Double], salt: String = ""): DataFrame = {
     require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
-    val h = substring(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary")), 1, 8)
+    val h = hexDigest(col(keyCol), salt)
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
       case (acc, (src, r)) =>
         val keepSrc = if (r >= 1.0) lit(true) else h < hexThreshold(r)

@@ -122,4 +122,13 @@ object ParquetIO {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(s"`$db`.`$table`")
+
+  /** Local recursive delete for scratch/warm-up table directories — the
+    * one shared copy (Bench teardown, bucketed-gate pre-clean).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -57,11 +57,7 @@ object CoreQueries {
         val loc = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
           s"$db.db/$t")
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        if (loc.exists()) rm(loc)
+        if (loc.exists()) graft.io.ParquetIO.deleteRecursively(loc)
       }
       graft.io.ParquetIO.writeBucketed(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
@@ -403,11 +399,17 @@ object CoreQueries {
             .agg(count(lit(1)).as("n"),
               sum(col("l_quantity")).cast("long").as("qty"))
         } { plan =>
-          val joinPart = plan.split("== Initial Plan ==")(0)
-            .split("HashAggregate")(0) // the final agg's exchange is not the join's
-          require(!joinPart.contains("Exchange"),
-            s"co-bucketed join must not shuffle:\n$plan")
-          require(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+          // exactly ONE exchange in the whole plan — the final agg's
+          // hashpartitioning(grp). A second Exchange (or any broadcast)
+          // means a join side lost its bucketed layout and shuffled.
+          // (The previous form sliced the text ABOVE the final
+          // HashAggregate, which never contains the join subtree — the
+          // assertion could not fail.)
+          val finalPlan = plan.split("== Initial Plan ==")(0)
+          val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+          require(exchanges == 1,
+            s"co-bucketed join must not shuffle (expected only the agg exchange, saw $exchanges):\n$plan")
+          require(finalPlan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
         }
       }),
 

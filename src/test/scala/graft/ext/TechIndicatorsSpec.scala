@@ -83,7 +83,9 @@ class TechIndicatorsSpec extends AnyFunSuite with SparkSpec {
       .withColumn("f_s2", st.getField("s2"))
       .withColumn("w_s1", sum(col("value")).over(w))
       .withColumn("w_s2", sum(col("value") * col("value")).over(w))
-      .filter(col("f_s1") =!= col("w_s1") || col("f_s2") =!= col("w_s2"))
+      // null-safe inequality: =!= is NULL for (0.0, NULL), silently passing
+      // the one divergent shape (all-NULL frame: fold 0.0 vs windowed NULL)
+      .filter(!(col("f_s1") <=> col("w_s1")) || !(col("f_s2") <=> col("w_s2")))
       .count()
     assert(mismatches === 0L,
       "windowed frame sums must fold sequentially, bit-identical to collect_list+fold")
