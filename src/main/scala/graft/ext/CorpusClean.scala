@@ -41,6 +41,31 @@ object CorpusClean {
     Dedup.dropNearDups(kept, idCol, textCol, n, threshold)
   }
 
+  /** Rejection funnel — the "why did my corpus shrink" report every
+    * production cleaning pipeline logs: label each document with the
+    * FIRST rule that rejects it, in [[run]]'s own stage order (empty →
+    * token floor → punctuation cap → language allow-list), and count per
+    * reason. `kept` counts the cleaning survivors BEFORE near-dup removal
+    * (dedup kills are pair-dependent, not a per-row reason). The explicit
+    * `empty` reason also covers [[TextOps.punctRatio]]'s NULL (empty text
+    * is its only NULL case), so every later comparison is non-NULL and
+    * the CASE is total. One shuffle-free scan + a reason-cardinality
+    * aggregate at any scale.
+    */
+  def rejectionFunnel(df: DataFrame, textCol: String,
+                      minTokens: Int, maxPunct: Double,
+                      langs: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val reason = when(length(t) === 0, "empty")
+      .when(TextOps.tokenCount(t) < minTokens, "too_short")
+      .when(TextOps.punctRatio(t) > maxPunct, "too_punctuated")
+      .when(!TextOps.languageId(t, TextOps.defaultLexicons).isin(langs: _*),
+        "lang_blocked")
+      .otherwise("kept")
+    df.select(reason.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021 §A1.1, the subset
     * expressible without line structure): token-count window, mean-token-
     * length window, and the repeated-2-gram cap. Every rule is a per-row

@@ -892,6 +892,25 @@ object ExtQueries {
           .select("doc_id")
           ),
 
+    // Rejection funnel over the SAME rules and parameters as corpus_clean:
+    // first-failing-reason label per doc, counted — the "why did my corpus
+    // shrink" report; one scan, reason-cardinality aggregate.
+    GQ("corpus_filter_funnel",
+      Some(s"""SELECT reason, CAST(count(*) AS BIGINT) AS n FROM (
+              |  SELECT CASE
+              |    WHEN length(text) = 0 THEN 'empty'
+              |    WHEN len($duckTokens) < 30 THEN 'too_short'
+              |    WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |         / length(text) > 0.2 THEN 'too_punctuated'
+              |    WHEN ($duckLangCase) NOT IN ('en', 'es') THEN 'lang_blocked'
+              |    ELSE 'kept' END AS reason
+              |  FROM documents)
+              |GROUP BY 1""".stripMargin),
+      (spark, dir) =>
+        CorpusClean.rejectionFunnel(Tables.documents(spark, dir), "text",
+          minTokens = 30, maxPunct = 0.2, langs = Seq("en", "es"))
+          ),
+
     // ----- decontamination: benchmark n-gram overlap removal -----------------
     // docs 0-9 stand in as the "benchmark" set; the corpus (doc_id >= 10)
     // drops every doc sharing >= 5 distinct 3-gram shingles with it. Spark

@@ -277,6 +277,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq === Seq(1L))
   }
 
+  test("rejectionFunnel: first failing rule wins; empty covers the NULL punct case") {
+    val en = (1 to 40).map(_ => "the and for").mkString(" ")     // 120 en tokens
+    val docs = Seq(
+      (1L, en),                                                  // kept
+      (2L, ""),                                                  // empty (punctRatio NULL)
+      (3L, "short doc"),                                         // too_short
+      (4L, (1 to 40).map(_ => "a.b.c").mkString(" ")),           // punct > 0.2
+      (5L, (1 to 40).map(_ => "der die und").mkString(" ")),     // de → lang_blocked
+      (6L, "a, b!"),                                             // short AND punctuated → first rule: too_short
+    ).toDF("doc_id", "text")
+    val funnel = CorpusClean.rejectionFunnel(docs, "text",
+        minTokens = 30, maxPunct = 0.2, langs = Seq("en", "es"))
+      .as[(String, Long)].collect().toMap
+    assert(funnel === Map("kept" -> 1L, "empty" -> 1L, "too_short" -> 2L,
+      "too_punctuated" -> 1L, "lang_blocked" -> 1L))
+  }
+
   test("embeddingCosinePairs matches a hand-computed cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),   // cos = 1
