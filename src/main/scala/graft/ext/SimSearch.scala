@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2b).
@@ -110,40 +110,91 @@ object SimSearch {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int, nprobe: Int, seed: Long = 42L,
-              broadcastProbes: Boolean = true): DataFrame = {
-    import graft.functions.VectorFunctions.{dotF, normF}
-    require(nprobe >= 1 && nprobe <= nlist)
+              broadcastProbes: Boolean = true): DataFrame =
+    ivfTopKIndexed(buildIvfIndex(corpus, idCol, vecCol, nlist, seed),
+      probes, idCol, vecCol, k, nprobe, broadcastProbes)
 
-    // deterministic centroids: the nlist corpus vectors with the smallest
-    // xxhash64(seed, id) — a seeded uniform sample, stable across runs
-    val centroids: Array[(Int, Array[Float])] = corpus
+  /** A trained IVF index: the centroid matrix (row i = cell i) plus the
+    * cell-assigned corpus relation `(nbr_id, nbr_vec, nbr_norm, cell)`.
+    * Build once, persist with [[writeIvfIndex]], serve many query batches
+    * with [[ivfTopKIndexed]] — the deployment shape; [[ivfTopK]] is the
+    * build-and-query convenience for one-shot use.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  /** Train the index: deterministic centroids (the `nlist` corpus vectors
+    * with the smallest `xxhash64(seed, id)` — a seeded uniform sample,
+    * one tiny collect of `nlist` vectors, NOT the corpus), then
+    * nearest-centroid assignment via the [[graft.functions.CellAssign]]
+    * expression: the centroid matrix rides as expression state (a literal
+    * per-centroid array formulation stops being plannable past toy nlist —
+    * see the expression's scaladoc). Zero-norm centroids score -Infinity
+    * (cell scores are dot/|c| = |v|·cos, UNBOUNDED below for unnormalized
+    * vectors, so a finite sentinel could outrank real cells) instead of
+    * tripping ANSI divide-by-zero.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, seed: Long = 42L): IvfIndex = {
+    import graft.functions.VectorFunctions.normF
+    val centroidMatrix: Array[Array[Float]] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("hk", xxhash64(lit(seed), col("id")))
       .orderBy("hk").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      normF(col(vecCol)).as("nbr_norm"),
+      element_at(graft.functions.CellAssign.cells(col(vecCol), centroidMatrix, 1), 1)
+        .as("cell"))
+    IvfIndex(centroidMatrix, assigned)
+  }
 
-    // nearest-centroid assignment via the [[graft.functions.CellAssign]]
-    // expression: the centroid matrix rides as expression state (a literal
-    // per-centroid array formulation stops being plannable past toy nlist —
-    // see the expression's scaladoc). The probe's own norm scales every
-    // cell's score equally so it drops out of the argmax; zero-norm
-    // centroids score -Infinity (cell scores are dot/|c| = |v|·cos,
-    // UNBOUNDED below for unnormalized vectors, so a finite sentinel could
-    // outrank real cells) instead of tripping ANSI divide-by-zero.
-    val centroidMatrix: Array[Array[Float]] = centroids.map(_._2)
+  /** Persist a trained index: `centroids/` (cell → vector, nlist rows) and
+    * `assigned/` (the cell-keyed corpus) as parquet, HIVE-PARTITIONED BY
+    * CELL — the serving layout: a probe's nprobe cells map to directories,
+    * so a point lookup scans nprobe/nlist of the index. The route-then-
+    * write (`repartition(cell)` before `partitionBy`) keeps each cell in
+    * one task → one file, the same small-files discipline as the K-family
+    * writers. Re-training only ever pays the build again.
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Load a persisted index. The centroid matrix is an `nlist`-row collect
+    * (the same driver footprint training pays); the assigned corpus stays
+    * a lazy scan.
+    */
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$dir/assigned"))
+  }
+
+  /** Query a trained index: each probe searches its `nprobe` nearest cells.
+    * Same plan shape as [[ivfTopK]]'s query half. The probe's own norm
+    * scales every cell's score equally so it drops out of the argmax.
+    */
+  def ivfTopKIndexed(index: IvfIndex, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int,
+                     broadcastProbes: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    require(nprobe >= 1, "nprobe must be >= 1")
     // a corpus smaller than nlist yields fewer centroids than nprobe —
     // probe every available cell rather than reject the request
-    def cellOf(vec: Column, take: Int): Column =
-      graft.functions.CellAssign.cells(vec, centroidMatrix,
-        math.min(take, centroidMatrix.length))
-
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
-      normF(col(vecCol)).as("nbr_norm"),
-      element_at(cellOf(col(vecCol), 1), 1).as("cell"))
+    val take = math.min(nprobe, index.centroids.length)
+    val c = index.assigned
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       normF(col(vecCol)).as("probe_norm"),
-      explode(cellOf(col(vecCol), nprobe)).as("cell"))
+      explode(graft.functions.CellAssign.cells(col(vecCol), index.centroids, take))
+        .as("cell"))
 
     // The cell join has only `nlist` distinct keys, so hash-SHUFFLING on it
     // caps parallelism at nlist reducers no matter the cluster size — the

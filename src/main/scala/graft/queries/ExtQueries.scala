@@ -839,6 +839,26 @@ object ExtQueries {
         annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
       }),
 
+    // The deployment shape of IVF: train once, PERSIST (centroids +
+    // cell-assigned corpus as parquet), load in a consumer that shares
+    // nothing but the path, and serve the query batch from the loaded
+    // index. Same recall oracle as ann_topk_ivf; SimSearchSpec pins the
+    // persisted path row-identical to the direct one.
+    GQ("ann_topk_ivf_persist",
+      Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
+             |FROM embeddings WHERE vec_id < 10""".stripMargin),
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+        val idx = SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16)
+        val path = s"${graft.Scratch.root}/graft_ivf_index_${ProcessHandle.current().pid()}"
+        SimSearch.writeIvfIndex(idx, path)
+        val loaded = SimSearch.readIvfIndex(spark, path)
+        val approx = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
+      }),
+
     GQ("ann_topk_lsh",
       Some("""SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results
              |FROM embeddings WHERE vec_id < 10""".stripMargin),

@@ -101,4 +101,24 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     val b2 = emb.select(SimSearch.lshBucket($"embedding", 8, 64).as("b")).as[Long].collect()
     assert(b1.toSeq === b2.toSeq)
   }
+
+  test("IVF index persists: written + reloaded index answers row-identically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 5)
+    val direct = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2)
+      .orderBy("probe_id", "rank").collect().toSeq
+    val idx = SimSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    SimSearch.writeIvfIndex(idx, dir)
+    val loaded = SimSearch.readIvfIndex(spark, dir)
+    // the reloaded matrix must be the trained one, in cell order
+    assert(loaded.centroids.length === idx.centroids.length)
+    assert(loaded.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) })
+    val persisted = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .orderBy("probe_id", "rank").collect().toSeq
+    assert(persisted === direct,
+      "an index reloaded from parquet must answer exactly like the in-memory one")
+  }
 }
