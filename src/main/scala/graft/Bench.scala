@@ -384,6 +384,13 @@ object Bench {
       // physical planning only (no execution) — splits the suite's fixed
       // Catalyst cost from real work. Never set by the driver.
       val planOnly = sys.env.getOrElse("SPARK_GRAFT_PLAN_ONLY", "false") == "true"
+      // diagnostic: SPARK_GRAFT_CG_PER_QUERY=true prints per-query janino
+      // compile deltas to stderr — finds gates whose data-dependent plan
+      // literals defeat the sf0.001 warm pass. Never set by the driver.
+      val cgPerQuery = sys.env.getOrElse("SPARK_GRAFT_CG_PER_QUERY", "false") == "true"
+      val cgq0 = if (cgPerQuery)
+        org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      else 0L
       val err = try {
         if (planOnly) { fn(spark, sfDir).queryExecution.executedPlan; () }
         else fn(spark, sfDir).queryExecution.toRdd.count(): Unit
@@ -392,6 +399,11 @@ object Bench {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      if (cgPerQuery) {
+        val d = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount - cgq0
+        if (d > 0) System.err.println(s"[cg] $name compiled $d sources")
+      }
       // Per-query System.gc() measured and REJECTED (off by default): the
       // full-GC nudge between queries read well once under throttled-host
       // noise, but the controlled same-weather A/B says 121.4 s without vs
@@ -418,7 +430,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, elapsed, err)
     }
+    // compiles inside the TIMED loop only (delta over the JVM-cumulative
+    // counter): with the registry warm pass on, this should be ~0 — a big
+    // number means warm-pass plans and timed plans diverge (suite tax)
+    val cgBefore = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
     val results = (1 to rounds).map(_ => runRound()).last
+    val cgTimed = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount - cgBefore
     // diagnostic: dump cumulative Catalyst rule timings (analysis+optimizer)
     // across the whole suite — pairs with SPARK_GRAFT_PLAN_ONLY to find
     // planning hot spots. Never set by the driver.
@@ -440,7 +459,7 @@ object Bench {
     // histogram values are milliseconds (CodeGenerator.doCompile); the
     // reservoir mean x count is an estimate of total compile ms
     val cgMs = (cgSrc.METRIC_COMPILATION_TIME.getSnapshot.getMean * cgN).toLong
-    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"codegen_compiles":$cgN,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
+    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"codegen_compiles":$cgN,"codegen_compiles_timed":$cgTimed,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
     // …then a COMPACT summary as the LAST line: the driver keeps only the
     // final ~2000 chars of stdout, and the full line (~4 KB at 100 queries)
     // has been truncated mid-object — and therefore unparseable — every
