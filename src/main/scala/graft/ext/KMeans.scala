@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over embeddings, INTEGER-EXACT: vectors are quantized
+  * onto a fixed grid (`round(x·scale)` as BIGINT) and every subsequent
+  * step — squared-L2 distances, argmin assignment, centroid updates — is
+  * integer arithmetic, so the clustering is bit-identical across engines,
+  * partitionings, and reruns. Floating k-means cannot be oracle-gated:
+  * re-associated float sums drift, and a near-boundary point flipping its
+  * cell cascades into a different clustering; on the quantized grid there
+  * is nothing to drift.
+  *
+  * Per-step determinism contracts:
+  *   - init: the k vectors with the smallest `(md5(id), id)` — the same
+  *     portable seeded sample as [[Sampling.stratifiedByHash]];
+  *   - assignment: lexicographic min of (distance, cell) — equal-distance
+  *     ties take the LOWER cell;
+  *   - update: per-dimension `(s - s % n) / n` — `s % n` carries the sign
+  *     of the dividend in both engines, so the division is exact and the
+  *     quotient truncates toward zero identically; a cell with no members
+  *     keeps its previous centroid.
+  *
+  * Shape at 100 TB: per iteration, ONE scan of the quantized corpus
+  * computes assignments against a k-row broadcast centroid table (k·dim
+  * literals riding the plan), and one aggregate keyed by (cell, dim)
+  * produces the k·dim update rows — the only driver state is the centroid
+  * matrix itself (k·dim longs), the PageRank-style bounded-state loop.
+  * The corpus never re-shuffles: assignment is scan-side, the update
+  * aggregate is map-side-combined on k·dim keys.
+  */
+object KMeans {
+
+  /** Quantized copy of the vector column: `round(double(x)·scale)` per
+    * element, BIGINT.
+    */
+  private def quantize(vec: Column, scale: Int): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** (id, cluster) after `iterations` Lloyd rounds on the quantized grid.
+    * `scale` sets the grid (1000 ≈ 3 decimal digits of the input space).
+    */
+  def lloydQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iterations: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iterations >= 1)
+    // materialized once: every iteration's assignment scan and update
+    // aggregate read this relation
+    val q = embeddings
+      .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint()
+
+    // init: k smallest (md5(id), id) vectors — portable seeded sample
+    var centroids: Array[Array[Long]] = q
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    if (centroids.isEmpty) // empty corpus: nothing to assign
+      return q.select(col("id"), lit(0L).as("cluster")).limit(0)
+
+    def assigned: DataFrame = {
+      // dist to each centroid: exact integer Σ(x-c)²; argmin via the
+      // lexicographic min of (dist, cell) structs — ties take lower cell
+      val cells = centroids.zipWithIndex.map { case (c, i) =>
+        val lits = array(c.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("qv"), lits, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, d) => acc + d).as("dist"),
+          lit(i).as("cell"))
+      }
+      q.select(col("id"), col("qv"),
+        array_min(array(cells: _*)).getField("cell").as("cluster"))
+    }
+
+    // iteration i assigns against c_{i-1} then updates to c_i; the RESULT
+    // is iteration `iterations`' assignment — made against
+    // c_{iterations-1}, i.e. after iterations-1 updates (the final
+    // update's centroids are never consumed, so it is not computed)
+    for (_ <- 1 until iterations) {
+      // k·dim update rows to the driver — bounded state, never the corpus
+      val means = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> {
+          val s = r.getLong(2); val n = r.getLong(3)
+          (s - s % n) / n // exact: truncation toward zero, both engines
+        }).toMap
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        old.indices.map(j => means.getOrElse((cell, j), old(j))).toArray
+      }
+    }
+    assigned.select(col("id"), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** DuckDB render of the SAME computation over an `embeddings(vec_id,
+    * embedding)` table — same grid, same init order, same tie-breaks, same
+    * exact division — iterations unrolled as chained CTEs (all
+    * MATERIALIZED: each is read by several downstream CTEs and DuckDB's
+    * default inlining re-executes the chain per reference).
+    */
+  def lloydOracleSql(k: Int, iterations: Int, scale: Int = 1000): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = s"c${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT q.vec_id, c.cell, sum((q.xq - c.c) * (q.xq - c.c)) AS dist
+         |  FROM q JOIN $prev c USING (pos) GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT vec_id, min(dist) AS md FROM d$i GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT d.vec_id, min(d.cell) AS cell
+         |  FROM d$i d JOIN m$i m ON d.vec_id = m.vec_id AND d.dist = m.md
+         |  GROUP BY 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT a.cell, q.pos, CAST(sum(q.xq) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM a$i a JOIN q ON a.vec_id = q.vec_id GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cell, p.pos,
+         |         coalesce(CAST((u.s - u.s % u.n) // u.n AS BIGINT), p.c) AS c
+         |  FROM $prev p LEFT JOIN u$i u ON p.cell = u.cell AND p.pos = u.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS pos,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $scale) AS BIGINT) AS xq
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       |init AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT init.cell, q.pos, q.xq AS c FROM init JOIN q USING (vec_id)
+       |  WHERE init.cell < $k),
+       |$iters
+       |SELECT vec_id AS id, CAST(cell AS BIGINT) AS cluster FROM a$iterations
+       |""".stripMargin
+  }
+}

@@ -1949,6 +1949,18 @@ object ExtQueries {
           .agg(round(avg(col("x")), 6).as("m"))
           ),
 
+    // Integer-exact quantized Lloyd k-means: vectors on a fixed round(x·1000)
+    // grid, exact BIGINT distances, (dist, cell)-lexicographic assignment,
+    // (s − s%n)/n centroid updates — the clustering is bit-identical across
+    // engines, so the gate hash-compares the full assignment (no recall
+    // floor needed). Oracle unrolls the same 3 iterations as chained CTEs.
+    GQ("emb_kmeans_lloyd",
+      Some(graft.ext.KMeans.lloydOracleSql(k = 8, iterations = 3)),
+      (spark, dir) =>
+        graft.ext.KMeans.lloydQuantized(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", k = 8, iterations = 3)
+          ),
+
     // ----- as-of (point-in-time) join ----------------------------------------
     // Each event picks up the customer's most recent order at-or-before the
     // event time (no future leakage). Right side deduped to one row per
