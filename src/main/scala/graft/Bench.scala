@@ -430,12 +430,18 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, elapsed, err)
     }
-    // compiles inside the TIMED loop only (delta over the JVM-cumulative
-    // counter): with the registry warm pass on, this should be ~0 — a big
-    // number means warm-pass plans and timed plans diverge (suite tax)
-    val cgBefore = org.apache.spark.metrics.source.CodegenMetrics
-      .METRIC_COMPILATION_TIME.getCount
-    val results = (1 to rounds).map(_ => runRound()).last
+    // compiles inside the REPORTED round only (the last — the one whose
+    // timings go in the JSON): with the registry warm pass on, this should
+    // be ~0 — a big number means warm-pass plans and timed plans diverge
+    // (suite tax). Snapshot at the START of the last round so multi-round
+    // steady-state runs don't count round-1's first-compile burst against
+    // the steady-state timings.
+    var cgBefore = 0L
+    val results = (1 to rounds).map { i =>
+      if (i == rounds) cgBefore = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+      runRound()
+    }.last
     val cgTimed = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount - cgBefore
     // diagnostic: dump cumulative Catalyst rule timings (analysis+optimizer)

@@ -58,6 +58,7 @@ object KMeans {
     if (centroids.isEmpty) // empty corpus: nothing to assign
       return q.select(col("id"), lit(0L).as("cluster")).limit(0)
 
+    val dim = centroids.head.length
     def assigned: DataFrame = {
       // dist to each centroid: exact integer Σ(x-c)²; argmin via the
       // lexicographic min of (dist, cell) structs — ties take lower cell
@@ -68,8 +69,13 @@ object KMeans {
             lit(0L), (acc, d) => acc + d).as("dist"),
           lit(i).as("cell"))
       }
+      // a vector whose length differs from the centroid dim would get
+      // NULL-padded diffs from zip_with and an arbitrary NULL-first
+      // assignment — fail loud instead (the CellAssign discipline)
       q.select(col("id"), col("qv"),
-        array_min(array(cells: _*)).getField("cell").as("cluster"))
+        when(size(col("qv")) === dim, array_min(array(cells: _*)).getField("cell"))
+          .otherwise(raise_error(concat(lit(s"kmeans: vector dim != $dim for id "),
+            col("id").cast("string")))).as("cluster"))
     }
 
     // iteration i assigns against c_{i-1} then updates to c_i; the RESULT

@@ -854,8 +854,12 @@ object ExtQueries {
         val path = s"${graft.Scratch.root}/graft_ivf_index_${ProcessHandle.current().pid()}"
         SimSearch.writeIvfIndex(idx, path)
         val loaded = SimSearch.readIvfIndex(spark, path)
+        // materialize the (probes×k)-row answer, then DELETE the on-disk
+        // index — unlike the k1/k2 leak-one-copy artifacts this one holds
+        // a corpus copy, and Scratch.root may be RAM-backed (/dev/shm)
         val approx = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
-          k = 5, nprobe = 4)
+          k = 5, nprobe = 4).localCheckpoint()
+        graft.io.ParquetIO.deleteRecursively(new java.io.File(path))
         annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
       }),
 
