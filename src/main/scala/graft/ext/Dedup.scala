@@ -289,7 +289,7 @@ object Dedup {
     * exact hamming via `bit_count(xor)`, `maxHamming < 4` for lossless
     * pigeonhole recall.
     */
-  private def simhashPairsFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
+  private[ext] def simhashPairsFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming <= 3")
     val chunks = fps.select(col("id"), col("simhash"), posexplode(
       array((0 until 4).map(c =>

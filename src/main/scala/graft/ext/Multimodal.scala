@@ -300,6 +300,44 @@ object Multimodal {
     }
   }
 
+  /** Perceptual (average-hash family) image fingerprint: bit j is set iff
+    * the j-th luma profile bin exceeds the image's mean bin — the aHash
+    * rule over [[MediaCodec.extractFeatures]]'s decoded-pixel profile.
+    * Because the profile is L1-normalized (Σf = 1), "above the mean bin"
+    * is exactly `f_j > 1/dim` — scale-invariant, so re-encoded or
+    * brightness-scaled copies of an image hash identically. `dim ≤ 64`
+    * bits packed into one BIGINT.
+    *
+    * Undecodable payloads produce the all-zero profile and hash 0 — they
+    * cluster with each other, not with real images; filter on
+    * [[decodeMeta]]'s format column upstream if that matters.
+    *
+    * Output: (id, phash). Scan-side per-row work, no shuffle.
+    */
+  def perceptualHashes(spark: SparkSession, media: DataFrame, dim: Int = 8,
+                       codec: MediaCodec = FakeCodec): DataFrame = {
+    require(dim >= 1 && dim <= 64, "phash packs into one 64-bit word")
+    val bits = (0 until dim).map(j =>
+      when(element_at(col("features"), j + 1) > lit(1.0 / dim), lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    extractFeatures(spark, media, dim, codec).toDF()
+      .select(col("mediaId").as("id"), bits.as("phash"))
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash: the text SimHash
+    * machinery verbatim ([[Dedup.simhashPairsFromFps]] — pigeonhole
+    * banding on 16-bit chunks, bucket join, exact `bit_count` verify) over
+    * [[perceptualHashes]] fingerprints. The multimodal member of the
+    * near-dup family: re-encoded/resized copies of an image land within a
+    * few bits of each other while distinct images are far.
+    */
+  def perceptualDupPairs(spark: SparkSession, media: DataFrame, dim: Int = 8,
+                         maxHamming: Int = 3,
+                         codec: MediaCodec = FakeCodec): DataFrame =
+    Dedup.simhashPairsFromFps(
+      perceptualHashes(spark, media, dim, codec)
+        .withColumnRenamed("phash", "simhash"), maxHamming)
+
   /** Resize every blob into a bounding box, batched per partition like
     * [[decodeMeta]] (real impl: one scaler context per partition).
     */

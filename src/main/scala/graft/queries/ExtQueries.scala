@@ -1591,6 +1591,25 @@ object ExtQueries {
             round(col("f").cast("double"), 4).as("feat"))
       }),
 
+    // Perceptual image dedup over REAL decoded pixels: aHash bits from the
+    // stripe images' luma profile (strip grays 10/40 fall under the 1/dim
+    // mean, 60/90 over), SimHash banding + exact hamming verify on the
+    // hashes. Stripe rotations differ by ≥4 bits, so maxHamming=3 keeps
+    // EXACTLY the same-rotation pairs — id arithmetic the oracle states
+    // without a decoder, like mm_features_real.
+    GQ("mm_phash_dedup",
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+             |FROM d a JOIN d b
+             |  ON a.doc_id % 4 = b.doc_id % 4 AND a.doc_id < b.doc_id""".stripMargin),
+      (spark, dir) => {
+        val media = Multimodal.syntheticStripeImageTable(spark,
+          Tables.documents(spark, dir).filter(col("doc_id") < 100), "doc_id")
+        Multimodal.perceptualDupPairs(spark, media, dim = 8, maxHamming = 3,
+            codec = Multimodal.ImageIoCodec)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      }),
+
     // ----- skew: salted two-phase aggregate ----------------------------------
     // Oracle is the PLAIN group-by — the point is that the salted rewrite is
     // row-identical while bounding per-task hot-key volume.

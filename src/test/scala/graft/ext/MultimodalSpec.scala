@@ -175,4 +175,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val feats = Multimodal.audioFeatures(spark, junk).head()
     assert(feats.peak === -1, "undecodable rows are filterable, not poisonous")
   }
+
+  test("perceptualHashes: same-rotation stripe images hash identically, " +
+    "rotations differ by >= 4 bits; undecodable hashes 0") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.syntheticStripeImageTable(spark, ids, "doc_id")
+    val hashes = Multimodal.perceptualHashes(spark, media, dim = 8,
+        codec = Multimodal.ImageIoCodec)
+      .as[(Long, Long)].collect().toMap
+    (0L until 16L).foreach { id =>
+      assert(hashes(id) === hashes(id % 4), s"rotation class must share a hash: $id")
+    }
+    val classes = (0L until 4L).map(hashes)
+    assert(classes.distinct.size === 4)
+    for (a <- classes; b <- classes if a != b)
+      assert(java.lang.Long.bitCount(a ^ b) >= 4,
+        s"distinct rotations must be >= 4 bits apart: $a vs $b")
+    val junk = Seq((99L, "not an image".getBytes("UTF-8"))).toDF("mediaId", "payload")
+    assert(Multimodal.perceptualHashes(spark, junk, dim = 8,
+      codec = Multimodal.ImageIoCodec).as[(Long, Long)].head()._2 === 0L)
+  }
+
+  test("perceptualDupPairs keeps exactly the same-rotation pairs at maxHamming 3") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val media = Multimodal.syntheticStripeImageTable(spark, ids, "doc_id")
+    val pairs = Multimodal.perceptualDupPairs(spark, media, dim = 8, maxHamming = 3,
+        codec = Multimodal.ImageIoCodec)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 12L; b <- 0L until 12L if a < b && a % 4 == b % 4
+    } yield (a, b)).toSet
+    assert(pairs === expected)
+  }
 }
