@@ -74,9 +74,16 @@ object Pack {
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("ts"))
+    // materialized once: the bigram-count aggregate AND the final
+    // probability join both read this relation, and the planner does NOT
+    // reuse the exchange between them (measured: 3 Generate + 8 Exchange
+    // nodes without the checkpoint — the corpus exploded three times). At
+    // production scale this is the bigram-stream table you'd persist;
+    // localCheckpoint also carries the bg-partitioning into both readers.
     val stream = toks.select(col("id"),
         explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
       .repartition(col("bg"))
+      .localCheckpoint()
     val bc = stream.groupBy("bg").agg(count(lit(1)).as("cb"))
     // Unigram counts WITHOUT re-exploding the token stream: every token
     // occurrence is the first word of exactly one bigram occurrence, or the
