@@ -57,57 +57,68 @@ object Pack {
     * lm_avg_scaled = p_sum_scaled div n_bigrams). Docs with < 2 tokens
     * have no bigrams and no row.
     *
-    * Shape at 100 TB: the exploded POSITIONAL bigram stream is shuffled
-    * exactly ONCE — an explicit repartition on the bigram — and every
-    * wide consumer rides that one exchange co-partitioned: the corpus
-    * bigram counts are a partial-combined aggregate of it, the
-    * vocab-granularity probability table (cb ⋈ cu) hash-joins back onto
-    * it without moving it, and the per-doc rollup partial-aggregates
-    * map-side so its exchange carries docs×partitions rows. (The former
-    * shape first aggregated per-(doc, bigram) multiplicities — but
-    * positional bigrams are nearly unique within a doc, so that pass
-    * shrank almost nothing and cost a second full-stream shuffle when the
-    * probability join re-keyed it on the bigram.) Per-positional-bigram
-    * integer rounding (`round(p·1e9)` BEFORE the sum) is unchanged. No
-    * driver-side model, no broadcast of the vocabulary.
+    * Shape at 100 TB: the full positional-bigram stream is NEVER shuffled
+    * on the bigram. The corpus bigram counts are a partial-combined
+    * aggregate of the exploded stream (the exchange carries per-partition
+    * DISTINCT bigrams, not positions), the probability table built from
+    * them is bigram-type-granularity, and when that table fits the
+    * broadcast budget (`maxBroadcastTypes`, the common case — bigram types
+    * grow sub-linearly in corpus size) it is broadcast back onto a fresh
+    * explode of the stream, whose per-doc rollup then partial-aggregates
+    * map-side so the only full-stream-derived exchange carries
+    * docs×partitions rows. Above the budget the stream falls back to one
+    * explicit bigram repartition + checkpoint with a shuffle-hash
+    * probability join — the unbounded-vocabulary shape. Per-positional-
+    * bigram integer rounding (`round(p·1e9)` BEFORE the sum) is identical
+    * on both paths. No driver-side model in either path; the broadcast is
+    * executor-side and size-gated.
     */
-  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
+                     maxBroadcastTypes: Long = 10000000L): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("ts"))
-    // materialized once: the bigram-count aggregate AND the final
-    // probability join both read this relation, and the planner does NOT
-    // reuse the exchange between them (measured: 3 Generate + 8 Exchange
-    // nodes without the checkpoint — the corpus exploded three times). At
-    // production scale this is the bigram-stream table you'd persist;
-    // localCheckpoint also carries the bg-partitioning into both readers.
-    val stream = toks.select(col("id"),
-        explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
-      .repartition(col("bg"))
+    def exploded = toks.select(col("id"),
+      explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+    // ONE corpus pass yields BOTH count relations: shingle over the token
+    // array with an empty-string sentinel appended, so each document also
+    // emits one "lastToken " sentinel bigram. Real tokens are whitespace-
+    // split and never empty, so sentinel rows are exactly the trailing-
+    // space bigrams. Then cu(w) — w's total corpus occurrences — is the
+    // sum of counts over bigrams STARTING with w (every occurrence of w
+    // starts exactly one bigram: a real one, or its doc's sentinel), and
+    // the real-bigram counts are the non-sentinel rows. Materialize only
+    // this vocabulary-sized table: the unigram rollup, probability table,
+    // and size probe all derive from it without touching the corpus again.
+    val bcAll = toks.select(col("id"),
+        explode(graft.functions.ShingleStrings.shingleStrings(
+          concat(col("ts"), array(lit(""))), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
       .localCheckpoint()
-    val bc = stream.groupBy("bg").agg(count(lit(1)).as("cb"))
-    // Unigram counts WITHOUT re-exploding the token stream: every token
-    // occurrence is the first word of exactly one bigram occurrence, or the
-    // LAST token of its document. So cu(w) = Σ cb over bigrams starting
-    // with w, plus the per-doc last-token counts — the second corpus-wide
-    // explode+shuffle becomes a one-row-per-document projection. Only words
-    // that start a bigram are ever probability denominators (pTab joins on
-    // exactly that set), so a left join suffices.
-    val firsts = bc.select(substring_index(col("bg"), " ", 1).as("w1"), col("cb"))
-      .groupBy("w1").agg(sum(col("cb")).as("__cf"))
-    val lasts = toks.select(element_at(col("ts"), -1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("__cl"))
-    val uni = firsts.join(lasts, Seq("w1"), "left")
-      .select(col("w1"),
-        (col("__cf") + coalesce(col("__cl"), lit(0L))).as("cu"))
-    val pTab = bc
+    val uni = bcAll
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
+    def pTab(uniJoinSide: DataFrame) = bcAll
+      .filter(not(col("bg").endsWith(" ")))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(uni, Seq("w1"))
+      .join(uniJoinSide, Seq("w1"))
       .select(col("bg"),
         round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9))
           .cast("long").as("ps"))
-    // build side = pTab (vocab-granularity); the stream side stays put on
-    // its one exchange — a sort-merge here would sort the full stream
-    stream.join(pTab.hint("shuffle_hash"), Seq("bg"))
+    val joined =
+      if (bcAll.count() <= maxBroadcastTypes) {
+        // common case: the count tables fit executors — the bigram stream
+        // is joined where it was produced, zero stream shuffles. Explicit
+        // broadcasts: checkpointed relations carry no stats, so the
+        // planner cannot see how small these sides are.
+        exploded.join(broadcast(pTab(broadcast(uni))), Seq("bg"))
+      } else {
+        // unbounded-vocabulary fallback: one explicit stream shuffle on
+        // the bigram; build side = pTab (a sort-merge would sort the
+        // full stream)
+        val stream = exploded.repartition(col("bg")).localCheckpoint()
+        stream.join(pTab(uni).hint("shuffle_hash"), Seq("bg"))
+      }
+    joined
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("ps")).as("p_sum_scaled"))

@@ -254,11 +254,20 @@ object ExtQueries {
              |  CAST(sum(ps) AS BIGINT) AS p_sum_scaled,
              |  CAST(sum(ps) // count(*) AS BIGINT) AS lm_avg_scaled
              |FROM p GROUP BY doc_id""".stripMargin),
-      (spark, dir) =>
-        Pack.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
-          .withColumnsRenamed(Map("id" -> "doc_id"))
-          .select("doc_id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
-          ),
+      (spark, dir) => {
+        // shuffle partitions sized to the relation widths for the EAGER
+        // probability-table materialization inside bigramLmScores (its
+        // aggregates are vocabulary-sized — thousands of rows drown in
+        // 32-way task launches; same reasoning as graph_pagerank) —
+        // restored after
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          Pack.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
+            .withColumnsRenamed(Map("id" -> "doc_id"))
+            .select("doc_id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }),
 
     // DSIR hashed-n-gram importance scores (integer-exact scaled variant):
     // English docs as the target domain, the whole corpus as source; the

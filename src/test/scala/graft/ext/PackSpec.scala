@@ -52,6 +52,22 @@ class PackSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === ((1L, pAC)))
   }
 
+  test("bigramLmScores: broadcast path and unbounded-vocab fallback agree exactly") {
+    val df = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 5} end"))
+      .toDF("id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "n_bigrams", "p_sum_scaled", "lm_avg_scaled")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val bcast = Pack.bigramLmScores(df, "id", "text")
+    val fallback = Pack.bigramLmScores(df, "id", "text", maxBroadcastTypes = 0L)
+    assert(rows(bcast) === rows(fallback),
+      "size-gated paths must be bit-identical (integer-scaled before summing)")
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "small probability table must broadcast onto the un-shuffled bigram stream")
+  }
+
   test("bigramLmScores: docs with fewer than two tokens get no row") {
     val df = Seq((1L, "solo"), (2L, "two tokens")).toDF("id", "text")
     val ids = Pack.bigramLmScores(df, "id", "text").select("id").as[Long].collect()

@@ -87,6 +87,45 @@ class ScratchTimingSpec extends AnyFunSuite with SparkSpec {
       .orderBy("user_id", "bucket").queryExecution.toRdd.count())
   }
 
+  ignore("lm bigram phases at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, dir)
+    def gate = graft.ext.Pack.bigramLmScores(docs, "doc_id", "text")
+    t("gate warm")(gate.queryExecution.toRdd.count())
+    t("gate")(gate.queryExecution.toRdd.count())
+    val toks = docs.select(col("doc_id").as("id"),
+      graft.ext.TextOps.tokens(col("text")).as("ts"))
+    def exploded = toks.select(col("id"),
+      explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
+    def bc = exploded.groupBy("bg").agg(count(lit(1)).as("cb"))
+    def firsts = bc.select(substring_index(col("bg"), " ", 1).as("w1"), col("cb"))
+      .groupBy("w1").agg(sum(col("cb")).as("__cf"))
+    def lasts = toks.select(element_at(col("ts"), -1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__cl"))
+    def uni = firsts.join(lasts, Seq("w1"))
+      .select(col("w1"), (col("__cf") + coalesce(col("__cl"), lit(0L))).as("cu"))
+    def pT = bc.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, Seq("w1"))
+      .select(col("bg"),
+        round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9))
+          .cast("long").as("ps"))
+    t("toks scan warm")(toks.queryExecution.toRdd.count())
+    t("toks scan")(toks.queryExecution.toRdd.count())
+    t("exploded only")(exploded.queryExecution.toRdd.count())
+    t("bc agg")(bc.queryExecution.toRdd.count())
+    t("pTab pipeline warm")(pT.queryExecution.toRdd.count())
+    t("pTab pipeline")(pT.queryExecution.toRdd.count())
+    val pMat = pT.localCheckpoint()
+    t("pTab count")(pMat.count(): Unit)
+    def fin = exploded.join(broadcast(pMat), Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("p_sum_scaled"))
+      .withColumn("lm_avg_scaled", expr("p_sum_scaled div n_bigrams"))
+    t("final join warm")(fin.queryExecution.toRdd.count())
+    t("final join")(fin.queryExecution.toRdd.count())
+    t("gate again")(gate.queryExecution.toRdd.count())
+  }
+
   ignore("lm bigram old vs new at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     val docs = graft.Tables.documents(spark, dir)
