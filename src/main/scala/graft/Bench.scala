@@ -321,7 +321,7 @@ object Bench {
           graft.streaming.StreamOps.eventsLandingWithDuplicates(spark, warmDir)
           graft.streaming.StreamOps.ordersChangesLanding(spark, warmDir)
           graft.queries.CoreQueries.ensureBucketedPair(spark, warmDir)
-        } catch { case _: Throwable => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
         // The warm pass exists only to compile code and JIT hot paths — a
         // sequential run of 175 tiny sf0.001 queries is latency-bound on
         // the driver (planning, job barriers), ~80 s of the ~110 s warmup.
@@ -331,8 +331,12 @@ object Bench {
         // shuffle partitions / broadcast thresholds and restore) stay
         // session-local and cannot corrupt a neighbor's planning; janino's
         // compile cache and the JIT are process-global, so every compile
-        // still transfers to the measured run. Failures stay swallowed —
-        // a warm-up failure must never mask the measured run.
+        // still transfers to the measured run. Query failures stay
+        // swallowed — a warm-up failure must never mask the measured
+        // run — but only NON-fatal ones: an OutOfMemoryError or other
+        // VirtualMachineError here means the heap entering the timed
+        // loop is hosed, and silently eating it would corrupt the
+        // measurements it exists to protect.
         val threads = math.min(8, Runtime.getRuntime.availableProcessors)
         val work = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         val pool = (0 until threads).map { t =>
@@ -342,7 +346,7 @@ object Bench {
             work.foreach { case ((_, fn), i) =>
               if (i % threads == t)
                 try fn(session, warmDir).queryExecution.toRdd.count(): Unit
-                catch { case _: Throwable => () }
+                catch { case scala.util.control.NonFatal(_) => () }
             }
           }, s"graft-warm-$t")
         }

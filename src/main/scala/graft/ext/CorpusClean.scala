@@ -46,17 +46,20 @@ object CorpusClean {
     * FIRST rule that rejects it, in [[run]]'s own stage order (empty →
     * token floor → punctuation cap → language allow-list), and count per
     * reason. `kept` counts the cleaning survivors BEFORE near-dup removal
-    * (dedup kills are pair-dependent, not a per-row reason). The explicit
-    * `empty` reason also covers [[TextOps.punctRatio]]'s NULL (empty text
-    * is its only NULL case), so every later comparison is non-NULL and
-    * the CASE is total. One shuffle-free scan + a reason-cardinality
-    * aggregate at any scale.
+    * (dedup kills are pair-dependent, not a per-row reason). The first
+    * branch claims NULL text as well as empty: every [[run]] filter
+    * rejects NULL (a NULL comparison is never TRUE), so without it a NULL
+    * document would fall through every when() to `kept` while the
+    * pipeline it explains drops the row. With NULL and empty settled
+    * first, [[TextOps.punctRatio]]'s NULL case (empty text) is covered
+    * too, every later comparison is non-NULL, and the CASE is total. One
+    * shuffle-free scan + a reason-cardinality aggregate at any scale.
     */
   def rejectionFunnel(df: DataFrame, textCol: String,
                       minTokens: Int, maxPunct: Double,
                       langs: Seq[String]): DataFrame = {
     val t = col(textCol)
-    val reason = when(length(t) === 0, "empty")
+    val reason = when(t.isNull || length(t) === 0, "empty")
       .when(TextOps.tokenCount(t) < minTokens, "too_short")
       .when(TextOps.punctRatio(t) > maxPunct, "too_punctuated")
       .when(!TextOps.languageId(t, TextOps.defaultLexicons).isin(langs: _*),

@@ -45,9 +45,17 @@ object CoreQueries {
     * steady-state join; Verify pays the one-time write honestly.
     */
   private val bucketedPair = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  def ensureBucketedPair(spark: SparkSession, dir: String): (String, String) =
-    bucketedPair.getOrElseUpdate(dir, {
-      val tag = (dir.hashCode & 0x7fffffff).toHexString
+  def ensureBucketedPair(spark: SparkSession, dir: String): (String, String) = {
+    // canonical path both as the cache key and the table-name tag: two
+    // spellings of one directory must share an entry, and two different
+    // directories must never share table names (a 32-bit hashCode
+    // collision would silently point one dir's cached names at the
+    // other's data) — md5 prefix instead of hashCode
+    val canonical = new java.io.File(dir).getCanonicalPath
+    bucketedPair.getOrElseUpdate(canonical, {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
       val db = "bkt_gate"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val li = s"li_$tag"; val o = s"o_$tag"
@@ -68,6 +76,7 @@ object CoreQueries {
         db, o, Seq("l_orderkey"), 8)
       (s"$db.$li", s"$db.$o")
     })
+  }
 
   /** Pin a DataFrame's physical plan while `confs` are set (forcing the lazy
     * `executedPlan` caches it on the Dataset's QueryExecution — later

@@ -931,7 +931,7 @@ object ExtQueries {
     GQ("corpus_filter_funnel",
       Some(s"""SELECT reason, CAST(count(*) AS BIGINT) AS n FROM (
               |  SELECT CASE
-              |    WHEN length(text) = 0 THEN 'empty'
+              |    WHEN text IS NULL OR length(text) = 0 THEN 'empty'
               |    WHEN len($duckTokens) < 30 THEN 'too_short'
               |    WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
               |         / length(text) > 0.2 THEN 'too_punctuated'

@@ -286,12 +286,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (4L, (1 to 40).map(_ => "a.b.c").mkString(" ")),           // punct > 0.2
       (5L, (1 to 40).map(_ => "der die und").mkString(" ")),     // de → lang_blocked
       (6L, "a, b!"),                                             // short AND punctuated → first rule: too_short
+      (7L, null),                                                // NULL text → empty, not kept
     ).toDF("doc_id", "text")
     val funnel = CorpusClean.rejectionFunnel(docs, "text",
         minTokens = 30, maxPunct = 0.2, langs = Seq("en", "es"))
       .as[(String, Long)].collect().toMap
-    assert(funnel === Map("kept" -> 1L, "empty" -> 1L, "too_short" -> 2L,
-      "too_punctuated" -> 1L, "lang_blocked" -> 1L))
+    assert(funnel === Map("kept" -> 1L, "empty" -> 2L, "too_short" -> 2L,
+      "too_punctuated" -> 1L, "lang_blocked" -> 1L),
+      "NULL text must count as a rejection (run() drops it), never as kept")
   }
 
   test("embeddingCosinePairs matches a hand-computed cosine") {

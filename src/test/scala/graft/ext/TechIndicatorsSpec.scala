@@ -71,6 +71,16 @@ class TechIndicatorsSpec extends AnyFunSuite with SparkSpec {
     // oracle's shape) EXACTLY, not rounded, on the full sf0.1 events table:
     // any future engine change to frame evaluation order must fail here
     // before it corrupts the oracle gate.
+    //
+    // SPARK-VERSION DEPENDENCY (keep this test mandatory): the bit-parity
+    // rests on SlidingWindowFunctionFrame (Spark 4.1.x) re-accumulating
+    // the bounded frame sequentially. If an upgrade switches bounded
+    // frames to retract- or tree-based accumulation, float association
+    // order changes and cross-engine hashes can flip at rounding-grid
+    // midpoints with no other symptom — a failure HERE after a Spark bump
+    // means fin_bollinger (and any windowed-sum-vs-fold gate) must move
+    // back to the explicit collect_list+fold form, not that this test is
+    // stale.
     val events = graft.Tables.events(spark, "/root/testdata/sf0.1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
