@@ -669,14 +669,21 @@ object Dedup {
     * equal vs unequal first tokens). Prefix truncation bounds the per-pair
     * cost.
     */
+  /** Shared blocking projection for the fuzzy-join family: (id, prefix,
+    * first token) per document. */
+  private def fuzzyBlockSide(df: DataFrame, idCol: String, textCol: String,
+                             prefixLen: Int): DataFrame = {
+    val t = trim(col(textCol))
+    df.select(col(idCol).as("id"),
+      substring(t, 1, prefixLen).as("pfx"),
+      split_part(t, lit(" "), lit(1)).as("b1"))
+  }
+
   def fuzzyPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, prefixLen: Int = 40,
                         dualBlock: Boolean = true): DataFrame = {
     require(maxDist >= 0 && prefixLen > 0, "need maxDist >= 0, prefixLen > 0")
-    val t = trim(col(textCol))
-    val d = df.select(col(idCol).as("id"),
-      substring(t, 1, prefixLen).as("pfx"),
-      split_part(t, lit(" "), lit(1)).as("b1"))
+    val d = fuzzyBlockSide(df, idCol, textCol, prefixLen)
     def renamed(side: String) = d.withColumnsRenamed(Map(
       "id" -> s"id_$side", "pfx" -> s"pfx_$side", "b1" -> s"b1_$side"))
     // the thresholded distance sits IN the join condition, explicitly AFTER
@@ -702,35 +709,7 @@ object Dedup {
       col("b1_a") === col("b1_b") && col("id_a") < col("id_b") && bagOk && dist >= 0))
     if (!dualBlock) exact
     else {
-      // Deletion-neighborhood blocking at VOCABULARY granularity: the
-      // variant self-join runs over distinct first tokens (bounded by the
-      // vocabulary, not the corpus — at doc granularity every same-token
-      // doc pair shares all its variant keys and the join degenerates into
-      // the full block cross product). {token} ∪ single-char deletions: two
-      // tokens within 1 edit share a variant (substitution: same-position
-      // deletions coincide; insert/delete: the shorter token IS a variant
-      // of the longer). Empty variants are dropped — "" must not become a
-      // mega-block key. Deletion positions are capped at PREFIXLEN — the
-      // principled bound, since the distance itself is computed on
-      // `prefixLen`-truncated text, so an edit past that position cannot
-      // change any pair's distance (the former fixed 24 silently dropped
-      // typos at positions 25..prefixLen of a long first token —
-      // DedupSpec pins the recovered case). Variant count per VOCAB token
-      // is ≤ prefixLen+1; the explode stays vocabulary-granularity.
-      val variants = expr(
-        s"""filter(array_distinct(concat(
-           |  CASE WHEN length(b1) > 0
-           |       THEN transform(sequence(1, least(length(b1), $prefixLen)),
-           |                      g -> concat(substr(b1, 1, g-1), substr(b1, g+1, 1000000)))
-           |       ELSE CAST(array() AS array<string>) END,
-           |  array(b1))), x -> x <> '')""".stripMargin)
-      val tv = d.select("b1").distinct().withColumn("vk", explode(variants))
-      // SYMMETRIC near-token pairs (both orders), so the doc join below can
-      // enforce id_a < id_b without a swap pass
-      val nearToks = tv.withColumnsRenamed(Map("b1" -> "t_a", "vk" -> "vk_a"))
-        .join(tv.withColumnsRenamed(Map("b1" -> "t_b", "vk" -> "vk_b")),
-          col("vk_a") === col("vk_b") && col("t_a") =!= col("t_b"))
-        .select("t_a", "t_b").distinct()
+      val nearToks = nearTokenPairs(d, prefixLen)
       // docs of token t_a × docs of token t_b; each unordered doc pair
       // surfaces in exactly one token direction thanks to id_a < id_b
       val near = emit(renamed("a")
@@ -740,6 +719,72 @@ object Dedup {
       // disjoint by construction (equal vs unequal first tokens)
       exact.unionByName(near)
     }
+  }
+
+  /** Deletion-neighborhood blocking at VOCABULARY granularity: the
+    * variant self-join runs over distinct first tokens (bounded by the
+    * vocabulary, not the corpus — at doc granularity every same-token
+    * doc pair shares all its variant keys and the join degenerates into
+    * the full block cross product). {token} ∪ single-char deletions: two
+    * tokens within 1 edit share a variant (substitution: same-position
+    * deletions coincide; insert/delete: the shorter token IS a variant
+    * of the longer). Empty variants are dropped — "" must not become a
+    * mega-block key. Deletion positions are capped at PREFIXLEN — the
+    * principled bound, since the distance itself is computed on
+    * `prefixLen`-truncated text, so an edit past that position cannot
+    * change any pair's distance (the former fixed 24 silently dropped
+    * typos at positions 25..prefixLen of a long first token —
+    * DedupSpec pins the recovered case). Variant count per VOCAB token
+    * is ≤ prefixLen+1; the explode stays vocabulary-granularity.
+    * Emits SYMMETRIC (t_a, t_b) pairs (both orders), so doc joins can
+    * enforce id_a < id_b without a swap pass. */
+  private def nearTokenPairs(d: DataFrame, prefixLen: Int): DataFrame = {
+    val variants = expr(
+      s"""filter(array_distinct(concat(
+         |  CASE WHEN length(b1) > 0
+         |       THEN transform(sequence(1, least(length(b1), $prefixLen)),
+         |                      g -> concat(substr(b1, 1, g-1), substr(b1, g+1, 1000000)))
+         |       ELSE CAST(array() AS array<string>) END,
+         |  array(b1))), x -> x <> '')""".stripMargin)
+    val tv = d.select("b1").distinct().withColumn("vk", explode(variants))
+    tv.withColumnsRenamed(Map("b1" -> "t_a", "vk" -> "vk_a"))
+      .join(tv.withColumnsRenamed(Map("b1" -> "t_b", "vk" -> "vk_b")),
+        col("vk_a") === col("vk_b") && col("t_a") =!= col("t_b"))
+      .select("t_a", "t_b").distinct()
+  }
+
+  /** The UN-thresholded spelling of [[fuzzyPairsBlocked]] — candidate
+    * pairs from the same dual blocking, then the naive per-pair predicate
+    * `levenshtein(pfx_a, pfx_b) <= maxDist` a user would write, with no
+    * Myers guard and no hand-banded DP. On its own this runs the full
+    * O(len²) distance on every candidate; with
+    * [[graft.plans.ThresholdedLevenshteinRule]] registered the optimizer
+    * rewrites the predicate into Catalyst's banded O(len·maxDist)
+    * early-exit form — this method exists so that path can be exercised
+    * (and oracle-gated) end-to-end. Results are identical to
+    * [[fuzzyPairsBlocked]] by construction: same candidates, same
+    * distance, same threshold.
+    */
+  def fuzzyPairsBlockedNaive(df: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int, prefixLen: Int = 40): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, "need maxDist >= 0, prefixLen > 0")
+    val d = fuzzyBlockSide(df, idCol, textCol, prefixLen)
+    def renamed(side: String) = d.withColumnsRenamed(Map(
+      "id" -> s"id_$side", "pfx" -> s"pfx_$side", "b1" -> s"b1_$side"))
+    val cols = Seq(col("id_a"), col("id_b"), col("pfx_a"), col("pfx_b"))
+    val exact = renamed("a").join(renamed("b"),
+        col("b1_a") === col("b1_b") && col("id_a") < col("id_b"))
+      .select(cols: _*)
+    val near = renamed("a")
+      .join(nearTokenPairs(d, prefixLen), col("b1_a") === col("t_a"))
+      .join(renamed("b"), col("b1_b") === col("t_b") && col("id_a") < col("id_b"))
+      .select(cols: _*)
+    exact.unionByName(near)
+      // the naive predicate — the optimizer rule's rewrite target; the
+      // projection's 2-arg distance runs on matches only and stays naive
+      .filter(levenshtein(col("pfx_a"), col("pfx_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
   }
 
   /** Cross-corpus EXACT-SUBSTRING duplicate spans (the ExactSubstr pattern

@@ -46,6 +46,38 @@ object ExtQueries {
       |FROM s GROUP BY user_id, seq
       |""".stripMargin
 
+  // shared by fuzzy_join_blocked (the hand-thresholded operator, full
+  // corpus) and j6_rule_rewritten_fuzzy (the naive spelling rewritten by
+  // the ThresholdedLevenshteinRule optimizer rule, on a corpus slice):
+  // identical semantics gated against the SAME truth, parameterized only
+  // by the input restriction
+  private def fuzzyBlockedOracleSql(where: String = ""): String =
+    s"""WITH d AS (SELECT doc_id, substr(trim(text), 1, 40) AS pfx,
+      |             split_part(trim(text), ' ', 1) AS b1 FROM documents$where),
+      |tv AS (SELECT b1, vk
+      |       FROM (SELECT DISTINCT b1 FROM d),
+      |            UNNEST(list_distinct(list_append(
+      |              [substr(b1, 1, g-1) || substr(b1, g+1, 1000000)
+      |               for g in range(1, least(len(b1), 24) + 1)], b1))) AS u(vk)
+      |       WHERE vk <> ''),
+      |nt AS (SELECT DISTINCT a.b1 AS t_a, b.b1 AS t_b
+      |       FROM tv a JOIN tv b ON a.vk = b.vk AND a.b1 <> b.b1),
+      |c AS MATERIALIZED (
+      |      -- MATERIALIZED: without it DuckDB reorders the near
+      |      -- branch into an inequality join carrying the outer
+      |      -- levenshtein predicate — 12.5M full DPs (measured 83 s
+      |      -- for an empty near set)
+      |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |             a.pfx AS pfx_a, b.pfx AS pfx_b
+      |      FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      |      UNION ALL
+      |      SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
+      |      FROM d a JOIN nt ON a.b1 = nt.t_a
+      |                JOIN d b ON b.b1 = nt.t_b AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS dist
+      |FROM c WHERE levenshtein(pfx_a, pfx_b) <= 12
+      |""".stripMargin
+
   /** Recall-scored ANN gate body: per-probe result counts survive only
     * while the ANN result's mean recall@k against the in-query brute-force
     * truth clears `floor` — the one-row mean relation broadcasts onto the
@@ -1880,35 +1912,46 @@ object ExtQueries {
     // deletion variant); candidate joins are plain hash equi-joins and the
     // O(len²) distance touches block-local pairs exactly once each.
     GQ("fuzzy_join_blocked",
-      Some("""WITH d AS (SELECT doc_id, substr(trim(text), 1, 40) AS pfx,
-             |             split_part(trim(text), ' ', 1) AS b1 FROM documents),
-             |tv AS (SELECT b1, vk
-             |       FROM (SELECT DISTINCT b1 FROM d),
-             |            UNNEST(list_distinct(list_append(
-             |              [substr(b1, 1, g-1) || substr(b1, g+1, 1000000)
-             |               for g in range(1, least(len(b1), 24) + 1)], b1))) AS u(vk)
-             |       WHERE vk <> ''),
-             |nt AS (SELECT DISTINCT a.b1 AS t_a, b.b1 AS t_b
-             |       FROM tv a JOIN tv b ON a.vk = b.vk AND a.b1 <> b.b1),
-             |c AS MATERIALIZED (
-             |      -- MATERIALIZED: without it DuckDB reorders the near
-             |      -- branch into an inequality join carrying the outer
-             |      -- levenshtein predicate — 12.5M full DPs (measured 83 s
-             |      -- for an empty near set)
-             |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |             a.pfx AS pfx_a, b.pfx AS pfx_b
-             |      FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-             |      UNION ALL
-             |      SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
-             |      FROM d a JOIN nt ON a.b1 = nt.t_a
-             |                JOIN d b ON b.b1 = nt.t_b AND a.doc_id < b.doc_id)
-             |SELECT id_a, id_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS dist
-             |FROM c WHERE levenshtein(pfx_a, pfx_b) <= 12
-             |""".stripMargin),
+      Some(fuzzyBlockedOracleSql()),
       (spark, dir) =>
         Dedup.fuzzyPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",
           maxDist = 12, prefixLen = 40)
           ),
+
+    // ----- optimizer-rule path: naive levenshtein rewritten to banded ---------
+    // The SAME fuzzy join written the way a user would — an un-thresholded
+    // `levenshtein(a, b) <= 12` predicate — with ThresholdedLevenshteinRule
+    // registered. The rule must rewrite the predicate into Catalyst's banded
+    // early-exit form (asserted on the optimized plan, every run), and the
+    // result must hash-match the same DuckDB oracle as the hand-thresholded
+    // operator: the rule is correctness-gated end-to-end, not just
+    // plan-shape-tested. Runs on a 1/3 corpus slice: the naive spelling
+    // deliberately has no Myers pre-filter, so its candidate DP cost is the
+    // point of the REWRITE, not of the gate — the slice keeps the gate's
+    // numerator budget (~0.5 s at sf0.1) while exercising the identical
+    // rule path (the hand-thresholded operator stays gated on the full
+    // corpus by fuzzy_join_blocked).
+    GQ("j6_rule_rewritten_fuzzy",
+      Some(fuzzyBlockedOracleSql(" WHERE doc_id % 3 = 0")),
+      (spark, dir) => {
+        graft.plans.ThresholdedLevenshteinRule.register(spark)
+        val out = Dedup.fuzzyPairsBlockedNaive(
+          Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", maxDist = 12, prefixLen = 40)
+        // assert on the expression tree, not the plan string (printing is
+        // version-dependent); pushdown moves the predicate into join
+        // conditions, so walk every node
+        val opt = out.queryExecution.optimizedPlan
+        val fired = opt.collect { case n => n.expressions }.flatten.exists(
+          _.collect({
+            case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+              l.threshold.isDefined
+          }).contains(true))
+        require(fired,
+          "ThresholdedLevenshteinRule must rewrite the naive predicate " +
+            s"to the banded form; optimized plan was:\n$opt")
+        out
+      }),
 
     // ----- per-source corpus curation report ---------------------------------
     // The daily data-curation dashboard: docs, tokens, exact-dup rate

@@ -53,6 +53,29 @@ class ThresholdedLevenshteinRuleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fuzzyPairsBlockedNaive + rule equals the hand-thresholded operator") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+    val hand = rows(graft.ext.Dedup.fuzzyPairsBlocked(
+      docs, "doc_id", "text", maxDist = 12, prefixLen = 40))
+    withRule {
+      val naive = graft.ext.Dedup.fuzzyPairsBlockedNaive(
+        docs, "doc_id", "text", maxDist = 12, prefixLen = 40)
+      // walk the WHOLE tree: predicate pushdown moves the rewritten
+      // comparison into join conditions below the root
+      val thresholded = naive.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .flatMap(_.collect { case l: Levenshtein => l.threshold })
+      assert(thresholded.exists(_.isDefined),
+        "gate shape must rewrite to the banded form")
+      assert(rows(naive) === hand,
+        "naive spelling under the rule must emit the identical pair set")
+      assert(hand.nonEmpty, "fixture sanity: some fuzzy pairs must exist")
+    }
+  }
+
   test("without the rule, the plan stays un-thresholded (no global side effect)") {
     val df = pairs.repartition(2).filter(levenshtein($"a", $"b") <= 2)
     val thresholded = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
