@@ -19,4 +19,12 @@ object Scratch {
     if (shm.isDirectory && shm.canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
   }
+
+  /** Collision-resistant scratch-path tag for a source directory: md5
+    * prefix of the canonical path (String.hashCode is 32-bit — two dirs
+    * colliding would silently share a scratch/checkpoint dir). */
+  def pathTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 }

@@ -1295,6 +1295,41 @@ object ExtQueries {
           .select(col("o_orderkey"), round(col("price"), 2).as("price"))
       }),
 
+    // ----- streaming parquet SINK round-trip ---------------------------------
+    // The landing is streamed one file per trigger through a row-level
+    // transform and APPENDED to a checkpointed parquet sink (the file
+    // sink's transaction log + committed source offsets make the append
+    // exactly-once); the gated result is the SINK read back, so the whole
+    // write path — offset commits, _spark_metadata manifest, append across
+    // triggers — must reproduce the batch truth. Re-invocation within a
+    // JVM restarts from the committed checkpoint, finds nothing new, and
+    // reads the identical sink (the restart/no-redelivery property itself
+    // is driven file-by-file in StreamOpsSpec).
+    GQ("stream_sink_parquet",
+      Some("""SELECT event_id, user_id, event_type,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s, value
+             |FROM events WHERE user_id % 2 = 0""".stripMargin),
+      (spark, dir) => {
+        import graft.streaming.StreamOps
+        val landing = StreamOps.eventsLanding(spark, dir)
+        val base = s"${StreamOps.tmpRoot}/graft_sinkpq_" +
+          s"${ProcessHandle.current().pid()}_${graft.Scratch.pathTag(dir)}"
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          // row-level transform — no shuffle; small partition count keeps
+          // the per-trigger sink commit from writing 32 near-empty files
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = StreamOps.readEventStream(spark, landing,
+              maxFilesPerTrigger = Some(1))
+            .filter(col("user_id") % 2 === 0)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("ts_s"), col("value"))
+          StreamOps.runToParquet(stream, s"$base/out", s"$base/ckpt")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.read.parquet(s"$base/out")
+          .select("event_id", "user_id", "event_type", "ts_s", "value")
+      }),
+
     GQ("stream_dedup_counts",
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
              |FROM events GROUP BY event_type""".stripMargin),
