@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling harness: derives a 10× corpus (sf1) from the driver's sf0.1
+  * testdata and times the heavy operator families on both, to falsify (or
+  * confirm) the claim that their plans scale ~linearly in corpus size with
+  * bounded driver-side state.
+  *
+  * Derivation is TILING WITH CONTENT ISOLATION, not naive duplication:
+  *   - `documents`: 10 tiles; ids offset by 5000·tile; every TOKEN in
+  *     tiles 1..9 gets a tile-unique suffix (`…z3`). Within a tile the
+  *     shingle/gram/bigram structure — and therefore the near-duplicate
+  *     pair relation — is EXACTLY the sf0.1 one (an injective token remap
+  *     preserves set equality and Jaccard); across tiles no gram ever
+  *     matches. So the true pair count scales exactly 10× and measured
+  *     wall-time growth is attributable to the engine, not to a
+  *     pathological everything-matches-everything corpus (naive tiling
+  *     gives every doc 9 perfect near-dups and inflates candidate pairs
+  *     ~100×, which no real 10× corpus does).
+  *   - `embeddings`: 10 tiles; ids offset by 2000·tile; first coordinate
+  *     perturbed by +0.001·tile so tiles aren't bit-identical point sets
+  *     (k-means/IVF still see the same cluster geometry).
+  *   - `orders`/`lineitem`: 10 tiles with consistent key offsets
+  *     (orderkey +150000·t, custkey +15000·t, suppkey +1000·t) — the
+  *     bipartite cust↔supp graph becomes 10 disjoint copies: 10× nodes,
+  *     10× edges, fair linear-scaling input for PageRank.
+  *
+  * `gen <srcDir> <dstDir> [tiles]` writes the derived tables;
+  * `run <sfDir> [csvNames]` times the heavy families once each (same
+  * forcing as Bench: `queryExecution.toRdd.count()`) and prints one JSON
+  * line per family. PageRank is timed directly (not via the gate) because
+  * the gate's `suppkey + 100000` node-space split assumes sf0.1 key
+  * ranges; here the supplier offset is 100·the tiled custkey range.
+  */
+object ScaleCheck {
+
+  private def session(parts: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scalecheck")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") => gen(args(1), args(2), if (args.length > 3) args(3).toInt else 10)
+    case Some("run") => run(args(1), if (args.length > 2) Some(args(2).split(",").toSeq) else None)
+    case _ => System.err.println("usage: ScaleCheck gen <src> <dst> [tiles] | run <dir> [names]")
+  }
+
+  /** Injective-token-remap tiling (see class doc). Tile 0 is byte-identical
+    * to the source so sf1 strictly contains sf0.1.
+    */
+  def gen(src: String, dst: String, tiles: Int): Unit = {
+    val spark = session(32)
+    def tiled(name: String, tile: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until tiles).map(i => tile(base, i)).reduce(_ unionByName _)
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalecheck] wrote $name x$tiles")
+    }
+    tiled("documents", (df, i) => {
+      val base = df.withColumn("doc_id", col("doc_id") + lit(5000L * i))
+      if (i == 0) base
+      else base
+        .withColumn("text",
+          when(col("text").isNull || length(trim(col("text"))) === 0, col("text"))
+            .otherwise(array_join(
+              transform(split(trim(col("text")), "\\s+"), t => concat(t, lit(s"z$i"))),
+              " ")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    tiled("embeddings", (df, i) => {
+      val base = df.withColumn("vec_id", col("vec_id") + lit(2000L * i))
+      if (i == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(0.001f * i)).otherwise(x)))
+    })
+    tiled("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(150000L * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(15000L * i)))
+    tiled("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(150000L * i))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(1000L * i)))
+    spark.stop()
+  }
+
+  /** The heavy families VERDICT r9 asked to scale-test. Each is the same
+    * code path its bench gate runs; pagerank builds its edges inline with
+    * a tiled-range-safe supplier offset.
+    */
+  private def families: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val gates = graft.SparkEntry.queries
+    Seq(
+      "dedup_ngram_jaccard" -> gates("dedup_ngram_jaccard"),
+      "dedup_minhash_lsh" -> gates("dedup_minhash_lsh"),
+      "dedup_substring_spans" -> gates("dedup_substring_spans"),
+      "corpus_clean" -> gates("corpus_clean"),
+      "ann_topk_ivf_persist" -> gates("ann_topk_ivf_persist"),
+      "graph_pagerank" -> ((spark: SparkSession, dir: String) => {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+          val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+          val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          val fwd = joined.select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst")).distinct()
+          val edges = fwd.unionByName(
+            fwd.select(col("dst").as("src"), col("src").as("dst")))
+          graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
+            .select(col("node"), round(col("rank"), 6).as("rank"))
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }),
+    )
+  }
+
+  def run(dir: String, only: Option[Seq[String]]): Unit = {
+    val spark = session(32)
+    val picked = families.filter { case (n, _) => only.forall(_.contains(n)) }
+    // one untimed warm pass per family at sf0.001 compiles the plans so the
+    // timed numbers measure execution, as Bench's registry warm pass does
+    picked.foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count(): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = picked.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val (rows, err) =
+        try (fn(spark, dir).queryExecution.toRdd.count(), None)
+        catch { case scala.util.control.NonFatal(e) =>
+          (0L, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.err.println(f"[scalecheck] $name%-24s ${sec}%8.2f s  $rows rows ${err.getOrElse("")}")
+      (name, sec, rows, err)
+    }
+    val json = results.map { case (n, s, r, e) =>
+      s""""$n":{"sec":${f"$s%.2f"},"rows":$r${e.fold("")(m => s""","error":"$m"""")}}"""
+    }.mkString(",")
+    println(s"""{"dir":"$dir",$json}""")
+    spark.stop()
+  }
+}
