@@ -81,28 +81,35 @@ object Pack {
       explode(graft.functions.ShingleStrings.shingleStrings(col("ts"), 2)).as("bg"))
     // ONE corpus pass yields BOTH count relations: shingle over the token
     // array with an empty-string sentinel appended, so each document also
-    // emits one "lastToken " sentinel bigram. Real tokens are whitespace-
-    // split and never empty, so sentinel rows are exactly the trailing-
-    // space bigrams. Then cu(w) — w's total corpus occurrences — is the
-    // sum of counts over bigrams STARTING with w (every occurrence of w
-    // starts exactly one bigram: a real one, or its doc's sentinel), and
-    // the real-bigram counts are the non-sentinel rows. Materialize only
-    // this vocabulary-sized table: the unigram rollup, probability table,
-    // and size probe all derive from it without touching the corpus again.
-    val bcAll = toks.select(col("id"),
-        explode(graft.functions.ShingleStrings.shingleStrings(
-          concat(col("ts"), array(lit(""))), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    // emits one "lastToken " sentinel bigram. The sentinel is tagged
+    // STRUCTURALLY — it is always the LAST shingle position of its doc —
+    // not by string shape: the tokenizer keeps a trailing empty token for
+    // text ending in non-0x20 whitespace (FastTokens' Pattern.split(-1)
+    // parity), so a trailing-space bigram CAN be a real positional bigram.
+    // Then cu(w) — w's total corpus occurrences — is the sum of ALL-row
+    // counts over bigrams STARTING with w (every occurrence of w starts
+    // exactly one appended bigram: a real one, or its doc's sentinel), and
+    // the real-bigram counts ride the same rows as a second counter.
+    // Materialize only this vocabulary-sized table: the unigram rollup,
+    // probability table, and size probe all derive from it without
+    // touching the corpus again.
+    val bcAll = toks.select(col("id"), size(col("ts")).as("n"),
+        posexplode(graft.functions.ShingleStrings.shingleStrings(
+          concat(col("ts"), array(lit(""))), 2)).as(Seq("p", "bg")))
+      // appended array has n+1 tokens → n shingles at positions 0..n-1;
+      // position n-1 is the sentinel, everything before it is real
+      .groupBy("bg").agg(count(lit(1)).as("cb"),
+        count(when(col("p") < col("n") - 1, lit(1))).as("cbr"))
       .localCheckpoint()
     val uni = bcAll
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cu"))
     def pTab(uniJoinSide: DataFrame) = bcAll
-      .filter(not(col("bg").endsWith(" ")))
+      .filter(col("cbr") > 0)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(uniJoinSide, Seq("w1"))
       .select(col("bg"),
-        round(col("cb").cast("double") / col("cu").cast("double") * lit(1e9))
+        round(col("cbr").cast("double") / col("cu").cast("double") * lit(1e9))
           .cast("long").as("ps"))
     val joined =
       if (bcAll.count() <= maxBroadcastTypes) {

@@ -29,6 +29,18 @@ object ThresholdedLevenshteinRule extends Rule[LogicalPlan] {
       em.extraOptimizations = em.extraOptimizations :+ this
   }
 
+  /** Remove the rule from the session's extra optimizations. Callers that
+    * register on a SHARED session must unregister once their plan is
+    * captured (`queryExecution.optimizedPlan` is a forced lazy val, so the
+    * captured plan keeps the rewrite) — otherwise every later query on the
+    * session runs under a different optimizer than before, making timings
+    * order-dependent.
+    */
+  def unregister(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    em.extraOptimizations = em.extraOptimizations.filterNot(_ eq this)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(v: Int, IntegerType)) if v >= 0 =>

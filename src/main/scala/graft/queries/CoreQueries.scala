@@ -46,16 +46,13 @@ object CoreQueries {
     */
   private val bucketedPair = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   def ensureBucketedPair(spark: SparkSession, dir: String): (String, String) = {
-    // canonical path both as the cache key and the table-name tag: two
-    // spellings of one directory must share an entry, and two different
-    // directories must never share table names (a 32-bit hashCode
-    // collision would silently point one dir's cached names at the
-    // other's data) — md5 prefix instead of hashCode
+    // canonical path as the cache key, Scratch.pathTag as the table-name
+    // tag: two spellings of one directory must share an entry, and two
+    // different directories must never share table names (pathTag's md5
+    // prefix carries the collision-resistance argument)
     val canonical = new java.io.File(dir).getCanonicalPath
     bucketedPair.getOrElseUpdate(canonical, {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(canonical.getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
+      val tag = graft.Scratch.pathTag(canonical)
       val db = "bkt_gate"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val li = s"li_$tag"; val o = s"o_$tag"

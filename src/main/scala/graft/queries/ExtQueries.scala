@@ -50,15 +50,19 @@ object ExtQueries {
   // corpus) and j6_rule_rewritten_fuzzy (the naive spelling rewritten by
   // the ThresholdedLevenshteinRule optimizer rule, on a corpus slice):
   // identical semantics gated against the SAME truth, parameterized only
-  // by the input restriction
-  private def fuzzyBlockedOracleSql(where: String = ""): String =
-    s"""WITH d AS (SELECT doc_id, substr(trim(text), 1, 40) AS pfx,
+  // by the input restriction. The deletion-position cap MUST equal the
+  // operator's (`nearTokenPairs` caps at prefixLen — both gates call with
+  // prefixLen = 40): a smaller oracle cap misses candidate pairs whose
+  // first tokens differ past it, false-failing the gates on long tokens.
+  private def fuzzyBlockedOracleSql(where: String = "",
+                                    prefixLen: Int = 40): String =
+    s"""WITH d AS (SELECT doc_id, substr(trim(text), 1, $prefixLen) AS pfx,
       |             split_part(trim(text), ' ', 1) AS b1 FROM documents$where),
       |tv AS (SELECT b1, vk
       |       FROM (SELECT DISTINCT b1 FROM d),
       |            UNNEST(list_distinct(list_append(
       |              [substr(b1, 1, g-1) || substr(b1, g+1, 1000000)
-      |               for g in range(1, least(len(b1), 24) + 1)], b1))) AS u(vk)
+      |               for g in range(1, least(len(b1), $prefixLen) + 1)], b1))) AS u(vk)
       |       WHERE vk <> ''),
       |nt AS (SELECT DISTINCT a.b1 AS t_a, b.b1 AS t_b
       |       FROM tv a JOIN tv b ON a.vk = b.vk AND a.b1 <> b.b1),
@@ -1970,22 +1974,29 @@ object ExtQueries {
       Some(fuzzyBlockedOracleSql(" WHERE doc_id % 3 = 0")),
       (spark, dir) => {
         graft.plans.ThresholdedLevenshteinRule.register(spark)
-        val out = Dedup.fuzzyPairsBlockedNaive(
-          Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0),
-          "doc_id", "text", maxDist = 12, prefixLen = 40)
-        // assert on the expression tree, not the plan string (printing is
-        // version-dependent); pushdown moves the predicate into join
-        // conditions, so walk every node
-        val opt = out.queryExecution.optimizedPlan
-        val fired = opt.collect { case n => n.expressions }.flatten.exists(
-          _.collect({
-            case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
-              l.threshold.isDefined
-          }).contains(true))
-        require(fired,
-          "ThresholdedLevenshteinRule must rewrite the naive predicate " +
-            s"to the banded form; optimized plan was:\n$opt")
-        out
+        try {
+          val out = Dedup.fuzzyPairsBlockedNaive(
+            Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", maxDist = 12, prefixLen = 40)
+          // assert on the expression tree, not the plan string (printing is
+          // version-dependent); pushdown moves the predicate into join
+          // conditions, so walk every node
+          val opt = out.queryExecution.optimizedPlan
+          val fired = opt.collect { case n => n.expressions }.flatten.exists(
+            _.collect({
+              case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+                l.threshold.isDefined
+            }).contains(true))
+          require(fired,
+            "ThresholdedLevenshteinRule must rewrite the naive predicate " +
+              s"to the banded form; optimized plan was:\n$opt")
+          out
+        } finally {
+          // the require above forced optimizedPlan (a lazy val), so `out`
+          // keeps its rewritten plan; unregistering restores the shared
+          // session's optimizer for every gate that runs after this one
+          graft.plans.ThresholdedLevenshteinRule.unregister(spark)
+        }
       }),
 
     // ----- per-source corpus curation report ---------------------------------

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * confirm) the claim that their plans scale ~linearly in corpus size with
   * bounded driver-side state.
   *
-  * Derivation is TILING WITH CONTENT ISOLATION, not naive duplication:
-  *   - `documents`: 10 tiles; ids offset by 5000·tile; every TOKEN in
-  *     tiles 1..9 gets a tile-unique suffix (`…z3`). Within a tile the
+  * Derivation is TILING WITH CONTENT ISOLATION, not naive duplication
+  * (key strides = source max key + 1, computed per table):
+  *   - `documents`: 10 tiles; ids offset by the id stride per tile; every
+  *     TOKEN in tiles 1..9 gets a tile-unique suffix (`…z3`). Within a tile the
   *     shingle/gram/bigram structure — and therefore the near-duplicate
   *     pair relation — is EXACTLY the sf0.1 one (an injective token remap
   *     preserves set equality and Jaccard); across tiles no gram ever
@@ -19,13 +20,13 @@ import org.apache.spark.sql.functions._
   *     pathological everything-matches-everything corpus (naive tiling
   *     gives every doc 9 perfect near-dups and inflates candidate pairs
   *     ~100×, which no real 10× corpus does).
-  *   - `embeddings`: 10 tiles; ids offset by 2000·tile; first coordinate
-  *     perturbed by +0.001·tile so tiles aren't bit-identical point sets
-  *     (k-means/IVF still see the same cluster geometry).
-  *   - `orders`/`lineitem`: 10 tiles with consistent key offsets
-  *     (orderkey +150000·t, custkey +15000·t, suppkey +1000·t) — the
-  *     bipartite cust↔supp graph becomes 10 disjoint copies: 10× nodes,
-  *     10× edges, fair linear-scaling input for PageRank.
+  *   - `embeddings`: 10 tiles; ids offset by the id stride; first
+  *     coordinate perturbed by +0.001·tile so tiles aren't bit-identical
+  *     point sets (k-means/IVF still see the same cluster geometry).
+  *   - `orders`/`lineitem`: 10 tiles with consistent per-key strides
+  *     (orderkey stride shared across both tables) — the bipartite
+  *     cust↔supp graph becomes 10 disjoint copies: 10× nodes, 10× edges,
+  *     fair linear-scaling input for PageRank.
   *
   * `gen <srcDir> <dstDir> [tiles]` writes the derived tables;
   * `run <sfDir> [csvNames]` times the heavy families once each (same
@@ -57,18 +58,26 @@ object ScaleCheck {
   }
 
   /** Injective-token-remap tiling (see class doc). Tile 0 is byte-identical
-    * to the source so sf1 strictly contains sf0.1.
+    * to the source so sf1 strictly contains sf0.1. Key strides are derived
+    * from the SOURCE's actual maxima (max key + 1), not constants: run
+    * against a larger source, hardcoded sf0.1 strides would silently
+    * overlap ids across tiles — duplicate keys would corrupt the very
+    * pair/graph relations whose 10× growth this tool exists to measure.
     */
   def gen(src: String, dst: String, tiles: Int): Unit = {
     val spark = session(32)
-    def tiled(name: String, tile: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+    def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def keyStride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L
+    def tiled(name: String, base: DataFrame, tile: (DataFrame, Int) => DataFrame): Unit = {
       val out = (0 until tiles).map(i => tile(base, i)).reduce(_ unionByName _)
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalecheck] wrote $name x$tiles")
     }
-    tiled("documents", (df, i) => {
-      val base = df.withColumn("doc_id", col("doc_id") + lit(5000L * i))
+    val docs = load("documents")
+    val docStride = keyStride(docs, "doc_id")
+    tiled("documents", docs, (df, i) => {
+      val base = df.withColumn("doc_id", col("doc_id") + lit(docStride * i))
       if (i == 0) base
       else base
         .withColumn("text",
@@ -78,19 +87,28 @@ object ScaleCheck {
               " ")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    tiled("embeddings", (df, i) => {
-      val base = df.withColumn("vec_id", col("vec_id") + lit(2000L * i))
+    val emb = load("embeddings")
+    val vecStride = keyStride(emb, "vec_id")
+    tiled("embeddings", emb, (df, i) => {
+      val base = df.withColumn("vec_id", col("vec_id") + lit(vecStride * i))
       if (i == 0) base
       else base.withColumn("embedding",
         transform(col("embedding"), (x, j) =>
           when(j === 0, x + lit(0.001f * i)).otherwise(x)))
     })
-    tiled("orders", (df, i) => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(150000L * i))
-      .withColumn("o_custkey", col("o_custkey") + lit(15000L * i)))
-    tiled("lineitem", (df, i) => df
-      .withColumn("l_orderkey", col("l_orderkey") + lit(150000L * i))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(1000L * i)))
+    val ord = load("orders")
+    val li = load("lineitem")
+    // the orderkey stride must be consistent ACROSS orders and lineitem so
+    // each tile's join graph stays a disjoint copy — take the max over both
+    val orderStride = math.max(keyStride(ord, "o_orderkey"), keyStride(li, "l_orderkey"))
+    val custStride = keyStride(ord, "o_custkey")
+    val suppStride = keyStride(li, "l_suppkey")
+    tiled("orders", ord, (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(orderStride * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(custStride * i)))
+    tiled("lineitem", li, (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(orderStride * i))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(suppStride * i)))
     spark.stop()
   }
 

@@ -68,6 +68,23 @@ class PackSpec extends AnyFunSuite with SparkSpec {
       "small probability table must broadcast onto the un-shuffled bigram stream")
   }
 
+  test("bigramLmScores: trailing-empty token (text ending in tab) keeps its real bigram") {
+    // "abc\t" tokenizes as ["abc", ""] (SQL trim strips 0x20 only; the \s+
+    // split keeps the trailing empty token) — its REAL positional bigram is
+    // the trailing-space string "abc ", which string-shape sentinel
+    // tagging would misclassify and silently drop from the probability
+    // table. Structural (last-position) tagging must keep it:
+    // cu(abc) = 2, c("abc ") = 1 → doc 1 scores p = 1/2.
+    val df = Seq((1L, "abc\t"), (2L, "abc x")).toDF("id", "text")
+    val out = Pack.bigramLmScores(df, "id", "text")
+      .select("id", "n_bigrams", "p_sum_scaled")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val half = math.round(0.5 * 1e9)
+    assert(out.get(1L) === Some((1L, half)),
+      "the real trailing-space bigram must survive sentinel filtering")
+    assert(out.get(2L) === Some((1L, half)))
+  }
+
   test("bigramLmScores: docs with fewer than two tokens get no row") {
     val df = Seq((1L, "solo"), (2L, "two tokens")).toDF("id", "text")
     val ids = Pack.bigramLmScores(df, "id", "text").select("id").as[Long].collect()
