@@ -67,8 +67,8 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval",
         sys.env.getOrElse("SPARK_GRAFT_SS_MAINT", "3600s"))
       // Micro-batch fixed-cost floor (A/B via env): no-data batches exist to
-      // advance watermarks with idle sources — every finite replay here ends
-      // with processAllAvailable, so they are a pure extra trigger per gate
+      // advance watermarks with idle sources — every finite replay here is a
+      // drain-and-terminate AvailableNow run, so they are a pure extra trigger per gate
       // (measured on the 6 stream gates: 24.7 → 17.8 s together with
       // minBatchesToRetain). The one gate whose Append-mode emission NEEDS
       // the trailing no-data batch (stream_session_windows) pins the conf

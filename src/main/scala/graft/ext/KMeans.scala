@@ -40,15 +40,37 @@ object KMeans {
 
   /** (id, cluster) after `iterations` Lloyd rounds on the quantized grid.
     * `scale` sets the grid (1000 ≈ 3 decimal digits of the input space).
+    *
+    * `maxDriverCells` size-gates an in-memory training path (the
+    * [[Bpe]]/union-find discipline): when vectors·dim fits the budget the
+    * quantized relation is collected ONCE and the Lloyd iterations run as
+    * driver-side integer loops — identical arithmetic (exact Σ(x−c)²
+    * longs, (dist, cell)-lex argmin, sign-carrying `%` and
+    * toward-zero division are the same operations in Scala), so the
+    * clustering is bit-identical to the distributed loop (spec-pinned).
+    * Above the budget every iteration is the distributed
+    * scan + k·dim-aggregate described above. The FINAL assignment is
+    * always the distributed scan — only training state is size-gated.
     */
   def lloydQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iterations: Int, scale: Int = 1000): DataFrame = {
+                     k: Int, iterations: Int, scale: Int = 1000,
+                     maxDriverCells: Long = 8000000L): DataFrame = {
     require(k >= 1 && iterations >= 1)
     // materialized once: every iteration's assignment scan and update
-    // aggregate read this relation
-    val q = embeddings
+    // aggregate read this relation. Right-size its partitioning the
+    // PageRank way (narrow coalesce over the checkpoint blocks): the
+    // quantized state is a per-row kernel over ~centroid-count cells, and
+    // at scan-scale parallelism an iterative chain of tiny tasks is pure
+    // launch overhead; ~50 k vectors/task amortizes it, and a 100 TB
+    // corpus exceeds the upstream partition count and keeps full
+    // parallelism.
+    val q0 = embeddings
       .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint()
+    val nVec = q0.count()
+    val qParts = math.max(1, math.min(q0.rdd.getNumPartitions,
+      math.ceil(nVec / 50000.0).toInt))
+    val q = q0.coalesce(qParts)
 
     // init: k smallest (md5(id), id) vectors — portable seeded sample
     var centroids: Array[Array[Long]] = q
@@ -62,10 +84,16 @@ object KMeans {
     def assigned: DataFrame = {
       // dist to each centroid: exact integer Σ(x-c)²; argmin via the
       // lexicographic min of (dist, cell) structs — ties take lower cell
+      // each centroid rides the plan as ONE array Literal (`lit(c)`), not
+      // a CreateArray of dim scalar literals: complex-typed literals are
+      // codegen reference objects, so the generated source is identical
+      // across iterations, runs, and datasets (scalar literals inline
+      // their VALUES — k·dim of them made every iteration re-analyze a
+      // 500-node tree and recompile ~10 janino sources per run because the
+      // warm pass's centroid values differ from the timed run's)
       val cells = centroids.zipWithIndex.map { case (c, i) =>
-        val lits = array(c.map(lit): _*)
         struct(
-          aggregate(zip_with(col("qv"), lits, (a, b) => (a - b) * (a - b)),
+          aggregate(zip_with(col("qv"), lit(c), (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, d) => acc + d).as("dist"),
           lit(i).as("cell"))
       }
@@ -82,12 +110,53 @@ object KMeans {
     // is iteration `iterations`' assignment — made against
     // c_{iterations-1}, i.e. after iterations-1 updates (the final
     // update's centroids are never consumed, so it is not computed)
-    for (_ <- 1 until iterations) {
-      // k·dim update rows to the driver — bounded state, never the corpus
+    if (nVec * dim <= maxDriverCells) {
+      // size-gated in-memory training: one collect of the quantized
+      // vectors replaces iterations·(scan + aggregate + collect) jobs —
+      // at gate scale the distributed loop is pure job-launch machinery
+      // (the BPE lesson). Ids are not needed for training, only vectors.
+      val vs = q.select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
+      vs.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
+        s"kmeans: vector dim ${v.length} != $dim"))
+      val kEff = centroids.length // may be < k when the corpus has < k rows
+      for (_ <- 1 until iterations) {
+        val sums = Array.ofDim[Long](kEff, dim)
+        val counts = new Array[Long](kEff)
+        vs.foreach { v =>
+          // argmin of (dist, cell) lex — strict < keeps the LOWER cell on
+          // equal distance, matching array_min over (dist, cell) structs
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var d = 0L; var j = 0
+            val cen = centroids(c)
+            while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, cell) =>
+          val n = counts(cell)
+          if (n == 0) old // empty cell keeps its previous centroid
+          else old.indices.map { j =>
+            val s = sums(cell)(j)
+            (s - s % n) / n // exact: truncation toward zero, both engines
+          }.toArray
+        }
+      }
+    } else for (_ <- 1 until iterations) {
+      // k·dim update rows to the driver — bounded state, never the corpus.
+      // The exchange carries map-side-combined (cell, dim) partials; the
+      // final agg is k·dim rows, so one reduce task (narrow coalesce over
+      // the shuffle output) beats shuffle-partition-many tiny launches.
       val means = assigned
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .coalesce(1)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> {
           val s = r.getLong(2); val n = r.getLong(3)

@@ -93,14 +93,19 @@ object Pack {
     // Materialize only this vocabulary-sized table: the unigram rollup,
     // probability table, and size probe all derive from it without
     // touching the corpus again.
-    val bcAll = toks.select(col("id"), size(col("ts")).as("n"),
-        posexplode(graft.functions.ShingleStrings.shingleStrings(
-          concat(col("ts"), array(lit(""))), 2)).as(Seq("p", "bg")))
-      // appended array has n+1 tokens → n shingles at positions 0..n-1;
-      // position n-1 is the sentinel, everything before it is real
-      .groupBy("bg").agg(count(lit(1)).as("cb"),
-        count(when(col("p") < col("n") - 1, lit(1))).as("cbr"))
-      .localCheckpoint()
+    // checkpoint fused with the size probe: ONE action materializes the
+    // count table and yields the bigram-type cardinality the broadcast
+    // gate needs (a separate .count() re-paid a job for a number the
+    // eager checkpoint had already computed and discarded)
+    val (bcAll, nTypes) = org.apache.spark.sql.GraftPlanShim
+      .localCheckpointWithCount(
+        toks.select(col("id"), size(col("ts")).as("n"),
+            posexplode(graft.functions.ShingleStrings.shingleStrings(
+              concat(col("ts"), array(lit(""))), 2)).as(Seq("p", "bg")))
+          // appended array has n+1 tokens → n shingles at positions
+          // 0..n-1; position n-1 is the sentinel, the rest are real
+          .groupBy("bg").agg(count(lit(1)).as("cb"),
+            count(when(col("p") < col("n") - 1, lit(1))).as("cbr")))
     val uni = bcAll
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cu"))
@@ -112,7 +117,7 @@ object Pack {
         round(col("cbr").cast("double") / col("cu").cast("double") * lit(1e9))
           .cast("long").as("ps"))
     val joined =
-      if (bcAll.count() <= maxBroadcastTypes) {
+      if (nTypes <= maxBroadcastTypes) {
         // common case: the count tables fit executors — the bigram stream
         // is joined where it was produced, zero stream shuffles. Explicit
         // broadcasts: checkpointed relations carry no stats, so the

@@ -1404,12 +1404,20 @@ object ExtQueries {
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
           StreamOps.runToMemory(StreamOps.runningUserStats(spark, stream),
             "stream_user_stats_sink", OutputMode.Update())
-          spark.table("stream_user_stats_sink")
+          // Update mode re-emits a user's row per touching batch; final
+          // state = the max n_events. Build AND physically plan the
+          // rollup inside the conf scope (executedPlan is a forced lazy
+          // val) so its window exchange keeps the stream-sized partition
+          // count instead of re-inheriting the session's scan-scale one.
+          val res = graft.ops.AggOps.dedupByKeyOrdered(
+              spark.table("stream_user_stats_sink"), Seq("user_id"),
+              Seq(col("n_events").desc))
+            .select(col("user_id"), col("n_events"),
+              round(col("value_sum"), 4).as("value_sum"))
+          res.queryExecution.executedPlan
+          res
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id"),
-          Seq(col("n_events").desc))
-          .select(col("user_id"), col("n_events"),
-            round(col("value_sum"), 4).as("value_sum"))
+        out
       }),
 
     // The SAME running-stats state machine on Spark 4's transformWithState
@@ -1434,7 +1442,14 @@ object ExtQueries {
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
           StreamOps.runToMemory(StreamOps.runningUserStatsTWS(spark, stream),
             "stream_user_stats_tws_sink", OutputMode.Update())
-          spark.table("stream_user_stats_tws_sink")
+          // rollup planned inside the conf scope — see stream_user_stats
+          val res = graft.ops.AggOps.dedupByKeyOrdered(
+              spark.table("stream_user_stats_tws_sink"), Seq("user_id"),
+              Seq(col("n_events").desc))
+            .select(col("user_id"), col("n_events"),
+              round(col("value_sum"), 4).as("value_sum"))
+          res.queryExecution.executedPlan
+          res
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevParts)
           prevProv match {
@@ -1444,10 +1459,7 @@ object ExtQueries {
               "spark.sql.streaming.stateStore.providerClass")
           }
         }
-        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id"),
-          Seq(col("n_events").desc))
-          .select(col("user_id"), col("n_events"),
-            round(col("value_sum"), 4).as("value_sum"))
+        out
       }),
 
     // MapState on transformWithState — the third state shape (ValueState:
@@ -1470,7 +1482,15 @@ object ExtQueries {
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
           StreamOps.runToMemory(StreamOps.typeCountsTWS(spark, stream),
             "stream_type_counts_tws_sink", OutputMode.Update())
-          spark.table("stream_type_counts_tws_sink")
+          // Update mode re-emits a (user,type) row per touching batch;
+          // final state = the max count (n strictly increases). Planned
+          // inside the conf scope — see stream_user_stats.
+          val res = graft.ops.AggOps.dedupByKeyOrdered(
+              spark.table("stream_type_counts_tws_sink"),
+              Seq("user_id", "event_type"), Seq(col("n").desc))
+            .select("user_id", "event_type", "n")
+          res.queryExecution.executedPlan
+          res
         } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevParts)
           prevProv match {
@@ -1480,18 +1500,14 @@ object ExtQueries {
               "spark.sql.streaming.stateStore.providerClass")
           }
         }
-        // Update mode re-emits a (user,type) row per touching batch; final
-        // state = the max count (n strictly increases)
-        graft.ops.AggOps.dedupByKeyOrdered(out, Seq("user_id", "event_type"),
-          Seq(col("n").desc))
-          .select("user_id", "event_type", "n")
+        out
       }),
 
     // Stream-STATIC join: every micro-batch enriches against a broadcast
-    // batch dimension (no state, no watermark) — the streaming-enrichment
-    // shape missing between the stateful gates above and the batch J1.
-    // The sink holds enriched rows; the gate aggregates them and the
-    // oracle is the equivalent batch join+agg.
+    // batch dimension (no join state, no watermark) — the streaming-
+    // enrichment shape missing between the stateful gates above and the
+    // batch J1 — rolled up by a Complete-mode streaming aggregate in the
+    // same query; the oracle is the equivalent batch join+agg.
     GQ("stream_static_enrich",
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
              |       round(sum(value), 4) AS value_sum
@@ -1507,15 +1523,21 @@ object ExtQueries {
           val stream = StreamOps.readEventStream(spark, landing)
           val dim = Tables.customer(spark, dir)
             .select("c_custkey", "c_mktsegment")
+          // enrich AND aggregate inside the streaming query (Complete
+          // mode): the production shape — nobody sinks raw joined rows —
+          // and the sink then holds segment-count rows, not the full
+          // 100 k-row join output whose external-row re-conversion and
+          // 32-partition batch re-aggregation used to cost ~0.4 s more
+          // than the stream itself
           StreamOps.runToMemory(
             StreamOps.enrichWithDim(stream, dim, "user_id", "c_custkey")
-              .select("c_mktsegment", "value"),
-            "stream_static_enrich_sink", OutputMode.Append())
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum")),
+            "stream_static_enrich_sink", OutputMode.Complete())
           spark.table("stream_static_enrich_sink")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        out.groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("value_sum"))
+        out.select(col("c_mktsegment"), col("n_events"),
+          round(col("value_sum"), 4).as("value_sum"))
       }),
 
     // ----- multimodal plumbing ----------------------------------------------

@@ -416,18 +416,35 @@ object StreamOps {
     // removed after the run like the engine removes its temp checkpoints
     val ckpt = java.nio.file.Paths.get(graft.Scratch.root,
       s"graft_ckpt_${ProcessHandle.current().pid()}_${name}_${System.nanoTime()}")
+    val t0 = System.nanoTime()
+    // Trigger.AvailableNow: the finite-replay trigger — snapshots the
+    // available input at start, runs exactly the micro-batches that drain
+    // it (plus any watermark-advance no-data batch the session enables),
+    // then terminates itself. processAllAvailable-style polling paid an
+    // extra idle-confirmation source round per gate; AvailableNow knows
+    // its end. Same batches, same state transitions, same sink contents —
+    // every gate's oracle hash pins that.
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt.toString).start()
     try {
-      q.processAllAvailable(); q.stop()
+      val t1 = System.nanoTime()
+      q.awaitTermination()
+      val t2 = System.nanoTime()
+      q.stop()
+      val t3 = System.nanoTime()
       // diagnostic: GRAFT_STREAM_PROGRESS=true dumps per-micro-batch wall
       // and phase durations to stderr — splits trigger machinery (plan/
-      // state-commit/WAL) from real work when tuning gate overhead.
-      if (sys.env.getOrElse("GRAFT_STREAM_PROGRESS", "false") == "true")
+      // state-commit/WAL) from real work when tuning gate overhead — plus
+      // the start/drain/stop wall split of the harness call itself.
+      if (sys.env.getOrElse("GRAFT_STREAM_PROGRESS", "false") == "true") {
         q.recentProgress.foreach { p =>
           System.err.println(s"[stream-progress] $name batch=${p.batchId} " +
             s"rows=${p.numInputRows} durationMs=${p.durationMs}")
         }
+        System.err.println(f"[stream-progress] $name wall startMs=${(t1 - t0) / 1e6}%.0f " +
+          f"drainMs=${(t2 - t1) / 1e6}%.0f stopMs=${(t3 - t2) / 1e6}%.0f")
+      }
     }
     finally deleteTree(ckpt.toFile)
   }
@@ -450,8 +467,9 @@ object StreamOps {
     val q = df.writeStream.outputMode(OutputMode.Append())
       .format("parquet").option("path", path)
       .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    q.awaitTermination()
     q.stop()
   }
 
@@ -519,8 +537,9 @@ object StreamOps {
         fs.delete(aside, true)
         ()
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    q.awaitTermination()
     q.stop()
   }
 

@@ -11,4 +11,21 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `df.localCheckpoint()` fused with its row count: the eager checkpoint
+    * already runs a counting action to force materialization, so callers
+    * that size-gate on the checkpointed relation's cardinality (broadcast
+    * vs shuffle path choices) were paying a SECOND job for a number the
+    * first one discarded. Same incantation as Dataset.checkpoint —
+    * row-copy, localCheckpoint, count, LogicalRDD.fromDataset — returning
+    * the count alongside the checkpointed frame.
+    */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val logical = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, logical), n)
+  }
 }

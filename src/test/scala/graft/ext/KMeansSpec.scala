@@ -36,6 +36,23 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     assert(cells === Seq(0L))
   }
 
+  test("size-gated in-memory training is bit-identical to the distributed loop") {
+    // maxDriverCells = 0 forces every iteration through the distributed
+    // scan + (cell, dim)-aggregate path; the default collects once and
+    // trains in memory. Same grid, same argmin tie-break, same exact
+    // division — the assignments must be EXACTLY equal, including on
+    // tie-heavy inputs (duplicate vectors across cluster seeds).
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .unionByName(graft.Tables.embeddings(spark, sfDir)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val inMem = KMeans.lloydQuantized(emb, "vec_id", "embedding", 5, 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = KMeans.lloydQuantized(emb, "vec_id", "embedding", 5, 3,
+        maxDriverCells = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(inMem.nonEmpty && inMem === dist)
+  }
+
   test("empty input and k larger than the corpus survive") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(KMeans.lloydQuantized(empty, "vec_id", "embedding", 4, 2).count() === 0)
