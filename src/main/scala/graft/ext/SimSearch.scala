@@ -163,7 +163,11 @@ object SimSearch {
     index.centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned.repartition(col("cell"))
+    // route into exactly nlist tasks (≤ one cell each), not the session's
+    // shuffle-partition count: empty surplus tasks still pay the commit
+    // protocol's per-attempt setup/rename, pure metadata churn at small
+    // nlist, and at serving scale one-task-per-cell IS the layout contract
+    index.assigned.repartition(index.centroids.length.max(1), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
