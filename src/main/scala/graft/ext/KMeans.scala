@@ -64,10 +64,9 @@ object KMeans {
     // launch overhead; ~50 k vectors/task amortizes it, and a 100 TB
     // corpus exceeds the upstream partition count and keeps full
     // parallelism.
-    val q0 = embeddings
-      .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
-      .localCheckpoint()
-    val nVec = q0.count()
+    val (q0, nVec) = org.apache.spark.sql.GraftPlanShim.localCheckpointWithCount(
+      embeddings
+        .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv")))
     val qParts = math.max(1, math.min(q0.rdd.getNumPartitions,
       math.ceil(nVec / 50000.0).toInt))
     val q = q0.coalesce(qParts)
@@ -110,7 +109,10 @@ object KMeans {
     // is iteration `iterations`' assignment — made against
     // c_{iterations-1}, i.e. after iterations-1 updates (the final
     // update's centroids are never consumed, so it is not computed)
-    if (nVec * dim <= maxDriverCells) {
+    if (iterations > 1 && nVec * dim <= maxDriverCells) {
+      // iterations == 1 skips this arm entirely: the loop body below never
+      // runs, so collecting the corpus would be a wasted job + allocation
+      // (the final assignment is distributed either way)
       // size-gated in-memory training: one collect of the quantized
       // vectors replaces iterations·(scan + aggregate + collect) jobs —
       // at gate scale the distributed loop is pure job-launch machinery

@@ -1529,15 +1529,21 @@ object ExtQueries {
           // 100 k-row join output whose external-row re-conversion and
           // 32-partition batch re-aggregation used to cost ~0.4 s more
           // than the stream itself
+          // sum a SCALED INTEGER in the stream (value rides a 2-decimal
+          // grid): Complete mode re-accumulates state across micro-batches
+          // in a different association order than the oracle's single batch
+          // — long addition is order-free, so the gate's float margin does
+          // not depend on trigger count (the round-before-sum discipline)
           StreamOps.runToMemory(
             StreamOps.enrichWithDim(stream, dim, "user_id", "c_custkey")
               .groupBy("c_mktsegment")
-              .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum")),
+              .agg(count(lit(1)).as("n_events"),
+                sum(round(col("value") * 100).cast("long")).as("value_sum_c")),
             "stream_static_enrich_sink", OutputMode.Complete())
           spark.table("stream_static_enrich_sink")
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         out.select(col("c_mktsegment"), col("n_events"),
-          round(col("value_sum"), 4).as("value_sum"))
+          round(col("value_sum_c") / 100.0, 4).as("value_sum"))
       }),
 
     // ----- multimodal plumbing ----------------------------------------------

@@ -67,8 +67,13 @@ object ScaleCheck {
   def gen(src: String, dst: String, tiles: Int): Unit = {
     val spark = session(32)
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def keyStride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L
+    def keyStride(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c)).cast("long")).head
+      // max over an empty table is NULL — fail with the actual problem
+      // instead of a bare NullPointerException from getLong
+      if (row.isNullAt(0)) sys.error(s"scalecheck: empty source table (no rows for key '$c')")
+      row.getLong(0) + 1L
+    }
     def tiled(name: String, base: DataFrame, tile: (DataFrame, Int) => DataFrame): Unit = {
       val out = (0 until tiles).map(i => tile(base, i)).reduce(_ unionByName _)
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")

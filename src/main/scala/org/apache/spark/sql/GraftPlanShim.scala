@@ -25,7 +25,7 @@ object GraftPlanShim {
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count()
-    val logical = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    val logical = execution.LogicalRDD.fromDataset(rdd, ds, ds.isStreaming)
     (classic.Dataset.ofRows(ds.sparkSession, logical), n)
   }
 }
