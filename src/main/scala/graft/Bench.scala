@@ -89,6 +89,18 @@ object Bench {
       // the default 100 for its restart window.
       .config("spark.sql.streaming.minBatchesToRetain",
         sys.env.getOrElse("SPARK_GRAFT_MIN_RETAIN", "1"))
+      // RocksDB commit path (TWS gates): changelog checkpointing writes the
+      // per-commit delta instead of uploading a full snapshot per trigger —
+      // the production posture for large state; A/B knob at gate scale.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "false"))
+      // Every checkpoint this session writes lives under Scratch.root (a
+      // local tmpfs) — route WAL/commit/state-delta writes through the
+      // java.nio manager instead of FileContext's ~42 ms-per-rename local
+      // fallback (see LocalCheckpointFileManager's doc + FsProbe numbers).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          graft.streaming.LocalCheckpointFileManager.confValue))
       // Cross-query codegen reuse: the suite compiles ~142 distinct plans,
       // and with stage IDs baked into generated class names (engine default,
       // a debuggability aid) otherwise byte-identical stages cache-miss

@@ -27,6 +27,14 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_NO_DATA_MB", "true"))
       .config("spark.sql.streaming.minBatchesToRetain",
         sys.env.getOrElse("SPARK_GRAFT_MIN_RETAIN", "100"))
+      // the nio checkpoint manager is DEFAULT here (unlike the perf confs
+      // above): it is library I/O code, so the driver's oracle compare is
+      // exactly where it must prove itself — every stream gate's hash runs
+      // through it. All Verify/Bench checkpoints live under Scratch.root
+      // (local), the manager's only supported scope.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          graft.streaming.LocalCheckpointFileManager.confValue))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

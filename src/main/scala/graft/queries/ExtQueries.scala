@@ -1141,7 +1141,7 @@ object ExtQueries {
         // tasks per micro-batch for a 10k-row stream) — restored after
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
           StreamOps.runToMemory(
             StreamOps.windowedCounts(stream, widthSeconds = 3600, slideSeconds = 3600),
@@ -1173,7 +1173,7 @@ object ExtQueries {
           // 4 (round-7 re-measurement under honest toRdd materialization:
           // 8 → 2.3 s, 4 → 2.0 s, 2 → 2.0 s, 1 → 2.4 s — the earlier "8 is
           // 15% faster" read didn't survive; task overhead wins at 8+)
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           // This gate's Append-mode emission NEEDS one trailing no-data
           // micro-batch: the sentinel's trigger only UPDATES the watermark;
           // closed sessions flush in the batch AFTER it, which carries no
@@ -1224,7 +1224,7 @@ object ExtQueries {
         val prevProv = spark.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           // timers fire in the trailing no-data batch after the sentinel
           // advances the watermark — same flush shape as session_window
           spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -1288,7 +1288,7 @@ object ExtQueries {
         try {
           // per-trigger work is a broadcast anti-join over a small snapshot:
           // 32 shuffle partitions are pure task overhead here
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val changes = spark.readStream
             .schema("o_orderkey BIGINT, price DOUBLE, op STRING")
             .option("maxFilesPerTrigger", 1)
@@ -1322,7 +1322,7 @@ object ExtQueries {
         try {
           // row-level transform — no shuffle; small partition count keeps
           // the per-trigger sink commit from writing 32 near-empty files
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val stream = StreamOps.readEventStream(spark, landing,
               maxFilesPerTrigger = Some(1))
             .filter(col("user_id") % 2 === 0)
@@ -1343,7 +1343,7 @@ object ExtQueries {
         val landing = StreamOps.eventsLandingWithDuplicates(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           // 2 files per trigger: originals land in trigger 1, the two dup
           // copies (newer mtimes) in trigger 2 — duplicates still hit
           // PRE-EXISTING state, which is what the gate must prove
@@ -1375,7 +1375,7 @@ object ExtQueries {
         val landing = StreamOps.eventsLandingWithDuplicates(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(2))
           StreamOps.runToMemory(
             StreamOps.dedupByKeyWithinWatermark(stream, "ts", "35 days", "event_id")
@@ -1400,7 +1400,7 @@ object ExtQueries {
         val landing = StreamOps.eventsLanding(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
           StreamOps.runToMemory(StreamOps.runningUserStats(spark, stream),
             "stream_user_stats_sink", OutputMode.Update())
@@ -1436,7 +1436,7 @@ object ExtQueries {
         val prevProv = spark.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
@@ -1476,7 +1476,7 @@ object ExtQueries {
         val prevProv = spark.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val stream = StreamOps.readEventStream(spark, landing, maxFilesPerTrigger = Some(1))
@@ -1519,7 +1519,7 @@ object ExtQueries {
         val landing = StreamOps.eventsLanding(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           val stream = StreamOps.readEventStream(spark, landing)
           val dim = Tables.customer(spark, dir)
             .select("c_custkey", "c_mktsegment")
@@ -2613,7 +2613,7 @@ object ExtQueries {
         val landing = StreamOps.eventsLanding(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           // asymmetric triggers: the LEFT side drips one file per trigger
           // (2 micro-batches), the right ingests everything in its first —
           // left batch-2 rows must still match right rows buffered from an
@@ -2657,7 +2657,7 @@ object ExtQueries {
         val prevNoData = spark.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
         val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.shuffle.partitions", graft.streaming.StreamOps.streamShuffleParts)
           // unmatched lefts flush in the batch AFTER the sentinel advanced
           // the watermark — that batch carries no data, so it must run
           spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")

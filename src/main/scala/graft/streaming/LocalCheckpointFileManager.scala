@@ -1,0 +1,210 @@
+package graft.streaming
+
+import java.io.{FileNotFoundException, InputStream}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{FileAlreadyExistsException => NioExists, Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FSDataInputStream, FSDataOutputStream, Path, PathFilter, PositionedReadable, Seekable}
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
+
+/** [[CheckpointFileManager]] for LOCAL checkpoint roots (tmpfs / NVMe
+  * scratch) built on `java.nio` instead of Hadoop's `FileContext`.
+  *
+  * Why it exists: Structured Streaming funnels EVERY checkpoint write —
+  * offset WAL, commit log, file-source metadata, sink manifest, and each
+  * partition's state-store delta — through the configured manager, and the
+  * default `FileContextBasedCheckpointFileManager` costs ~42 ms per atomic
+  * create+rename on a local path when Hadoop's native library is absent
+  * (each call falls back to fork+exec for permission/stat operations;
+  * measured by [[graft.tools.FsProbe]]: nio 0.38 ms, FileContext 42.6 ms,
+  * FileSystem 8.7 ms — all on the same tmpfs dir). At a few metadata
+  * writes per micro-batch plus one delta per state partition, that
+  * machinery — not data — is the micro-batch floor for small batches.
+  * `java.nio`'s `Files.move(ATOMIC_MOVE)` gives the same same-directory
+  * atomic-rename commit contract without leaving the JVM.
+  *
+  * Scope: local filesystem only — the constructor rejects any scheme other
+  * than `file`/none, so a production job with an HDFS/S3 checkpoint that
+  * accidentally carries this conf fails loud at query start instead of
+  * mis-managing remote paths. Durability note: rename-commit on a local FS
+  * is exactly what the default manager provides on `file:` paths; cluster
+  * deployments point checkpoints at HDFS/object stores and should not set
+  * this class.
+  *
+  * Used by `Bench`/`Verify` sessions (whose checkpoints all live under
+  * [[graft.Scratch.root]]); correctness under this manager is pinned by the
+  * same oracle gates as every other operator (the driver's Verify run
+  * exercises it for all 14 stream gates), plus the restart/no-duplication
+  * contract in StreamOpsSpec.
+  */
+class LocalCheckpointFileManager(root: Path, conf: Configuration)
+    extends CheckpointFileManager {
+
+  {
+    val scheme = root.toUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"LocalCheckpointFileManager only manages local paths, got: $root")
+  }
+
+  private def nio(p: Path): java.nio.file.Path = Paths.get(p.toUri.getPath)
+
+  /** file:-qualified copy of `p` (what the FileContext manager returns). */
+  private def qualified(p: Path): Path =
+    if (p.toUri.getScheme != null) p
+    else new Path("file", null, p.toUri.getPath)
+
+  override def createAtomic(path: Path,
+                            overwriteIfPossible: Boolean): CancellableFSDataOutputStream = {
+    val target = nio(path)
+    val parent = target.getParent
+    if (parent != null && !Files.isDirectory(parent)) Files.createDirectories(parent)
+    // same-directory temp + atomic rename — the write-commit contract the
+    // default manager provides, minus the FileContext machinery
+    val tmp = parent.resolve(
+      s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE))
+    new LocalCheckpointFileManager.NioAtomicOutputStream(out, tmp, target, path,
+      overwriteIfPossible)
+  }
+
+  override def open(path: Path): FSDataInputStream = {
+    val p = nio(path)
+    if (!Files.isRegularFile(p)) throw new FileNotFoundException(path.toString)
+    new FSDataInputStream(new LocalCheckpointFileManager.NioSeekableInputStream(
+      FileChannel.open(p, StandardOpenOption.READ)))
+  }
+
+  override def list(path: Path, filter: PathFilter): Array[FileStatus] = {
+    val dir = nio(path)
+    if (!Files.exists(dir)) throw new FileNotFoundException(path.toString)
+    if (!Files.isDirectory(dir)) {
+      val st = status(path, dir)
+      return if (filter.accept(st.getPath)) Array(st) else Array.empty
+    }
+    val out = Array.newBuilder[FileStatus]
+    val stream = Files.newDirectoryStream(dir)
+    try {
+      stream.forEach { child =>
+        val p = qualified(new Path(path, child.getFileName.toString))
+        if (filter.accept(p)) out += status(p, child)
+      }
+    } finally stream.close()
+    out.result()
+  }
+
+  private def status(p: Path, f: java.nio.file.Path): FileStatus = {
+    val isDir = Files.isDirectory(f)
+    val len = if (isDir) 0L else Files.size(f)
+    new FileStatus(len, isDir, 1, 0L,
+      Files.getLastModifiedTime(f).toMillis, qualified(p))
+  }
+
+  override def mkdirs(path: Path): Unit = Files.createDirectories(nio(path)): Unit
+
+  override def exists(path: Path): Boolean = Files.exists(nio(path))
+
+  override def delete(path: Path): Unit = {
+    def rec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.newDirectoryStream(p)
+        try s.forEach(rec) finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    rec(nio(path))
+  }
+
+  override def isLocal: Boolean = true
+
+  override def createCheckpointDirectory(): Path = {
+    Files.createDirectories(nio(root))
+    qualified(root)
+  }
+}
+
+object LocalCheckpointFileManager {
+  /** Fully-qualified class name, for `spark.sql.streaming.checkpointFileManagerClass`. */
+  val confValue: String = classOf[LocalCheckpointFileManager].getName
+
+  /** Rename-on-close atomic stream (the engine's `RenameBasedFSDataOutputStream`
+    * contract, re-stated here because its `RenameHelperMethods` seam is
+    * sealed): `close()` commits the temp file to `target` via
+    * `Files.move(ATOMIC_MOVE)`; `cancel()` discards it. A losing racer on a
+    * no-overwrite commit surfaces as Hadoop's `FileAlreadyExistsException`,
+    * which is what `HDFSMetadataLog` catches to resolve concurrent writers.
+    * Both are idempotent and mutually exclusive (first wins), matching the
+    * engine stream's synchronized terminal-state behavior.
+    */
+  private final class NioAtomicOutputStream(out: java.io.OutputStream,
+      tmp: java.nio.file.Path, target: java.nio.file.Path, hadoopTarget: Path,
+      overwriteIfPossible: Boolean) extends CancellableFSDataOutputStream(out) {
+    private var terminated = false
+    override def close(): Unit = synchronized {
+      if (!terminated) {
+        terminated = true
+        super.close()
+        try {
+          if (overwriteIfPossible)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          else {
+            // NOT Files.move(ATOMIC_MOVE): on POSIX that is rename(2),
+            // which silently REPLACES an existing destination — the
+            // concurrent-writer contract needs the loser to FAIL. link(2)
+            // is the atomic create-if-absent commit: EEXIST when another
+            // writer already committed.
+            Files.createLink(target, tmp)
+            Files.deleteIfExists(tmp): Unit
+          }
+        } catch {
+          case e: NioExists =>
+            Files.deleteIfExists(tmp)
+            throw new FileAlreadyExistsException(
+              s"rename $tmp -> $hadoopTarget: destination exists (${e.getMessage})")
+        }
+      }
+    }
+    override def cancel(): Unit = synchronized {
+      if (!terminated) {
+        terminated = true
+        try { super.close(); Files.deleteIfExists(tmp): Unit }
+        catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
+      }
+    }
+  }
+
+  /** `FileChannel`-backed seekable stream satisfying the
+    * `Seekable`/`PositionedReadable` contract `FSDataInputStream` wraps.
+    */
+  private final class NioSeekableInputStream(ch: FileChannel)
+      extends InputStream with Seekable with PositionedReadable {
+    override def read(): Int = {
+      val b = ByteBuffer.allocate(1)
+      if (ch.read(b) <= 0) -1 else b.get(0) & 0xff
+    }
+    override def read(arr: Array[Byte], off: Int, len: Int): Int =
+      ch.read(ByteBuffer.wrap(arr, off, len))
+    override def seek(pos: Long): Unit = ch.position(pos): Unit
+    override def getPos: Long = ch.position()
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int =
+      ch.read(ByteBuffer.wrap(buffer, offset, length), position)
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit = {
+      var done = 0
+      while (done < length) {
+        val n = ch.read(ByteBuffer.wrap(buffer, offset + done, length - done), position + done)
+        if (n < 0) throw new java.io.EOFException(
+          s"readFully past end of file at position ${position + done}")
+        done += n
+      }
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+    override def close(): Unit = ch.close()
+  }
+}

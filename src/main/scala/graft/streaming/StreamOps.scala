@@ -29,6 +29,15 @@ object StreamOps {
     */
   def tmpRoot: String = graft.Scratch.root
 
+  /** Shuffle-partition count the stream gates pin for their stateful
+    * stages (state-store instances and their per-trigger commit machinery
+    * scale with partition count, and gate-scale micro-batches are
+    * overhead-bound, not compute-bound). Env-tunable for A/B
+    * (`GRAFT_STREAM_PARTS`); a production stream sizes this to
+    * key-cardinality × executor count, not to a constant.
+    */
+  def streamShuffleParts: String = sys.env.getOrElse("GRAFT_STREAM_PARTS", "4")
+
   /** Events schema of the LANDING drops: the landing is written from
     * `graft.Tables.events` (which normalizes whatever physical timestamp
     * the source parquet carries — see its doc), so `ts` here is always
