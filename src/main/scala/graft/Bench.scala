@@ -138,6 +138,21 @@ object Bench {
       // probes to one partition (serializing them) — the default's
       // parallelism-preserving coalesce is the right trade on local[32]
       .config("spark.ui.enabled", "false")
+      // committer v2: task commit renames straight to the destination, job
+      // commit is O(1) — on the forked-chmod local FS (FsProbe) the v1
+      // double-rename costs ~4 ms/file extra across the write gates.
+      // Standard tradeoff (partial output visible on job failure) — these
+      // bench writes are all scratch.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_V", "2"))
+      // file:// via the nio-permission RawLocalFileSystem subclass: the
+      // default LocalFileSystem pays a fork/exec chmod per created
+      // file/dir (no native Hadoop lib) plus CRC sidecar files — ~2x the
+      // committer's metadata ops on every local write (WriteProbe: 438 ->
+      // 294 ms median for a 16-file write). Local-scratch-only posture,
+      // like the checkpoint manager above.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS", "graft.io.NioLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up OUTSIDE the timed loop: JVM class loading, first whole-stage

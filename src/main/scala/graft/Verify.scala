@@ -35,6 +35,11 @@ object Verify {
       .config("spark.sql.streaming.checkpointFileManagerClass",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
           graft.streaming.LocalCheckpointFileManager.confValue))
+      // same library-I/O-code rationale as above: every gate's local read
+      // and write runs through the nio-permission local FS here, so the
+      // oracle compare is what proves it
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS", "graft.io.NioLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

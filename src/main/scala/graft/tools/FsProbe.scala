@@ -58,6 +58,38 @@ object FsProbe {
     }
     println(f"fs create+hsync: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
 
+    // granular: which FileContext op pays the fork/exec?
+    t0 = System.nanoTime()
+    for (i <- 0 until 20) {
+      val out = fc.create(new org.apache.hadoop.fs.Path(dir.toString, s"fco_$i"),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      out.write(payload); out.close()
+    }
+    println(f"fc create only: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
+    t0 = System.nanoTime()
+    for (i <- 0 until 20) {
+      fc.rename(new org.apache.hadoop.fs.Path(dir.toString, s"fco_$i"),
+        new org.apache.hadoop.fs.Path(dir.toString, s"fcr_$i"))
+    }
+    println(f"fc rename only: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
+    t0 = System.nanoTime()
+    for (i <- 0 until 20) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir.toString, s"d_$i"))
+    }
+    println(f"fs mkdirs: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
+    t0 = System.nanoTime()
+    for (i <- 0 until 20) {
+      fs.setPermission(new org.apache.hadoop.fs.Path(dir.toString, s"fs_$i"),
+        new org.apache.hadoop.fs.permission.FsPermission("644"))
+    }
+    println(f"fs setPermission: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
+    t0 = System.nanoTime()
+    for (i <- 0 until 20) {
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir.toString, s"fs_$i"))
+    }
+    println(f"fs getFileStatus: ${(System.nanoTime() - t0) / 20e6}%.2f ms/op")
+
     graft.io.ParquetIO.deleteRecursively(dir)
   }
 }
