@@ -886,9 +886,13 @@ object ExtQueries {
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         val probes = emb.filter(col("vec_id") < 10)
+        // nlist=16 / nprobe=8, floor 0.6: the AnnSweepProbe parameter-recall
+        // curve (sf0.001/0.01/0.1) measures 0.72/0.72/0.80 here — the
+        // near-uniform testdata (true top-5 cosines 0.26-0.49) caps what any
+        // cell partitioning can do below nprobe/nlist ~= 1/2
         val approx = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4)
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
+          k = 5, nlist = 16, nprobe = 8)
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.6)
       }),
 
     // The deployment shape of IVF: train once, PERSIST (centroids +
@@ -910,9 +914,9 @@ object ExtQueries {
         // index — unlike the k1/k2 leak-one-copy artifacts this one holds
         // a corpus copy, and Scratch.root may be RAM-backed (/dev/shm)
         val approx = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
-          k = 5, nprobe = 4).localCheckpoint()
+          k = 5, nprobe = 8).localCheckpoint() // 16/8, floor 0.6: see ann_topk_ivf
         graft.io.ParquetIO.deleteRecursively(new java.io.File(path))
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.4)
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.6)
       }),
 
     GQ("ann_topk_lsh",
@@ -921,11 +925,16 @@ object ExtQueries {
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         val probes = emb.filter(col("vec_id") < 10)
-        // 4 planes: testdata embeddings are near-uniform, finer buckets
-        // collapse recall (see SimSearchSpec)
+        // 3 planes, floor 0.5: sign-LSH on the near-uniform testdata loses
+        // ~cos⁻¹(0.4)/π ≈ 37% of hyperplane votes per true neighbor, so
+        // recall falls fast with plane count (AnnSweepProbe curve at
+        // sf0.001/0.01/0.1: planes=2 → 0.82/0.88/0.84, 3 → 0.54/0.74/0.68,
+        // 4 → 0.36/0.54/0.46, 8 → ~0.1). planes=3 is the coarsest config
+        // that still partitions (8 buckets + hamming-1 multiprobe); gate
+        // SFs measure 0.74/0.68 against the 0.5 floor
         val approx = SimSearch.lshTopK(emb, probes, "vec_id", "embedding",
-          k = 5, numPlanes = 4, dim = 64)
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.3)
+          k = 5, numPlanes = 3, dim = 64)
+        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.5)
       }),
 
     // ----- end-to-end corpus cleaning ----------------------------------------

@@ -53,15 +53,23 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     val approx = SimSearch.lshTopK(emb, probes, "vec_id", "embedding",
-      k = 5, numPlanes = 4, dim = 64)
+      k = 5, numPlanes = 3, dim = 64)
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     val recall = if (exact.isEmpty) 1.0
       else approx.intersect(exact).size.toDouble / exact.size
-    // testdata embeddings are near-uniform (max pairwise cos ≈ 0.5), the
-    // hardest case for sign-LSH: a cos≈0.4 neighbor disagrees on ~37% of
-    // hyperplanes. 4 planes + hamming-1 multiprobe ⇒ theoretical recall
-    // ≈ 0.5; the assertion pins it doesn't silently collapse.
-    assert(recall >= 0.3, s"LSH recall@5 collapsed: $recall")
+    // testdata embeddings are near-uniform (true top-5 cosines 0.26-0.49),
+    // the hardest case for sign-LSH: a cos≈0.4 neighbor disagrees on ~37%
+    // of hyperplanes, so recall decays fast with plane count. Measured
+    // parameter-recall curve (graft.tools.AnnSweepProbe, recall@5 at
+    // sf0.001 / sf0.01 / sf0.1):
+    //   planes=2 → 0.82 / 0.88 / 0.84
+    //   planes=3 → 0.54 / 0.74 / 0.68   <- this config
+    //   planes=4 → 0.36 / 0.54 / 0.46
+    //   planes=6 → 0.20 / 0.30 / 0.28
+    //   planes=8 → 0.08 / 0.06 / 0.20
+    // Floor = sf0.001's 0.54 minus regeneration margin: the data's geometry
+    // genuinely caps recall — the curve IS the documentation.
+    assert(recall >= 0.4, s"LSH recall@5 collapsed: $recall")
     assert(approx.nonEmpty)
   }
 
@@ -71,13 +79,23 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     val ivf = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 8)
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall@5 collapsed: $recall")
+    // Measured (nlist, nprobe) → recall@5 curve (graft.tools.AnnSweepProbe,
+    // sf0.001 / sf0.01 / sf0.1) on the near-uniform testdata:
+    //   (16, 4)  → 0.54 / 0.50 / 0.54
+    //   (16, 8)  → 0.72 / 0.72 / 0.80   <- this config
+    //   (32, 16) → 0.80 / 0.74 / 0.84
+    //   (16, 16) → 1.00 everywhere (probe-all = exact)
+    // Recall tracks nprobe/nlist, not absolute cell count: with no cluster
+    // structure, a true neighbor's cell is nearly random, so probing half
+    // the cells finds ~3/4 of them. Floor = min measured 0.72 minus
+    // regeneration margin.
+    assert(recall >= 0.6, s"IVF recall@5 collapsed: $recall")
     // determinism: seeded centroid sample
     val ivf2 = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 8)
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     assert(ivf === ivf2)
   }
