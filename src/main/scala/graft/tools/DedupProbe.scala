@@ -23,6 +23,8 @@ object DedupProbe {
     docs.limit(1).collect()
     def ms(f: => Unit): Long = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1000000L }
 
+    if (args.headOption.contains("jaccard")) { jaccardAccounting(spark, docs); spark.stop(); return }
+
     for (rep <- 0 until 3) {
       // phase 1: shingle sets (the shared scan kernel)
       var sets: org.apache.spark.sql.DataFrame = null
@@ -61,5 +63,38 @@ object DedupProbe {
     println(s"[dedupprobe] jaccard min=${out.get(0)} p05=${out.get(1)} " +
       s"p25=${out.get(2)} p50=${out.get(3)} n=${out.get(4)}")
     spark.stop()
+  }
+
+  /** Σdf² accounting + phase split for the exact n-gram Jaccard join —
+    * the numbers behind the accepted-floor note in COVERAGE.md. The gate's
+    * cost model is: one shingle scan (explode) + one hash-partitioned
+    * self-join whose work IS Σ_s df_s·(df_s−1)/2 candidate rows + one
+    * count aggregate over candidates. DuckDB runs the identical algebra
+    * in-process with no exchange serialization; the gap is machinery per
+    * candidate row, not a redundant plan term.
+    */
+  private def jaccardAccounting(spark: SparkSession, docs: org.apache.spark.sql.DataFrame): Unit = {
+    val ex = docs.select(col("doc_id").as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 3).as("set"))
+      .select(col("id"), explode(col("set")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df")).localCheckpoint()
+    val acct = dfTab.agg(count(lit(1)).as("vocab"),
+      sum(col("df")).as("exploded_rows"),
+      max(col("df")).as("max_df"),
+      sum(col("df") * (col("df") - 1) / 2).as("cand_pairs")).collect()(0)
+    val nDocs = docs.count()
+    println(s"[jaccacct] docs=$nDocs vocab=${acct.get(0)} " +
+      s"exploded=${acct.get(1)} max_df=${acct.get(2)} cand_pairs=${acct.get(3)}")
+    dfTab.unpersist()
+    def ms(f: => Unit): Long = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1000000L }
+    for (rep <- 0 until 3) {
+      var nNaive = 0L; var nPrefix = 0L
+      val tNaive = ms { nNaive = graft.ext.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.4).count() }
+      val tPrefix = ms { nPrefix = graft.ext.Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", 3, 0.4).count() }
+      println(s"[jaccacct] rep=$rep naive_ms=$tNaive prefix_ms=$tPrefix " +
+        s"out_naive=$nNaive out_prefix=$nPrefix")
+    }
   }
 }
