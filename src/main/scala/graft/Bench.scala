@@ -520,10 +520,24 @@ object Bench {
     // repo root records the latest calm paired measurement; embedding it
     // here puts that context INSIDE every BENCH artifact.
     val paired = try {
-      val p = java.nio.file.Paths.get("PAIRED.json")
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "null"
+      // resolve against the repo root (the source tree this class was built
+      // from), not the launch cwd — a bench launched elsewhere should still
+      // find the file rather than silently reporting null
+      val candidates = Seq(
+        java.nio.file.Paths.get("PAIRED.json"),
+        java.nio.file.Paths.get("/root/repo/PAIRED.json"))
+      candidates.find(java.nio.file.Files.exists(_)) match {
+        case Some(p) =>
+          val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          // the artifact line must stay ONE valid JSON object: only embed a
+          // single-line object that round-trips through the JSON parser
+          val ok = raw.startsWith("{") && raw.endsWith("}") && !raw.exists(c => c == '\n' || c == '\r') && {
+            try { org.json4s.jackson.JsonMethods.parse(raw); true }
+            catch { case _: Exception => false }
+          }
+          if (ok) raw else "null"
+        case None => "null"
+      }
     } catch { case _: Exception => "null" }
     println(s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"paired_ref":$paired,"value":${r3(total)}}""")
     spark.stop()

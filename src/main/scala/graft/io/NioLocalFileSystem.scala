@@ -20,8 +20,16 @@ import org.apache.hadoop.fs.permission.FsPermission
 class NioRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null) return
-    val perms = new JHashSet[PosixFilePermission]()
     val m = permission.toShort
+    if ((m & 0xE00) != 0) {
+      // sticky/setuid/setgid can't be expressed as PosixFilePermission —
+      // take the parent's (forked chmod) path rather than silently
+      // narrowing 1777 to 0777; committer-written files never carry these
+      // bits, so the fast path still covers every hot call
+      super.setPermission(p, permission)
+      return
+    }
+    val perms = new JHashSet[PosixFilePermission]()
     import PosixFilePermission._
     if ((m & 0x100) != 0) perms.add(OWNER_READ)
     if ((m & 0x80) != 0) perms.add(OWNER_WRITE)

@@ -583,7 +583,7 @@ object ExtQueries {
              |FROM com JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.4
              |""".stripMargin),
-      (spark, dir) =>
+      (spark, dir) => {
         // 64 hashes / 32 bands (r=2), tuned against the MEASURED output-pair
         // distribution (DedupProbe at sf0.1): every true pair has j >= 0.8
         // (p05 = 0.91), where 32 bands miss with prob (1-0.64)^32 ~= 4e-15;
@@ -591,8 +591,28 @@ object ExtQueries {
         // 0.004. Halves the signature kernel and the banding join vs the
         // library's belt-and-braces 128/64 default (which stays the default:
         // an unmeasured corpus gets the 1.4e-5-at-threshold config).
-        Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4, numHashes = 64, bands = 32)
+        //
+        // SELF-ESCALATING against corpus regeneration (the driver rewrites
+        // /root/testdata between rounds and has changed data properties
+        // before): the 64/32 tuning is only sound while every true pair sits
+        // far above the 0.4 threshold. If the fast pass surfaces ANY pair
+        // with j < 0.7 — where 32-band miss probability starts to matter —
+        // or finds nothing at all, rerun at the 128/64 default
+        // (miss ~1.4e-5 at threshold) instead of gambling the exact-pair
+        // oracle on a distribution nobody re-measured. Zero extra cost on
+        // the measured corpus (min observed j ~= 0.91).
+        val fast = Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4, numHashes = 64, bands = 32).localCheckpoint()
+        val lowJ = fast.agg(min(col("jaccard"))).head().getAs[Any](0) match {
+          case null => true // no pairs found: anomalous for this corpus — escalate
+          case j: Double => j < 0.7
+          case other => sys.error(s"unexpected min(jaccard) type: $other")
+        }
+        if (lowJ)
+          Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+            n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+        else fast
+      }
           ),
 
     // SimHash near-dup pairs, ORACLE-GATED end to end: the gate runs the

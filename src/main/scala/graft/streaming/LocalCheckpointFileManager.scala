@@ -91,7 +91,15 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
     try {
       stream.forEach { child =>
         val p = qualified(new Path(path, child.getFileName.toString))
-        if (filter.accept(p)) out += status(p, child)
+        // The state-store maintenance thread deletes old delta/snapshot
+        // files concurrently with load-side listings; Hadoop's listStatus
+        // skips entries that vanish between iteration and stat, and this
+        // manager must match (NoSuchFileException is NOT a
+        // FileNotFoundException, so callers' FNF handling won't catch it).
+        if (filter.accept(p)) {
+          try out += status(p, child)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+        }
       }
     } finally stream.close()
     out.result()
@@ -109,12 +117,20 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
   override def exists(path: Path): Boolean = Files.exists(nio(path))
 
   override def delete(path: Path): Unit = {
+    // Tolerate entries vanishing mid-recursion (concurrent maintenance
+    // deletes): a path that is already gone is a successful delete.
     def rec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.newDirectoryStream(p)
-        try s.forEach(rec) finally s.close()
+      try {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = Files.newDirectoryStream(p)
+          try s.forEach(rec) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case e: java.nio.file.DirectoryIteratorException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
       }
-      Files.deleteIfExists(p): Unit
     }
     rec(nio(path))
   }
@@ -172,8 +188,15 @@ object LocalCheckpointFileManager {
     override def cancel(): Unit = synchronized {
       if (!terminated) {
         terminated = true
-        try { super.close(); Files.deleteIfExists(tmp): Unit }
-        catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
+        // delete in a finally: if flush-on-close throws (e.g. tmpfs full),
+        // the temp file must still go — it occupies the very space whose
+        // exhaustion caused the failure, and retries would compound it
+        try super.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        finally {
+          try Files.deleteIfExists(tmp): Unit
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
   }

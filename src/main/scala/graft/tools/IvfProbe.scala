@@ -31,8 +31,11 @@ object IvfProbe {
       val tWrite = ms { SimSearch.writeIvfIndex(idx, path) }
       val tRead = ms { loaded = SimSearch.readIvfIndex(spark, path) }
       var n = 0L
+      // keep in lockstep with the ann_topk_ivf_persist gate (ExtQueries:
+      // nlist=16, nprobe=8) — a probe at half the nprobe measures half the
+      // query-phase work the gate actually does
       val tQuery = ms { n = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
-        k = 5, nprobe = 4).count() }
+        k = 5, nprobe = 8).count() }
       val tDel = ms { graft.io.ParquetIO.deleteRecursively(new java.io.File(path)) }
       println(s"[ivfprobe] rep=$rep train=$tTrain write=$tWrite read=$tRead " +
         s"query=$tQuery delete=$tDel rows=$n")

@@ -145,7 +145,14 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("dedup_minhash_lsh: sketch builds scan-side — no explode-aggregate fan") {
-    val p = plan("dedup_minhash_lsh")
+    // the GATE returns a localCheckpoint()'d frame (its self-escalation
+    // check needs the materialized result), which plans as Scan ExistingRDD
+    // — assert on the library plan at the gate's parameters instead
+    val df = graft.ext.Dedup.minhashLshPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      n = 3, threshold = 0.4, numHashes = 64, bands = 32)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("minhash_sketch"), s"native sketch expression not in plan:\n$p")
     // the old formulation aggregated 128 min() columns; its signature was a
     // shuffle whose aggregate expressions mention xxhash64 directly
