@@ -164,7 +164,14 @@ object ScaleCheck {
         catch { case scala.util.control.NonFatal(e) =>
           (0L, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // BLOCKING unpersist + GC between families: non-blocking returns
+      // before the blocks are actually freed, so a later family runs under
+      // the earlier family's storage pressure — at 10x data this inflated
+      // in-sequence pagerank 3x vs the same query isolated (34.4 s vs
+      // 11.8 s, measured round 12); the timed number must be the family's
+      // own cost, as Bench's per-query unpersist established suite-wide
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       System.err.println(f"[scalecheck] $name%-24s ${sec}%8.2f s  $rows rows ${err.getOrElse("")}")
       (name, sec, rows, err)
     }
