@@ -250,6 +250,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[minhashLshPairs]] with measured-distribution ESCALATION: run the
+    * cheaper fast config first, inspect the minimum jaccard among the pairs
+    * it found, and rerun at the safe config when the observed distribution
+    * approaches the threshold — where the fast config's per-pair miss
+    * probability stops being negligible — or when nothing was found at all
+    * (indistinguishable from having missed everything). Returns the pair
+    * relation plus whether escalation fired.
+    *
+    * This is how a band-count tuning survives corpus drift: the tune is
+    * only sound while every true pair sits well above the threshold, and
+    * that property is re-checked on every run instead of assumed. On a
+    * corpus whose pairs are all far from the threshold the cost is one
+    * tiny min-aggregate over the (checkpointed) output; on a drifted
+    * corpus the safe rerun restores near-perfect recall (e.g. 128/64 at
+    * j ≥ 0.4: miss ≈ 1.4e-5 per pair).
+    */
+  def minhashLshPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, fastHashes: Int, fastBands: Int,
+      escalateBelow: Double, safeHashes: Int = 128, safeBands: Int = 64): (DataFrame, Boolean) = {
+    val fast = minhashLshPairs(df, idCol, textCol, n, threshold, fastHashes, fastBands)
+      .localCheckpoint()
+    val escalate = fast.agg(min(col("jaccard"))).head().getAs[Any](0) match {
+      case null => true // zero pairs: anomalous — take the safe config
+      case j: Double => j < escalateBelow
+      case other => sys.error(s"unexpected min(jaccard) value: $other")
+    }
+    if (escalate)
+      (minhashLshPairs(df, idCol, textCol, n, threshold, safeHashes, safeBands), true)
+    else (fast, false)
+  }
+
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each hash
     * votes ±1 on each of 64 bit positions, fingerprint bit j = sign of the
     * vote sum. A scan-side projection via the native

@@ -600,18 +600,11 @@ object ExtQueries {
         // or finds nothing at all, rerun at the 128/64 default
         // (miss ~1.4e-5 at threshold) instead of gambling the exact-pair
         // oracle on a distribution nobody re-measured. Zero extra cost on
-        // the measured corpus (min observed j ~= 0.91).
-        val fast = Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4, numHashes = 64, bands = 32).localCheckpoint()
-        val lowJ = fast.agg(min(col("jaccard"))).head().getAs[Any](0) match {
-          case null => true // no pairs found: anomalous for this corpus — escalate
-          case j: Double => j < 0.7
-          case other => sys.error(s"unexpected min(jaccard) type: $other")
-        }
-        if (lowJ)
-          Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-            n = 3, threshold = 0.4, numHashes = 128, bands = 64)
-        else fast
+        // the measured corpus (min observed j ~= 0.91). Both branches are
+        // spec-pinned in DedupSpec ("adaptive minhash escalation").
+        Dedup.minhashLshPairsAdaptive(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.4, fastHashes = 64, fastBands = 32,
+          escalateBelow = 0.7)._1
       }
           ),
 

@@ -96,6 +96,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.95, s"LSH recall $recall below 0.95 (found ${lsh.size}/${exact.size})")
   }
 
+  test("adaptive minhash escalation: fast config far from threshold, safe rerun near it") {
+    // far-from-threshold corpus: the only pair is exact (j = 1.0 ≥ 0.7)
+    val far = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely different words here about spark engines today"),
+    ).toDF("doc_id", "text")
+    val (fastOut, esc1) = Dedup.minhashLshPairsAdaptive(far, "doc_id", "text",
+      n = 3, threshold = 0.4, fastHashes = 64, fastBands = 32, escalateBelow = 0.7)
+    assert(!esc1, "min observed j = 1.0 must keep the fast config")
+    assert(fastOut.as[(Long, Long, Double)].collect().toSet === Set((1L, 2L, 1.0)))
+
+    // near-threshold corpus: docs 1/3 differ in one token → 6 of 10 shingles
+    // shared → j = 0.6 < 0.7, inside the band where the 64/32 miss
+    // probability stops being negligible
+    val (safeOut, esc2) = Dedup.minhashLshPairsAdaptive(docs, "doc_id", "text",
+      n = 3, threshold = 0.4, fastHashes = 64, fastBands = 32, escalateBelow = 0.7)
+    assert(esc2, "a j = 0.6 pair must trigger the 128/64 rerun")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(safeOut.as[(Long, Long, Double)].collect().toSet === exact,
+      "escalated output must carry full recall vs the exact relation")
+
+    // empty output: indistinguishable from a total miss → escalate
+    val lonely = Seq((9L, "one single document alone in the corpus today ok")).toDF("doc_id", "text")
+    val (emptyOut, esc3) = Dedup.minhashLshPairsAdaptive(lonely, "doc_id", "text",
+      n = 3, threshold = 0.4, fastHashes = 64, fastBands = 32, escalateBelow = 0.7)
+    assert(esc3, "zero observed pairs must take the safe config")
+    assert(emptyOut.count() === 0L)
+  }
+
   test("simhash: identical docs share fingerprints; pairs catch exact dups") {
     val fps = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
