@@ -529,13 +529,19 @@ object Bench {
       candidates.find(java.nio.file.Files.exists(_)) match {
         case Some(p) =>
           val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-          // the artifact line must stay ONE valid JSON object: only embed a
-          // single-line object that round-trips through the JSON parser
-          val ok = raw.startsWith("{") && raw.endsWith("}") && !raw.exists(c => c == '\n' || c == '\r') && {
-            try { org.json4s.jackson.JsonMethods.parse(raw); true }
-            catch { case _: Exception => false }
-          }
-          if (ok) raw else "null"
+          // the artifact line must stay ONE valid JSON object AND fit the
+          // driver's ~2000-char stdout tail window: re-render through the
+          // JSON parser (proves validity, collapses any formatting) and
+          // drop the human-facing prose "note" — the numbers are the embed,
+          // the note lives in the repo file
+          try {
+            import org.json4s._
+            val parsed = jackson.JsonMethods.parse(raw) match {
+              case JObject(fields) => JObject(fields.filterNot(_._1 == "note"))
+              case other => other
+            }
+            jackson.JsonMethods.compact(jackson.JsonMethods.render(parsed))
+          } catch { case _: Exception => "null" }
         case None => "null"
       }
     } catch { case _: Exception => "null" }
