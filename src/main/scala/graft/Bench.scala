@@ -520,12 +520,20 @@ object Bench {
     // repo root records the latest calm paired measurement; embedding it
     // here puts that context INSIDE every BENCH artifact.
     val paired = try {
-      // resolve against the repo root (the source tree this class was built
-      // from), not the launch cwd — a bench launched elsewhere should still
-      // find the file rather than silently reporting null
-      val candidates = Seq(
-        java.nio.file.Paths.get("PAIRED.json"),
-        java.nio.file.Paths.get("/root/repo/PAIRED.json"))
+      // resolution order: explicit env override, then the repo root derived
+      // from where this class was loaded (…/target/scala-*/classes → two
+      // parents up), then the launch cwd as a last resort — a bench
+      // launched from elsewhere still finds the repo's file, and a stale
+      // foreign PAIRED.json in some other cwd can't shadow it
+      val fromCodeSource = try {
+        val loc = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        Option(loc.getParent).flatMap(p => Option(p.getParent))
+          .map(_.getParent).filter(_ != null).map(_.resolve("PAIRED.json"))
+      } catch { case _: Exception => None }
+      val candidates =
+        sys.env.get("SPARK_GRAFT_PAIRED").map(java.nio.file.Paths.get(_)).toSeq ++
+        fromCodeSource.toSeq :+ java.nio.file.Paths.get("PAIRED.json")
       candidates.find(java.nio.file.Files.exists(_)) match {
         case Some(p) =>
           val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim

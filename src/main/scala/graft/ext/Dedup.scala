@@ -213,18 +213,27 @@ object Dedup {
     * well above 0.5.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                      threshold: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // ONE shingle pass: signatures, banding, and the exact verify all derive
-    // from this materialized (id, shingle-hash set) relation — without it the
-    // kernel re-runs over the full corpus three times (sig build + each side
-    // of the candidate verify join). At production scale this is the shingle
-    // table you'd persist alongside the corpus; localCheckpoint is the
-    // single-job equivalent.
-    val sets = df.select(col(idCol).as("id"),
+                      threshold: Double, numHashes: Int = 128, bands: Int = 64): DataFrame =
+    minhashLshPairsFromSets(minhashShingleSets(df, idCol, textCol, n),
+      threshold, numHashes, bands)
+
+  /** ONE shingle pass: signatures, banding, and the exact verify all derive
+    * from this materialized (id, shingle-hash set) relation — without it the
+    * kernel re-runs over the full corpus three times (sig build + each side
+    * of the candidate verify join). At production scale this is the shingle
+    * table you'd persist alongside the corpus; localCheckpoint is the
+    * single-job equivalent.
+    */
+  private def minhashShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("set"))
       .localCheckpoint()
+
+  private def minhashLshPairsFromSets(sets: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     val sigs = signaturesFromSets(sets, numHashes)
     // band hash = xxhash64 over the band's sig elements directly
     // (element_at is codegen'd; the former slice().cast("string") built a
@@ -260,25 +269,36 @@ object Dedup {
     *
     * This is how a band-count tuning survives corpus drift: the tune is
     * only sound while every true pair sits well above the threshold, and
-    * that property is re-checked on every run instead of assumed. On a
-    * corpus whose pairs are all far from the threshold the cost is one
-    * tiny min-aggregate over the (checkpointed) output; on a drifted
-    * corpus the safe rerun restores near-perfect recall (e.g. 128/64 at
-    * j ≥ 0.4: miss ≈ 1.4e-5 per pair).
+    * that property is re-checked on every run instead of assumed. The
+    * insurance is PROBABILISTIC, not absolute — it can only see pairs the
+    * fast pass found, so a lone drifted near-threshold pair that the fast
+    * pass itself misses (p ≈ (1−j²)^bands, ~3e-3 at j = 0.41 / 32 bands)
+    * escapes detection when every other pair sits high; any drift that
+    * produces MORE than a couple of near-threshold pairs is caught with
+    * near-certainty. On a corpus whose pairs are all far from the threshold
+    * the cost is one tiny min-aggregate over the (checkpointed) output; on
+    * a drifted corpus the safe rerun restores near-perfect recall
+    * (e.g. 128/64 at j ≥ 0.4: miss ≈ 1.4e-5 per pair).
+    *
+    * The shingle-set relation is built ONCE and shared across both configs;
+    * an escalation frees the abandoned fast result's checkpoint blocks
+    * before the rerun.
     */
   def minhashLshPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, fastHashes: Int, fastBands: Int,
       escalateBelow: Double, safeHashes: Int = 128, safeBands: Int = 64): (DataFrame, Boolean) = {
-    val fast = minhashLshPairs(df, idCol, textCol, n, threshold, fastHashes, fastBands)
+    val sets = minhashShingleSets(df, idCol, textCol, n)
+    val fast = minhashLshPairsFromSets(sets, threshold, fastHashes, fastBands)
       .localCheckpoint()
     val escalate = fast.agg(min(col("jaccard"))).head().getAs[Any](0) match {
       case null => true // zero pairs: anomalous — take the safe config
       case j: Double => j < escalateBelow
       case other => sys.error(s"unexpected min(jaccard) value: $other")
     }
-    if (escalate)
-      (minhashLshPairs(df, idCol, textCol, n, threshold, safeHashes, safeBands), true)
-    else (fast, false)
+    if (escalate) {
+      org.apache.spark.sql.GraftPlanShim.unpersistLocalCheckpoint(fast)
+      (minhashLshPairsFromSets(sets, threshold, safeHashes, safeBands), true)
+    } else (fast, false)
   }
 
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each hash

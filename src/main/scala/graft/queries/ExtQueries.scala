@@ -18,6 +18,14 @@ import graft.ops.{AggOps, Skew}
   */
 object ExtQueries {
 
+  // dedup_minhash_lsh gate tuning, shared with PlanCheckSpec's library-plan
+  // assertion so a retune can't silently decouple the tested plan from the
+  // gate's (rationale at the gate definition)
+  val MinhashGateN = 3
+  val MinhashGateThreshold = 0.4
+  val MinhashGateFastHashes = 64
+  val MinhashGateFastBands = 32
+
   // DuckDB-side token array, identical to TextOps.tokens semantics.
   private val duckTokens = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -601,10 +609,21 @@ object ExtQueries {
         // (miss ~1.4e-5 at threshold) instead of gambling the exact-pair
         // oracle on a distribution nobody re-measured. Zero extra cost on
         // the measured corpus (min observed j ~= 0.91). Both branches are
-        // spec-pinned in DedupSpec ("adaptive minhash escalation").
-        Dedup.minhashLshPairsAdaptive(Tables.documents(spark, dir), "doc_id", "text",
-          n = 3, threshold = 0.4, fastHashes = 64, fastBands = 32,
-          escalateBelow = 0.7)._1
+        // spec-pinned in DedupSpec ("adaptive minhash escalation");
+        // PlanCheckSpec asserts the fast config's plan via these same
+        // constants.
+        val (pairs, escalated) = Dedup.minhashLshPairsAdaptive(
+          Tables.documents(spark, dir), "doc_id", "text",
+          n = MinhashGateN, threshold = MinhashGateThreshold,
+          fastHashes = MinhashGateFastHashes, fastBands = MinhashGateFastBands,
+          escalateBelow = 0.7)
+        // a fired escalation ~doubles this gate's wall time — make that
+        // attributable to corpus drift instead of reading as host weather
+        if (escalated) System.err.println(
+          "[graft] dedup_minhash_lsh ESCALATED to 128/64: observed pair " +
+          "jaccard below 0.7 (or no pairs) — corpus distribution drifted " +
+          "from the 64/32 tuning assumption")
+        pairs
       }
           ),
 

@@ -79,7 +79,7 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
       FileChannel.open(p, StandardOpenOption.READ)))
   }
 
-  override def list(path: Path, filter: PathFilter): Array[FileStatus] = {
+  override def list(path: Path, filter: PathFilter): Array[FileStatus] = try {
     val dir = nio(path)
     if (!Files.exists(dir)) throw new FileNotFoundException(path.toString)
     if (!Files.isDirectory(dir)) {
@@ -103,6 +103,16 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
       }
     } finally stream.close()
     out.result()
+  } catch {
+    // The DIRECTORY ITSELF vanished between the exists check and the
+    // stream open (or mid-iteration): surface it as the
+    // FileNotFoundException the Hadoop contract promises — callers
+    // (HDFSMetadataLog, state-store load) handle FNF, not nio's NSFE.
+    case e: java.nio.file.NoSuchFileException =>
+      throw new FileNotFoundException(s"$path (${e.getMessage})")
+    case e: java.nio.file.DirectoryIteratorException
+        if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+      throw new FileNotFoundException(s"$path (${e.getCause.getMessage})")
   }
 
   private def status(p: Path, f: java.nio.file.Path): FileStatus = {

@@ -28,4 +28,16 @@ object GraftPlanShim {
     val logical = execution.LogicalRDD.fromDataset(rdd, ds, ds.isStreaming)
     (classic.Dataset.ofRows(ds.sparkSession, logical), n)
   }
+
+  /** Free the storage blocks behind a `localCheckpoint()`'d frame.
+    * `Dataset.unpersist` only talks to the cache manager, which never sees
+    * a checkpointed RDD — the blocks live on the RDD itself, reachable
+    * through the plan's [[execution.LogicalRDD]] leaves. No-op on frames
+    * that aren't checkpoint-backed.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

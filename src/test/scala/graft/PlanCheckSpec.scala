@@ -148,9 +148,12 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
     // the GATE returns a localCheckpoint()'d frame (its self-escalation
     // check needs the materialized result), which plans as Scan ExistingRDD
     // — assert on the library plan at the gate's parameters instead
+    // (constants shared with the gate so a retune keeps this test honest)
+    import graft.queries.ExtQueries._
     val df = graft.ext.Dedup.minhashLshPairs(
       Tables.documents(spark, sfDir), "doc_id", "text",
-      n = 3, threshold = 0.4, numHashes = 64, bands = 32)
+      n = MinhashGateN, threshold = MinhashGateThreshold,
+      numHashes = MinhashGateFastHashes, bands = MinhashGateFastBands)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("minhash_sketch"), s"native sketch expression not in plan:\n$p")
