@@ -44,7 +44,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        rightAttrs: Seq[Attribute]) extends BinaryNode {
+                        rightAttrs: Seq[Attribute],
+                        rightTieBreak: Seq[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ rightAttrs.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -52,8 +53,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, attrs) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, attrs, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, attrs, tie) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, attrs, tie, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +62,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
                              leftTime: Attribute, rightTime: Attribute,
                              rightAttrs: Seq[Attribute],
+                             rightTieBreak: Seq[Attribute],
                              left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ rightAttrs.map(_.withNullability(true))
@@ -71,10 +73,16 @@ case class AsOfMergeJoinExec(leftKey: Attribute, rightKey: Attribute,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // per-partition (key, time) order is what makes the single-pass merge valid
+  // per-partition (key, time) order is what makes the single-pass merge
+  // valid. Tie-break columns extend the RIGHT ordering only: the merge
+  // consumes every right row at-or-before the probe and keeps the LAST, so
+  // ascending tie-break order makes the max-tie-break row win among equal
+  // (key, time) rows — folding what would otherwise be a separate
+  // dedup window (its own shuffle + rank over the full right side) into
+  // the sort this operator already requires.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      (Seq(rightKey, rightTime) ++ rightTieBreak).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
@@ -190,10 +198,17 @@ object AsOfMergeJoin {
       em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
   }
 
+  /** `rightTieBreak`: right columns ordering equal (key, time) rows — the
+    * LAST row in ascending tie-break order wins (max tie-break), matching
+    * [[graft.ops.AsOfJoin.asOf]]'s parameter of the same name. Folds the
+    * caller's pre-dedup (`dedupByKeyOrdered` = shuffle + rank + filter over
+    * the full right side) into the sort this operator already requires.
+    */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightAttrs: Seq[String]): DataFrame = {
+           rightAttrs: Seq[String],
+           rightTieBreak: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     registerStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -241,13 +256,14 @@ object AsOfMergeJoin {
     // the child cost — the parquet scan read every column). Only the key,
     // the time and the carried attrs may flow into the merge.
     val rAttrs = rightAttrs.map(attr(rPlan, _))
+    val rTie = rightTieBreak.map(attr(rPlan, _))
     val rPruned = org.apache.spark.sql.catalyst.plans.logical.Project(
-      (Seq(rk, rt) ++ rAttrs).distinct, rPlan)
+      (Seq(rk, rt) ++ rAttrs ++ rTie).distinct, rPlan)
     // SQL ASOF contract: NULL-key/time right rows can never be "the most
     // recent" — drop them before the merge (same as the window form)
     val rFiltered = Filter(And(IsNotNull(rk), IsNotNull(rt)), rPruned)
     val node = AsOfJoinNode(lPlan, rFiltered,
-      attr(lPlan, leftKey), rk, attr(lPlan, leftTime), rt, rAttrs)
+      attr(lPlan, leftKey), rk, attr(lPlan, leftTime), rt, rAttrs, rTie)
     GraftPlanShim.ofRows(spark, node)
   }
 }

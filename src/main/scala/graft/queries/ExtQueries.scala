@@ -2258,16 +2258,19 @@ object ExtQueries {
              |  ON e.user_id = rr.o_custkey AND CAST(e.ts AS TIMESTAMP) >= rr.o_orderdate
              |""".stripMargin),
       (spark, dir) => {
-        import spark.implicits._
-        val orders = AggOps.dedupByKeyOrdered(Tables.orders(spark, dir),
-          Seq("o_custkey", "o_orderdate"), Seq($"o_orderkey".desc))
+        // the oracle's rn=1 dedup (max o_orderkey per (custkey, orderdate))
+        // folds into the merge's own right-side sort via rightTieBreak —
+        // the former separate dedupByKeyOrdered paid a full shuffle + rank
+        // over orders before the join even started
+        val orders = Tables.orders(spark, dir)
           .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
         graft.plans.AsOfMergeJoin.asOf(
           Tables.events(spark, dir).select("event_id", "user_id", "ts"),
           orders,
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
-          rightAttrs = Seq("o_orderkey", "o_totalprice"))
+          rightAttrs = Seq("o_orderkey", "o_totalprice"),
+          rightTieBreak = Seq("o_orderkey"))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
       }),
 

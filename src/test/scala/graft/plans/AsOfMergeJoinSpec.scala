@@ -37,6 +37,40 @@ class AsOfMergeJoinSpec extends AnyFunSuite with SparkSpec {
       13L -> Some(2.0), 14L -> Some(9.0), 15L -> None))
   }
 
+  test("rightTieBreak: max tie-break row wins among equal (key, time); " +
+    "folded form ≡ explicit pre-dedup") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0, 7L),
+      ("A", ts("2024-01-01 10:00:00"), 2.0, 9L), // same (k,t): max ver wins
+      ("A", ts("2024-01-01 10:00:00"), 3.0, 8L),
+      ("A", ts("2024-01-01 11:00:00"), 4.0, 1L),
+    ).toDF("k", "t", "px", "ver")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:30:00"), 10L),
+      ("A", ts("2024-01-01 11:30:00"), 11L),
+    ).toDF("k", "t", "qty")
+    val out = AsOfMergeJoin.asOf(trades, quotes, "k", "k", "t", "t",
+        Seq("px", "ver"), rightTieBreak = Seq("ver"))
+      .select("qty", "px", "ver").as[(Long, Double, Long)].collect().toSet
+    assert(out === Set((10L, 2.0, 9L), (11L, 4.0, 1L)),
+      "ALL carried attrs must come from the max-tie-break row")
+
+    // testdata scale: folded tie-break ≡ dedupByKeyOrdered pre-dedup
+    val ordersRaw = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val folded = AsOfMergeJoin.asOf(events, ordersRaw, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = Seq("o_orderkey"))
+    val dedupFirst = AsOfMergeJoin.asOf(events,
+      AggOps.dedupByKeyOrdered(ordersRaw, Seq("o_custkey", "o_orderdate"),
+        Seq($"o_orderkey".desc)),
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+    assert(folded.exceptAll(dedupFirst).isEmpty && dedupFirst.exceptAll(folded).isEmpty,
+      "tie-break fold must be row-identical to the explicit pre-dedup")
+  }
+
   test("merge exec ≡ union+window form on testdata (events × orders)") {
     // o_orderdate parquet-reads as TIMESTAMP_NTZ; the merge exec's contract
     // demands identical time types (UTC session: the cast is identity)
