@@ -1351,15 +1351,25 @@ object CoreQueries {
       (spark, dir) => {
         // exact + estimate fused into ONE aggregate (single distinct column →
         // Catalyst's one-distinct 4-stage plan, no Expand): one lineitem scan
-        // instead of two scans + a join (1.03 s → measured below re-fusion)
+        // instead of two scans + a join (1.03 s → measured below re-fusion).
+        // Shuffle partitions pinned to 8 for the post-exchange stages
+        // (~230k distinct keys; tools/HllProbe: 0.70 s @ 32 → 0.52 s @ 8 —
+        // scan-side parallelism is unaffected, the win is task overhead on
+        // the tiny merge stages); pin requires materializing inside it.
         val li = Tables.lineitem(spark, dir)
-        li.groupBy("l_returnflag")
-          .agg(count_distinct(col("l_partkey")).as("n_distinct"),
-            approx_count_distinct(col("l_partkey"), 0.05)
-              .as("approx_l_partkey_count"))
-          .filter(abs(col("approx_l_partkey_count") - col("n_distinct"))
-            <= col("n_distinct") * 0.15)
-          .select("l_returnflag", "n_distinct")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          li.groupBy("l_returnflag")
+            .agg(count_distinct(col("l_partkey")).as("n_distinct"),
+              approx_count_distinct(col("l_partkey"), 0.05)
+                .as("approx_l_partkey_count"))
+            .filter(abs(col("approx_l_partkey_count") - col("n_distinct"))
+              <= col("n_distinct") * 0.15)
+            .select("l_returnflag", "n_distinct")
+            .localCheckpoint()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out
       }),
 
     // grouped APPROXIMATE percentiles — the documented 100 TB swap for
@@ -1399,16 +1409,24 @@ object CoreQueries {
       Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (spark, dir) => {
+        // same parts=8 pin as hll_approx_distinct (tools/HllProbe): both
+        // legs end in few-key merge stages where 32 tasks is pure overhead
         val li = Tables.lineitem(spark, dir)
-        val merged = AggOps.hllMergeEstimate(
-          AggOps.hllSketches(li, Seq("l_returnflag", "l_linestatus"), "l_partkey"),
-          Seq("l_returnflag"))
-        val exact = li.groupBy("l_returnflag")
-          .agg(count_distinct(col("l_partkey")).as("n_distinct"))
-        exact.join(merged, Seq("l_returnflag"))
-          .filter(abs(col("approx_distinct") - col("n_distinct"))
-            <= col("n_distinct") * 0.15)
-          .select("l_returnflag", "n_distinct")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val out = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val merged = AggOps.hllMergeEstimate(
+            AggOps.hllSketches(li, Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+            Seq("l_returnflag"))
+          val exact = li.groupBy("l_returnflag")
+            .agg(count_distinct(col("l_partkey")).as("n_distinct"))
+          exact.join(merged, Seq("l_returnflag"))
+            .filter(abs(col("approx_distinct") - col("n_distinct"))
+              <= col("n_distinct") * 0.15)
+            .select("l_returnflag", "n_distinct")
+            .localCheckpoint()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        out
       }),
 
     // trailing-window distinct users via theta-sketch union: distinct is
