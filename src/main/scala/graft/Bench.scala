@@ -55,8 +55,16 @@ object Bench {
       // where interpreted evaluation loses more than compile saves
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
+      // default 16, not cpus(32): with AQE off, every post-exchange stage
+      // runs exactly this many tasks, and at sf0.1 the pair-join/merge
+      // stages are overhead-bound — measured same-code back-to-back, the
+      // dedup/ts/pair family costs 21.0 s at 32 vs 17.1 (16) / 15.4-17.6
+      // (8) with no consistent loser at 16 (tools/HllProbe and the
+      // round-12 partition sweep). A 100 TB deployment sizes this to
+      // data-scale (and keeps AQE on); gates with known-tiny merge stages
+      // additionally pin their own (pagerank 8, HLL 8, streams 4).
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "16"))
       // state-store maintenance (snapshot/cleanup of loaded providers)
       // defaults to every 60s — with six stream gates spread across the
       // suite it fires DURING later queries' timed sections, working on
