@@ -257,6 +257,8 @@ object AsOfMergeJoin {
     // the time and the carried attrs may flow into the merge.
     val rAttrs = rightAttrs.map(attr(rPlan, _))
     val rTie = rightTieBreak.map(attr(rPlan, _))
+    rTie.foreach(a => require(atomic(a.dataType),
+      s"as-of tie-break column must be an atomic type, got ${a.dataType.sql}"))
     val rPruned = org.apache.spark.sql.catalyst.plans.logical.Project(
       (Seq(rk, rt) ++ rAttrs ++ rTie).distinct, rPlan)
     // SQL ASOF contract: NULL-key/time right rows can never be "the most

@@ -1357,9 +1357,7 @@ object CoreQueries {
         // scan-side parallelism is unaffected, the win is task overhead on
         // the tiny merge stages); pin requires materializing inside it.
         val li = Tables.lineitem(spark, dir)
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        GateConf.withShuffleParts(spark, "8") {
           li.groupBy("l_returnflag")
             .agg(count_distinct(col("l_partkey")).as("n_distinct"),
               approx_count_distinct(col("l_partkey"), 0.05)
@@ -1367,9 +1365,7 @@ object CoreQueries {
             .filter(abs(col("approx_l_partkey_count") - col("n_distinct"))
               <= col("n_distinct") * 0.15)
             .select("l_returnflag", "n_distinct")
-            .localCheckpoint()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        out
+        }
       }),
 
     // grouped APPROXIMATE percentiles — the documented 100 TB swap for
@@ -1412,9 +1408,7 @@ object CoreQueries {
         // same parts=8 pin as hll_approx_distinct (tools/HllProbe): both
         // legs end in few-key merge stages where 32 tasks is pure overhead
         val li = Tables.lineitem(spark, dir)
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        val out = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        GateConf.withShuffleParts(spark, "8") {
           val merged = AggOps.hllMergeEstimate(
             AggOps.hllSketches(li, Seq("l_returnflag", "l_linestatus"), "l_partkey"),
             Seq("l_returnflag"))
@@ -1424,9 +1418,7 @@ object CoreQueries {
             .filter(abs(col("approx_distinct") - col("n_distinct"))
               <= col("n_distinct") * 0.15)
             .select("l_returnflag", "n_distinct")
-            .localCheckpoint()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        out
+        }
       }),
 
     // trailing-window distinct users via theta-sketch union: distinct is

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** One-off probe: where do the ~0.7 s of `hll_approx_distinct` /
   * `hll_sketch_merge` go at sf0.1? Phases: bare scan, plain grouped count,
   * count_distinct alone, the gate's fused exact+HLL aggregate — each at
-  * 32 and at 8 shuffle partitions (AQE off, as in Bench).
+  * 32, 8, and 4 shuffle partitions (AQE off, as in Bench).
   */
 object HllProbe {
   def main(args: Array[String]): Unit = {
