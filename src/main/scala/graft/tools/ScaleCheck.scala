@@ -46,6 +46,15 @@ object ScaleCheck {
       .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
+      // same local-scratch I/O posture as Bench/Verify (nio-permission
+      // local FS + committer v2): without it the forked-chmod tax inflates
+      // every write/checkpoint phase and the 1x/10x absolutes aren't
+      // comparable to the bench's (growth ratios were unaffected — both
+      // scales paid it equally)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_V", "2"))
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS", "graft.io.NioLocalFileSystem"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
