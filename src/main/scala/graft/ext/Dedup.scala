@@ -296,8 +296,15 @@ object Dedup {
       case other => sys.error(s"unexpected min(jaccard) value: $other")
     }
     if (escalate) {
-      org.apache.spark.sql.GraftPlanShim.unpersistLocalCheckpoint(fast)
-      (minhashLshPairsFromSets(sets, threshold, safeHashes, safeBands), true)
+      // blocking: the safe rerun allocates immediately — a non-blocking
+      // free may not land first, and the transient double-occupancy
+      // squeezes execution memory (ADVICE r12; same effect ScaleCheck
+      // fixed between timed families)
+      org.apache.spark.sql.GraftPlanShim.unpersistLocalCheckpoint(fast, blocking = true)
+      // localCheckpoint: both branches return the same materialized shape —
+      // callers get a frame whose pipeline has already run either way
+      (minhashLshPairsFromSets(sets, threshold, safeHashes, safeBands)
+        .localCheckpoint(), true)
     } else (fast, false)
   }
 

@@ -278,4 +278,66 @@ object SimSearch {
         dotF(col("probe_vec"), col("nbr_vec")), col("probe_norm"), col("nbr_norm")))
     rankTopK(scored, k)
   }
+
+  /** Recall-scored serving gate: per-probe result counts of `approx`
+    * survive only while its mean recall@k against the in-query
+    * [[bruteForceTopK]] truth clears `floor` — a quality collapse empties
+    * the output, so a downstream exactness check (the driver's hash
+    * compare) fails instead of silently serving bad neighbors.
+    *
+    * Plan shape: the truth join is per-probe (probes are a handful by
+    * construction — recall is only computable where brute force is
+    * affordable), and the mean rides an UNPARTITIONED window over the
+    * one-row-per-probe relation, so the SinglePartition exchange carries
+    * n_probes rows at any corpus scale. The subtree appears once, so the
+    * ANN pipeline + truth structurally execute once.
+    */
+  def recallGate(corpus: DataFrame, probes: DataFrame, approx: DataFrame,
+                 idCol: String, vecCol: String, k: Int, floor: Double): DataFrame = {
+    val exact = bruteForceTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
+    val perProbe = approx.select(col("probe_id"), col("nbr_id"))
+      .join(exact, Seq("probe_id", "nbr_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    perProbe
+      .withColumn("__mean_recall",
+        sum(col("__hits")).over(w).cast("double") / (count(lit(1)).over(w) * k))
+      .filter(col("__mean_recall") >= floor)
+      .select(col("probe_id"), col("n_results"))
+  }
+
+  /** [[recallGate]] with SELF-ESCALATION — the same insurance pattern as
+    * `Dedup.minhashLshPairsAdaptive`: a parameter tuning (nprobe, plane
+    * count) measured on TODAY's corpus is only sound while the corpus keeps
+    * its distribution, and testdata regeneration can silently invalidate
+    * it. The gate's all-or-nothing recall filter makes drift detectable at
+    * zero extra machinery: an empty fast result (with probes present) IS
+    * the below-floor signal, so on empty the gate re-queries at the safe
+    * config (`safeApprox` — e.g. nprobe = nlist for IVF, fewer planes for
+    * LSH) before giving up. If even the safe config misses the floor, the
+    * empty result stands and the oracle fails loud — correct: that is a
+    * quality collapse no parameter bump explains.
+    *
+    * Both branches return a materialized (`localCheckpoint`'d) frame —
+    * the symmetric-contract discipline from the minhash twin; the
+    * abandoned fast frame's blocks are freed blocking-ly before the rerun
+    * allocates. `safeApprox` is by-name: the safe pipeline is only built
+    * when escalation fires.
+    */
+  def recallGateAdaptive(corpus: DataFrame, probes: DataFrame,
+                         fastApprox: DataFrame, safeApprox: => DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         floor: Double): (DataFrame, Boolean) = {
+    val fast = recallGate(corpus, probes, fastApprox, idCol, vecCol, k, floor)
+      .localCheckpoint()
+    if (fast.isEmpty) {
+      org.apache.spark.sql.GraftPlanShim.unpersistLocalCheckpoint(fast, blocking = true)
+      (recallGate(corpus, probes, safeApprox, idCol, vecCol, k, floor)
+        .localCheckpoint(), true)
+    } else (fast, false)
+  }
 }

@@ -90,37 +90,28 @@ object ExtQueries {
       |FROM c WHERE levenshtein(pfx_a, pfx_b) <= 12
       |""".stripMargin
 
-  /** Recall-scored ANN gate body: per-probe result counts survive only
-    * while the ANN result's mean recall@k against the in-query brute-force
-    * truth clears `floor` — the one-row mean relation broadcasts onto the
-    * per-probe rows, so a quality collapse empties the output and fails
-    * the driver's hash check.
+  /** Recall-scored ANN gate body with self-escalation (the logic lives in
+    * [[SimSearch.recallGate]]/[[SimSearch.recallGateAdaptive]] — see their
+    * scaladoc): the tuned fast config serves unless its mean recall@k
+    * misses `floor`, in which case the gate re-queries at the by-name safe
+    * config before failing. A fired escalation ~doubles the gate's wall
+    * time — the log line makes that attributable to corpus drift instead
+    * of reading as host weather (the minhash gate's discipline).
     */
-  private def annRecallGate(spark: org.apache.spark.sql.SparkSession,
+  private def annRecallGate(name: String,
                             emb: org.apache.spark.sql.DataFrame,
                             probes: org.apache.spark.sql.DataFrame,
-                            approx: org.apache.spark.sql.DataFrame,
-                            k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
-    val exact = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k)
-      .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
-    val perProbe = approx.select(col("probe_id"), col("nbr_id"))
-      .join(exact, Seq("probe_id", "nbr_id"), "left")
-      .groupBy("probe_id")
-      .agg(count(lit(1)).as("n_results"),
-        coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
-    // mean recall via an UNPARTITIONED window: perProbe is one row per
-    // probe (a handful by construction), so the SinglePartition exchange is
-    // over n_probes rows — trivially safe at any corpus scale. The subtree
-    // appears ONCE in the plan, so the ANN pipeline + brute-force truth
-    // structurally execute once: this replaced a localCheckpoint (an extra
-    // action that re-paid the whole pipeline) + broadcast scalar join.
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    perProbe
-      .withColumn("__mean_recall",
-        sum(col("__hits")).over(w).cast("double") / (count(lit(1)).over(w) * k))
-      .filter(col("__mean_recall") >= floor)
-      .select(col("probe_id"), col("n_results"))
+                            fastApprox: org.apache.spark.sql.DataFrame,
+                            safeApprox: => org.apache.spark.sql.DataFrame,
+                            k: Int, floor: Double,
+                            safeDesc: String): org.apache.spark.sql.DataFrame = {
+    val (out, escalated) = SimSearch.recallGateAdaptive(emb, probes,
+      fastApprox, safeApprox, "vec_id", "embedding", k, floor)
+    if (escalated) System.err.println(
+      s"[graft] $name ESCALATED to $safeDesc: fast-config mean recall@$k " +
+      s"missed the $floor floor - corpus distribution drifted from the " +
+      s"tuned parameters (regenerated testdata?)")
+    out
   }
 
   // shared by txt_top_bigrams (exact) and txt_top_bigrams_approx (MG
@@ -921,10 +912,16 @@ object ExtQueries {
         // nlist=16 / nprobe=8, floor 0.6: the AnnSweepProbe parameter-recall
         // curve (sf0.001/0.01/0.1) measures 0.72/0.72/0.80 here — the
         // near-uniform testdata (true top-5 cosines 0.26-0.49) caps what any
-        // cell partitioning can do below nprobe/nlist ~= 1/2
+        // cell partitioning can do below nprobe/nlist ~= 1/2. Safe config on
+        // a recall miss: nprobe = nlist, i.e. probe EVERY cell — exact by
+        // construction (each corpus vector lives in exactly one cell), so
+        // it clears any floor that brute force would.
         val approx = SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 8)
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.6)
+        annRecallGate("ann_topk_ivf", emb, probes, approx,
+          SimSearch.ivfTopK(emb, probes, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 16),
+          k = 5, floor = 0.6, safeDesc = "nprobe=16 (all cells)")
       }),
 
     // The deployment shape of IVF: train once, PERSIST (centroids +
@@ -948,7 +945,14 @@ object ExtQueries {
         val approx = SimSearch.ivfTopKIndexed(loaded, probes, "vec_id", "embedding",
           k = 5, nprobe = 8).localCheckpoint() // 16/8, floor 0.6: see ann_topk_ivf
         graft.io.ParquetIO.deleteRecursively(new java.io.File(path))
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.6)
+        // safe re-query serves from the IN-MEMORY index (`idx`): the on-disk
+        // copy is already deleted, and SimSearchSpec pins the persisted path
+        // row-identical to the direct one, so the escape hatch answers the
+        // same query. nprobe = nlist → exact (see ann_topk_ivf).
+        annRecallGate("ann_topk_ivf_persist", emb, probes, approx,
+          SimSearch.ivfTopKIndexed(idx, probes, "vec_id", "embedding",
+            k = 5, nprobe = 16),
+          k = 5, floor = 0.6, safeDesc = "nprobe=16 (all cells, in-memory index)")
       }),
 
     GQ("ann_topk_lsh",
@@ -966,7 +970,14 @@ object ExtQueries {
         // SFs measure 0.74/0.68 against the 0.5 floor
         val approx = SimSearch.lshTopK(emb, probes, "vec_id", "embedding",
           k = 5, numPlanes = 3, dim = 64)
-        annRecallGate(spark, emb, probes, approx, k = 5, floor = 0.5)
+        // safe config on a recall miss: FEWER planes — 2 planes = 4 buckets
+        // + hamming-1 multiprobe visits 3/4 of the corpus per probe, the
+        // coarsest partitioning that is still LSH (AnnSweepProbe: 0.82-0.88
+        // recall across SFs, comfortably above the 0.5 floor)
+        annRecallGate("ann_topk_lsh", emb, probes, approx,
+          SimSearch.lshTopK(emb, probes, "vec_id", "embedding",
+            k = 5, numPlanes = 2, dim = 64),
+          k = 5, floor = 0.5, safeDesc = "numPlanes=2")
       }),
 
     // ----- end-to-end corpus cleaning ----------------------------------------
@@ -1564,6 +1575,19 @@ object ExtQueries {
       (spark, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
         import graft.streaming.StreamOps
+        // The scaled-integer stream sum below assumes `value` rides an
+        // exact 2-decimal grid; if the driver regenerates events with
+        // finer-precision doubles, each row silently contributes up to
+        // 0.005 of SYSTEMATIC rounding bias against the oracle's raw-double
+        // sum. Assert the grid on a sample so a regenerated corpus fails
+        // with an attributable message, not an opaque hash mismatch.
+        val gridDrift = Tables.events(spark, dir).limit(1000)
+          .agg(max(abs(col("value") * 100 - round(col("value") * 100))).as("d"))
+          .head().getDouble(0)
+        require(gridDrift < 1e-6,
+          f"stream_static_enrich: events.value is off the 2-decimal grid " +
+          f"(max drift $gridDrift%.2e) - the scaled-integer stream sum is " +
+          f"unsound for this corpus; regenerated testdata?")
         val landing = StreamOps.eventsLanding(spark, dir)
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         val out = try {

@@ -47,6 +47,15 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
     val scheme = root.toUri.getScheme
     require(scheme == null || scheme == "file",
       s"LocalCheckpointFileManager only manages local paths, got: $root")
+    // HARD-LINK REQUIREMENT: the no-overwrite commit
+    // (NioAtomicOutputStream.close) relies on link(2) for atomic
+    // create-if-absent; a local FS without hard-link support (some FUSE
+    // mounts) cannot honor the concurrent-writer contract. Not probed here:
+    // Spark constructs managers rooted at paths that may not (and must not
+    // yet) exist — e.g. the state schema FILE location — so a probe would
+    // have to create directories the engine later expects absent. Instead
+    // an UnsupportedOperationException from link(2) is translated at commit
+    // time into an error naming this requirement (see close()).
   }
 
   private def nio(p: Path): java.nio.file.Path = Paths.get(p.toUri.getPath)
@@ -75,8 +84,17 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
   override def open(path: Path): FSDataInputStream = {
     val p = nio(path)
     if (!Files.isRegularFile(p)) throw new FileNotFoundException(path.toString)
-    new FSDataInputStream(new LocalCheckpointFileManager.NioSeekableInputStream(
-      FileChannel.open(p, StandardOpenOption.READ)))
+    // The maintenance thread can delete the file between the check above and
+    // the channel open; nio then throws NoSuchFileException, which is NOT a
+    // java.io.FileNotFoundException — translate it, as list() already does,
+    // so callers' FNF handling (HDFSMetadataLog, state-store load) applies.
+    val ch =
+      try FileChannel.open(p, StandardOpenOption.READ)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new FileNotFoundException(s"$path (${e.getMessage})")
+      }
+    new FSDataInputStream(new LocalCheckpointFileManager.NioSeekableInputStream(ch))
   }
 
   override def list(path: Path, filter: PathFilter): Array[FileStatus] = try {
@@ -157,6 +175,7 @@ object LocalCheckpointFileManager {
   /** Fully-qualified class name, for `spark.sql.streaming.checkpointFileManagerClass`. */
   val confValue: String = classOf[LocalCheckpointFileManager].getName
 
+
   /** Rename-on-close atomic stream (the engine's `RenameBasedFSDataOutputStream`
     * contract, re-stated here because its `RenameHelperMethods` seam is
     * sealed): `close()` commits the temp file to `target` via
@@ -174,6 +193,7 @@ object LocalCheckpointFileManager {
       if (!terminated) {
         terminated = true
         super.close()
+        var committed = false
         try {
           if (overwriteIfPossible)
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
@@ -183,15 +203,31 @@ object LocalCheckpointFileManager {
             // which silently REPLACES an existing destination — the
             // concurrent-writer contract needs the loser to FAIL. link(2)
             // is the atomic create-if-absent commit: EEXIST when another
-            // writer already committed.
+            // writer already committed. Hard-link support is REQUIRED —
+            // see the manager's constructor comment.
             Files.createLink(target, tmp)
-            Files.deleteIfExists(tmp): Unit
           }
+          committed = true
         } catch {
           case e: NioExists =>
-            Files.deleteIfExists(tmp)
             throw new FileAlreadyExistsException(
               s"rename $tmp -> $hadoopTarget: destination exists (${e.getMessage})")
+          case e: UnsupportedOperationException =>
+            throw new IllegalStateException(
+              s"LocalCheckpointFileManager requires hard-link support for " +
+              s"its no-overwrite commit, but the filesystem under " +
+              s"$hadoopTarget does not provide it; unset the checkpoint " +
+              s"file manager conf for this checkpoint location", e)
+        } finally {
+          // the temp file must go on EVERY exit: after a successful link
+          // commit (move already consumed it — deleteIfExists no-ops), on a
+          // lost commit race, and on any I/O failure — a litter of .tmp
+          // files in the checkpoint dir would otherwise accumulate across
+          // retries and inflate every subsequent list()
+          if (!committed || !overwriteIfPossible) {
+            try Files.deleteIfExists(tmp): Unit
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
       }
     }

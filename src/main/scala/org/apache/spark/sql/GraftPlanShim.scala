@@ -34,10 +34,17 @@ object GraftPlanShim {
     * a checkpointed RDD — the blocks live on the RDD itself, reachable
     * through the plan's [[execution.LogicalRDD]] leaves. No-op on frames
     * that aren't checkpoint-backed.
+    *
+    * `blocking = true` when the caller immediately re-allocates (e.g. an
+    * escalation rerun): non-blocking frees may not land before the next
+    * job's blocks arrive, and the transient double-occupancy pressures
+    * execution memory (the same effect that inflated ScaleCheck's
+    * in-sequence timings 3×). Default stays non-blocking for the
+    * end-of-query Bench cleanup path where nothing follows immediately.
     */
-  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+  def unpersistLocalCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking): Unit
       case _ => ()
     }
 }

@@ -139,4 +139,36 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
     assert(persisted === direct,
       "an index reloaded from parquet must answer exactly like the in-memory one")
   }
+
+  test("recallGateAdaptive: fast config serves, recall miss escalates to safe, " +
+       "double miss stays empty (the minhash-adaptive triad)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 3)
+    val truth = SimSearch.bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+      .select($"probe_id", $"nbr_id")
+    // recall 0 by construction: neighbor ids shifted out of the id space
+    val garbage = truth.select($"probe_id", ($"nbr_id" + 1000000L).as("nbr_id"))
+
+    // 1) fast clears the floor: serve it, never BUILD the safe pipeline
+    var safeBuilt = false
+    val (fastOut, esc1) = SimSearch.recallGateAdaptive(emb, probes,
+      truth, { safeBuilt = true; truth }, "vec_id", "embedding", k = 3, floor = 0.9)
+    assert(!esc1 && !safeBuilt, "recall-1.0 fast config must serve without " +
+      "constructing the by-name safe pipeline")
+    assert(fastOut.as[(Long, Long)].collect().toSet ===
+      Set((0L, 3L), (1L, 3L), (2L, 3L)), "one (probe, n_results) row per probe")
+
+    // 2) fast misses: escalate, safe config's full-recall answer serves
+    val (safeOut, esc2) = SimSearch.recallGateAdaptive(emb, probes,
+      garbage, truth, "vec_id", "embedding", k = 3, floor = 0.9)
+    assert(esc2, "recall-0 fast config must escalate")
+    assert(safeOut.as[(Long, Long)].collect().toSet ===
+      Set((0L, 3L), (1L, 3L), (2L, 3L)))
+
+    // 3) both miss: the empty result stands (oracle will fail loud), flagged
+    val (emptyOut, esc3) = SimSearch.recallGateAdaptive(emb, probes,
+      garbage, garbage, "vec_id", "embedding", k = 3, floor = 0.9)
+    assert(esc3 && emptyOut.isEmpty,
+      "a quality collapse no parameter bump explains must surface as empty")
+  }
 }
