@@ -296,17 +296,28 @@ object SimSearch {
                  idCol: String, vecCol: String, k: Int, floor: Double): DataFrame = {
     val exact = bruteForceTopK(corpus, probes, idCol, vecCol, k)
       .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
-    val perProbe = approx.select(col("probe_id"), col("nbr_id"))
+    val answered = approx.select(col("probe_id"), col("nbr_id"))
       .join(exact, Seq("probe_id", "nbr_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_results"),
         coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+    // The mean's denominator is EVERY probe, not just probes the ANN
+    // pipeline answered: a probe whose candidates all vanished (empty
+    // bucket/cell after corpus drift) contributes 0 recall — omitting it
+    // would inflate the mean and mask exactly the quality collapse the
+    // floor exists to catch. Unanswered probes count toward the mean but
+    // emit no output row (they produced no results to report).
+    val perProbe = probes.select(col(idCol).as("probe_id")).distinct()
+      .join(answered, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_results"), lit(0L)).as("n_results"),
+        coalesce(col("__hits"), lit(0L)).as("__hits"))
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     perProbe
       .withColumn("__mean_recall",
         sum(col("__hits")).over(w).cast("double") / (count(lit(1)).over(w) * k))
-      .filter(col("__mean_recall") >= floor)
+      .filter(col("__mean_recall") >= floor && col("n_results") > 0)
       .select(col("probe_id"), col("n_results"))
   }
 
@@ -332,12 +343,23 @@ object SimSearch {
                          fastApprox: DataFrame, safeApprox: => DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          floor: Double): (DataFrame, Boolean) = {
-    val fast = recallGate(corpus, probes, fastApprox, idCol, vecCol, k, floor)
-      .localCheckpoint()
-    if (fast.isEmpty) {
+    // checkpoint + count in ONE pass (the eager checkpoint already runs a
+    // counting action) — a separate isEmpty would pay a second job
+    val (fast, n) = org.apache.spark.sql.GraftPlanShim.localCheckpointWithCount(
+      recallGate(corpus, probes, fastApprox, idCol, vecCol, k, floor))
+    if (n > 0L) (fast, false)
+    // empty PROBES would read as a recall miss and build the safe pipeline
+    // for a false diagnosis; the extra probes job runs only on this
+    // already-rare empty-result path, never on the serving path
+    else if (probes.isEmpty) (fast, false)
+    else {
       org.apache.spark.sql.GraftPlanShim.unpersistLocalCheckpoint(fast, blocking = true)
+      // NOTE the safe rerun rebuilds the bruteForceTopK truth — deliberate:
+      // sharing it across configs (the Dedup twin's `sets` pattern) would
+      // need an eager truth checkpoint on the COMMON path, taxing every
+      // healthy run with an extra job to cheapen the drift-only rerun.
       (recallGate(corpus, probes, safeApprox, idCol, vecCol, k, floor)
         .localCheckpoint(), true)
-    } else (fast, false)
+    }
   }
 }

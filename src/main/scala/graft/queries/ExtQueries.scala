@@ -1581,9 +1581,13 @@ object ExtQueries {
         // 0.005 of SYSTEMATIC rounding bias against the oracle's raw-double
         // sum. Assert the grid on a sample so a regenerated corpus fails
         // with an attributable message, not an opaque hash mismatch.
-        val gridDrift = Tables.events(spark, dir).limit(1000)
+        val gridRow = Tables.events(spark, dir).limit(1000)
           .agg(max(abs(col("value") * 100 - round(col("value") * 100))).as("d"))
-          .head().getDouble(0)
+          .head()
+        // null max = empty sample or all-null values: vacuously on-grid
+        // (an empty corpus fails downstream with its own attributable
+        // shape); the require must not itself NPE
+        val gridDrift = if (gridRow.isNullAt(0)) 0.0 else gridRow.getDouble(0)
         require(gridDrift < 1e-6,
           f"stream_static_enrich: events.value is off the 2-decimal grid " +
           f"(max drift $gridDrift%.2e) - the scaled-integer stream sum is " +

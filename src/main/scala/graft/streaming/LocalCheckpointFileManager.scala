@@ -175,7 +175,6 @@ object LocalCheckpointFileManager {
   /** Fully-qualified class name, for `spark.sql.streaming.checkpointFileManagerClass`. */
   val confValue: String = classOf[LocalCheckpointFileManager].getName
 
-
   /** Rename-on-close atomic stream (the engine's `RenameBasedFSDataOutputStream`
     * contract, re-stated here because its `RenameHelperMethods` seam is
     * sealed): `close()` commits the temp file to `target` via
@@ -192,7 +191,17 @@ object LocalCheckpointFileManager {
     override def close(): Unit = synchronized {
       if (!terminated) {
         terminated = true
-        super.close()
+        // flush-on-close can itself throw (e.g. tmpfs full) — and since
+        // `terminated` is already set, the caller's error-path cancel()
+        // will no-op, so THIS path must delete the temp file too or it
+        // outlives the failure it caused
+        try super.close()
+        catch {
+          case e: Throwable =>
+            try Files.deleteIfExists(tmp): Unit
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
         var committed = false
         try {
           if (overwriteIfPossible)

@@ -170,5 +170,24 @@ class SimSearchSpec extends AnyFunSuite with SparkSpec {
       garbage, garbage, "vec_id", "embedding", k = 3, floor = 0.9)
     assert(esc3 && emptyOut.isEmpty,
       "a quality collapse no parameter bump explains must surface as empty")
+
+    // 4) probe DROPOUT is a recall miss, not a free pass: an approx that
+    // answers 2 of 3 probes perfectly has mean recall 2/3 over ALL probes
+    // — the unanswered probe counts as 0, so the 0.9 floor must escalate
+    val dropout = truth.filter($"probe_id" < 2)
+    val (dropOut, esc4) = SimSearch.recallGateAdaptive(emb, probes,
+      dropout, truth, "vec_id", "embedding", k = 3, floor = 0.9)
+    assert(esc4, "an unanswered probe must count toward the denominator")
+    assert(dropOut.as[(Long, Long)].collect().toSet ===
+      Set((0L, 3L), (1L, 3L), (2L, 3L)))
+
+    // 5) EMPTY probes is not drift: no escalation, no safe-pipeline build
+    var safeBuilt5 = false
+    val noProbes = emb.filter($"vec_id" < 0)
+    val (noOut, esc5) = SimSearch.recallGateAdaptive(emb, noProbes,
+      truth.filter(lit(false)), { safeBuilt5 = true; truth },
+      "vec_id", "embedding", k = 3, floor = 0.9)
+    assert(!esc5 && !safeBuilt5 && noOut.isEmpty,
+      "zero probes must not read as a recall miss")
   }
 }
