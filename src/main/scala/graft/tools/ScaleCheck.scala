@@ -149,10 +149,12 @@ object ScaleCheck {
           // parallelism, not the algorithm (measured: 296 s pinned vs the
           // data-sized number recorded in COVERAGE). ~750 k edge-source
           // rows per task, floor 8 (1×/10× keep their historical pin so
-          // the growth series stays comparable), cap 64 (two waves on 32
-          // cores; a cluster session conf would carry this further).
+          // the growth series stays comparable), cap 32 = one task wave on
+          // this box's 32 cores (a 64-vs-32 back-to-back A/B at 100× read
+          // consistently lower at 32 across every phase; a cluster session
+          // conf would carry the data-sizing further).
           val liRows = graft.Tables.lineitem(spark, dir).count()
-          val parts = math.max(8L, math.min(64L, liRows / 750000L)).toString
+          val parts = math.max(8L, math.min(32L, liRows / 750000L)).toString
           spark.conf.set("spark.sql.shuffle.partitions", parts)
           val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
           val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
