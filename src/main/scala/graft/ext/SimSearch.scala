@@ -291,12 +291,18 @@ object SimSearch {
     * one-row-per-probe relation, so the SinglePartition exchange carries
     * n_probes rows at any corpus scale. The subtree appears once, so the
     * ANN pipeline + truth structurally execute once.
+    *
+    * `approx` pairs are deduplicated before scoring: a duplicate
+    * (probe_id, nbr_id) row would join the same truth row twice, inflating
+    * both hits and n_results and overstating recall exactly when a broken
+    * pipeline repeats results — the dedup rides the tiny (probes × k)
+    * relation, so it costs one sub-millisecond exchange.
     */
   def recallGate(corpus: DataFrame, probes: DataFrame, approx: DataFrame,
                  idCol: String, vecCol: String, k: Int, floor: Double): DataFrame = {
     val exact = bruteForceTopK(corpus, probes, idCol, vecCol, k)
       .select(col("probe_id"), col("nbr_id"), lit(1).as("__hit"))
-    val answered = approx.select(col("probe_id"), col("nbr_id"))
+    val answered = approx.select(col("probe_id"), col("nbr_id")).distinct()
       .join(exact, Seq("probe_id", "nbr_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_results"),
@@ -343,6 +349,14 @@ object SimSearch {
                          fastApprox: DataFrame, safeApprox: => DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          floor: Double): (DataFrame, Boolean) = {
+    // the escalation signal is "gate output empty with probes present",
+    // which only MEANS "recall below floor" when the floor actually cuts:
+    // at floor <= 0 the mean-recall filter is vacuous, an empty output
+    // means zero answered probes, and a safe-config rerun would chase a
+    // condition it cannot interpret — reject the degenerate range up front
+    require(floor > 0.0,
+      s"recallGateAdaptive: floor must be > 0 (got $floor) - at floor <= 0 " +
+      "an empty output cannot be read as a recall miss; use recallGate directly")
     // checkpoint + count in ONE pass (the eager checkpoint already runs a
     // counting action) — a separate isEmpty would pay a second job
     val (fast, n) = org.apache.spark.sql.GraftPlanShim.localCheckpointWithCount(

@@ -589,6 +589,11 @@ object CoreQueries {
           case null => ()
           case prev => fs.delete(new org.apache.hadoop.fs.Path(prev), true): Unit
         }
+        // pre-create the (empty) location: CreateDataSourceTableCommand
+        // stats it (FileStreamSink.hasMetadata) and logs a full benign
+        // FileNotFoundException stack for a passing gate otherwise —
+        // stderr noise a real failure could hide in
+        fs.mkdirs(new org.apache.hadoop.fs.Path(loc)): Unit
         Catalog.createExternalTable(spark, db, table,
           StructType(Seq(StructField("o_orderkey", LongType),
             StructField("o_totalprice", DoubleType))),

@@ -1579,9 +1579,12 @@ object ExtQueries {
         // exact 2-decimal grid; if the driver regenerates events with
         // finer-precision doubles, each row silently contributes up to
         // 0.005 of SYSTEMATIC rounding bias against the oracle's raw-double
-        // sum. Assert the grid on a sample so a regenerated corpus fails
-        // with an attributable message, not an opaque hash mismatch.
-        val gridRow = Tables.events(spark, dir).limit(1000)
+        // sum. Assert the grid over the FULL relation (a limit(1000) sample
+        // reads an arbitrary slice of one partition and passes when the
+        // off-grid rows live elsewhere — the downstream hash still fails,
+        // but without this message); the single-column max-abs aggregate is
+        // one cheap scan at gate scale.
+        val gridRow = Tables.events(spark, dir)
           .agg(max(abs(col("value") * 100 - round(col("value") * 100))).as("d"))
           .head()
         // null max = empty sample or all-null values: vacuously on-grid

@@ -183,8 +183,13 @@ object LocalCheckpointFileManager {
     * which is what `HDFSMetadataLog` catches to resolve concurrent writers.
     * Both are idempotent and mutually exclusive (first wins), matching the
     * engine stream's synchronized terminal-state behavior.
+    *
+    * `private[streaming]` (not `private`) solely so the spec can construct
+    * one around a throwing OutputStream — the flush-on-close cleanup branch
+    * is unreachable through the public API without filesystem fault
+    * injection.
     */
-  private final class NioAtomicOutputStream(out: java.io.OutputStream,
+  private[streaming] final class NioAtomicOutputStream(out: java.io.OutputStream,
       tmp: java.nio.file.Path, target: java.nio.file.Path, hadoopTarget: Path,
       overwriteIfPossible: Boolean) extends CancellableFSDataOutputStream(out) {
     private var terminated = false

@@ -17,7 +17,9 @@ object PageRankFamilyTwice {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "48g")
+      // driver heap comes from the launcher (build.sbt javaOptions -Xmx /
+      // SPARK_DRIVER_MEM) — a spark.driver.memory builder conf is a no-op
+      // in an already-running local JVM; the real heap is logged below
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
@@ -35,6 +37,7 @@ object PageRankFamilyTwice {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .queryExecution.toRdd.count()
     }
+    println(f"[prtwice] dir=$dir heap=${Runtime.getRuntime.maxMemory() / (1L << 30)}%dg")
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
       val rows = family()

@@ -18,14 +18,16 @@ object PageRankScaleProbe {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "48g")
+      // driver heap comes from the launcher (build.sbt javaOptions -Xmx /
+      // SPARK_DRIVER_MEM) — a spark.driver.memory builder conf is a no-op
+      // in an already-running local JVM; the real heap is logged below
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def sec(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
-    println(s"[prprobe] dir=$dir parts=$parts")
+    println(f"[prprobe] dir=$dir parts=$parts heap=${Runtime.getRuntime.maxMemory() / (1L << 30)}%dg")
 
     val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")

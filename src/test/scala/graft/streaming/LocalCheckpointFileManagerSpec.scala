@@ -90,6 +90,35 @@ class LocalCheckpointFileManagerSpec extends AnyFunSuite with SparkSpec {
     assert(!m.exists(dir))
   }
 
+  test("flush-on-close failure deletes the temp file and propagates " +
+       "(fault-injected; terminated is set, so the caller's cancel no-ops)") {
+    val dir = tmpDir().toPath
+    // simulate the temp file createAtomic would have been writing
+    val tmp = Files.createFile(dir.resolve(".0.injected.tmp"))
+    val target = dir.resolve("0")
+    // the production stream is a BufferedOutputStream, whose close()
+    // flushes — a full tmpfs surfaces as IOException from close(), which
+    // Hadoop's PositionCache.close() propagates verbatim (it never calls
+    // flush() separately); inject the fault exactly there
+    val boom = new java.io.OutputStream {
+      override def write(b: Int): Unit = ()
+      override def close(): Unit =
+        throw new java.io.IOException("injected flush failure")
+    }
+    val s = new LocalCheckpointFileManager.NioAtomicOutputStream(
+      boom, tmp, target, new Path(target.toUri), overwriteIfPossible = false)
+    val e = intercept[java.io.IOException](s.close())
+    assert(e.getMessage.contains("injected flush failure"),
+      "the flush failure must propagate to the caller")
+    assert(!Files.exists(tmp),
+      "the temp file must be deleted on the flush-failure path itself — " +
+      "terminated is already set, so the caller's error-path cancel() no-ops")
+    assert(!Files.exists(target), "nothing may be committed")
+    s.cancel() // the engine's error path after a failed close
+    assert(!Files.exists(target) && !Files.exists(tmp),
+      "cancel after the failed close must not resurrect anything")
+  }
+
   test("open: seek + positioned reads (the metadata-log read pattern)") {
     val root = tmpDir(); val m = mgr(root)
     val target = new Path(new java.io.File(root, "f").toURI)
