@@ -145,6 +145,17 @@ object Bench {
       // measured here and REVERTED: it coalesces the CPU-bound pair-join
       // probes to one partition (serializing them) — the default's
       // parallelism-preserving coalesce is the right trade on local[32]
+      //
+      // AQE-on coalesce floor (only read when SPARK_GRAFT_AQE=true): even
+      // with parallelismFirst, the coalescer's target is
+      // max(totalBytes/parallelism, minPartitionSize) — the pair-join
+      // family's shuffles carry FEW BYTES but heavy per-row compute
+      // (candidate intersects), so the default 1 MB floor coalesces them
+      // to a handful of tasks and serializes CPU-bound work. A smaller
+      // floor restores task-wave parallelism for exactly those stages;
+      // measured A/B in COVERAGE.md round 14.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.ui.enabled", "false")
       // committer v2: task commit renames straight to the destination, job
       // commit is O(1) — on the forked-chmod local FS (FsProbe) the v1
