@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * JIT, parquet footers) plus whatever sustained-exposure throttling the
   * window dealt; pass 2 is the number comparable across scales.
   *
+  * NOT for `graph_pagerank` on tiled dirs: the registry gate's
+  * `l_suppkey + 100000` node-space offset assumes sf0.1 key ranges (tiled
+  * custkeys collide with supplier ids) and it pins 8 shuffle partitions —
+  * use ScaleCheck's pagerank family, which offsets and data-sizes
+  * correctly. Rejected up front rather than silently mis-measured.
+  *
   * usage: GateTwice <gateName> <dir> [shuffleParts=32] [passes=2]
   */
 object GateTwice {
@@ -18,16 +24,26 @@ object GateTwice {
     val dir = args.lift(1).getOrElse("/tmp/scale100x")
     val parts = args.lift(2).getOrElse("32")
     val passes = args.lift(3).map(_.toInt).getOrElse(2)
+    require(name != "graph_pagerank",
+      "graph_pagerank's registry gate assumes sf0.1 key ranges and pins 8 " +
+      "partitions - use ScaleCheck's pagerank family for scale dirs")
+    // resolve the gate BEFORE paying session startup, with the known names
+    val gate = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown gate '$name'; known: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    // session posture matches ScaleCheck.session (same env overrides) so
+    // the two tools' readings stay comparable in one COVERAGE table
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_V", "2"))
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS", "graft.io.NioLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val gate = graft.SparkEntry.queries(name)
     println(f"[gatetwice] gate=$name dir=$dir parts=$parts heap=${Runtime.getRuntime.maxMemory() / (1L << 30)}%dg")
     for (pass <- 1 to passes) {
       val t0 = System.nanoTime()
