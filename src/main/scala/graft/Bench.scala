@@ -563,10 +563,17 @@ object Bench {
           // the note lives in the repo file
           try {
             import org.json4s._
-            val parsed = jackson.JsonMethods.parse(raw) match {
-              case JObject(fields) => JObject(fields.filterNot(_._1 == "note"))
+            // strip "note" fields RECURSIVELY (samples carry them too):
+            // the embed is numbers-only so a growing sample history can't
+            // push the trailing "value" field out of the driver's ~2000-char
+            // stdout tail window — the prose lives in the repo file
+            def strip(v: JValue): JValue = v match {
+              case JObject(fields) =>
+                JObject(fields.filterNot(_._1 == "note").map { case (k, x) => (k, strip(x)) })
+              case JArray(items) => JArray(items.map(strip))
               case other => other
             }
+            val parsed = strip(jackson.JsonMethods.parse(raw))
             jackson.JsonMethods.compact(jackson.JsonMethods.render(parsed))
           } catch { case _: Exception => "null" }
         case None => "null"
