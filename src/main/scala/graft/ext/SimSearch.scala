@@ -344,6 +344,13 @@ object SimSearch {
     * abandoned fast frame's blocks are freed blocking-ly before the rerun
     * allocates. `safeApprox` is by-name: the safe pipeline is only built
     * when escalation fires.
+    *
+    * PRECONDITION (since round 14): `floor` must be > 0. A floor of 0 made
+    * the recall filter vacuous, so an empty output could only mean "zero
+    * answered probes" — a condition the safe-config rerun cannot fix —
+    * and the adaptive wrapper would escalate on a false diagnosis. Callers
+    * that want an unconditioned approximate result should call
+    * [[recallGate]] directly (or skip the gate entirely).
     */
   def recallGateAdaptive(corpus: DataFrame, probes: DataFrame,
                          fastApprox: DataFrame, safeApprox: => DataFrame,

@@ -2434,33 +2434,60 @@ object ExtQueries {
     // both dialects. Symmetrization makes dangling mass exactly 0.0, so
     // the operator's full dangling-redistribution term is a bit-exact
     // no-op here while staying live for real directed graphs.
+    // The offset is DERIVED (max(o_custkey)+1), not the historical literal
+    // 100000: both engines compute it from the same relation, so node ids
+    // stay hash-identical, and the gate is safe on ScaleCheck's tiled dirs
+    // (whose custkeys exceed any sf0.1-era constant) — the generic
+    // cold/warm tool (GateTwice) can now measure this family too.
     GQ("graph_pagerank",
       Some(graft.ext.PageRank.pageRankOracleSql(
-        """SELECT o_custkey AS src, l_suppkey + 100000 AS dst
+        """SELECT o_custkey AS src, l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS dst
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |UNION
-          |SELECT l_suppkey + 100000 AS src, o_custkey AS dst
+          |SELECT l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS src, o_custkey AS dst
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
         iterations = 5)),
       (spark, dir) => {
-        // shuffle partitions sized to the graph for the EAGER edge-prep
+        // shuffle partitions sized to the DATA for the EAGER edge-prep
         // phase (distinct + deg aggregate + checkpoint materialization all
-        // run inside pageRank before this fn returns): 1.2 M edges / 16 k
-        // nodes drown in 32-way task launches, same reasoning as the
-        // stream gates' state-store sizing — restored after
+        // run inside pageRank before this fn returns): at sf0.1, 1.2 M
+        // edges / 16 k nodes drown in 32-way task launches (5.6 s → 2.2 s
+        // at 8 parts, same reasoning as the stream gates' state-store
+        // sizing), while a 100× tile dir pinned at 8 measures spill + lost
+        // parallelism instead of the algorithm (296 s pinned vs 32-part
+        // data-sized, round 13). Sized from the lineitem parquet FOOTPRINT
+        // (driver-side FS metadata, ~12.5 MB ≈ the 750 k-row task target —
+        // no extra Spark job inside the timed body): sf0.1 → 8 (the
+        // historical pin, so the 1×/10× growth series stays comparable),
+        // 30× → 24, 100× → capped at one task wave (the session's core
+        // count — 32 on the bench box). Restored after.
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
-          val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+          val liPath = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+          val liBytes = liPath.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(liPath).getLength
+          val oneWave = spark.sparkContext.defaultParallelism.toLong
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.max(8L, math.min(oneWave, liBytes / 12500000L)).toString)
           val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+          // one tiny driver-side agg (single column of orders) — the cost
+          // of the tiled-safe offset, paid identically by the oracle's
+          // scalar subquery
+          val maxCust = ord.agg(max(col("o_custkey"))).head
+          // max over an empty table is NULL — fail with the actual problem
+          // instead of a bare NullPointerException (ScaleCheck.keyStride's
+          // discipline)
+          if (maxCust.isNullAt(0)) sys.error("graph_pagerank: empty orders table")
+          val off = maxCust.getLong(0) + 1L
+          val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
           val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           // distinct BEFORE symmetrizing: forward edges always have
-          // src < 100000 <= dst and reversed ones the opposite, so the two
-          // sets are disjoint and their union needs no second dedup —
-          // half the distinct shuffle (the oracle's UNION dedups the same
-          // disjoint sets to the same rows)
+          // src <= max(custkey) < off <= dst and reversed ones the
+          // opposite, so the two sets are disjoint and their union needs
+          // no second dedup — half the distinct shuffle (the oracle's
+          // UNION dedups the same disjoint sets to the same rows)
           val fwd = joined.select(col("o_custkey").as("src"),
-            (col("l_suppkey") + 100000L).as("dst")).distinct()
+            (col("l_suppkey") + off).as("dst")).distinct()
           val edges = fwd.unionByName(
             fwd.select(col("dst").as("src"), col("src").as("dst")))
           graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)

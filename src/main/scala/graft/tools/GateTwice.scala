@@ -10,23 +10,33 @@ import org.apache.spark.sql.SparkSession
   * JIT, parquet footers) plus whatever sustained-exposure throttling the
   * window dealt; pass 2 is the number comparable across scales.
   *
-  * NOT for `graph_pagerank` on tiled dirs: the registry gate's
-  * `l_suppkey + 100000` node-space offset assumes sf0.1 key ranges (tiled
-  * custkeys collide with supplier ids) and it pins 8 shuffle partitions —
-  * use ScaleCheck's pagerank family, which offsets and data-sizes
-  * correctly. Rejected up front rather than silently mis-measured.
+  * Covers ALL six heavy families since round 15: `graph_pagerank`'s
+  * registry gate derives its supplier offset from max(o_custkey) and
+  * data-sizes its own shuffle partitions, so tiled key ranges are safe
+  * (it overrides the [parts] arg for its own body, like the stream gates).
   *
   * usage: GateTwice <gateName> <dir> [shuffleParts=32] [passes=2]
   */
 object GateTwice {
+  private val usage = "usage: GateTwice <gate> <dir> [shuffleParts=32] [passes=2]"
+  // numeric-arg validation matches the known-names discipline on the gate
+  // arg: a typo'd value must fail at the usage line, not as a raw
+  // NumberFormatException or later inside Spark conf parsing. Positivity
+  // included: parts=0 dies deep inside Spark, and passes=0 would print the
+  // header, measure nothing, and exit 0 — an automation wrapper would read
+  // that as a completed measurement
+  private def numArg(v: String, what: String): Int = {
+    val n = try v.toInt catch { case _: NumberFormatException =>
+      sys.error(s"$what must be a positive integer (got '$v'); $usage") }
+    if (n <= 0) sys.error(s"$what must be a positive integer (got '$v'); $usage")
+    n
+  }
+
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: GateTwice <gate> <dir> [parts] [passes]"))
+    val name = args.headOption.getOrElse(sys.error(usage))
     val dir = args.lift(1).getOrElse("/tmp/scale100x")
-    val parts = args.lift(2).getOrElse("32")
-    val passes = args.lift(3).map(_.toInt).getOrElse(2)
-    require(name != "graph_pagerank",
-      "graph_pagerank's registry gate assumes sf0.1 key ranges and pins 8 " +
-      "partitions - use ScaleCheck's pagerank family for scale dirs")
+    val parts = args.lift(2).map(numArg(_, "shuffleParts").toString).getOrElse("32")
+    val passes = args.lift(3).map(numArg(_, "passes")).getOrElse(2)
     // resolve the gate BEFORE paying session startup, with the known names
     val gate = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown gate '$name'; known: " +

@@ -31,14 +31,14 @@ import org.apache.spark.sql.functions._
   * `gen <srcDir> <dstDir> [tiles]` writes the derived tables;
   * `run <sfDir> [csvNames]` times the heavy families once each (same
   * forcing as Bench: `queryExecution.toRdd.count()`) and prints one JSON
-  * line per family. PageRank is timed directly (not via the gate) because
-  * the gate's `suppkey + 100000` node-space split assumes sf0.1 key
-  * ranges; here the supplier offset is 100·the tiled custkey range.
+  * line per family — every family, PageRank included, runs the REGISTRY
+  * gate verbatim (the gate derives its supplier offset from
+  * max(o_custkey) and data-sizes its shuffle partitions, so tiled key
+  * ranges are safe since round 15).
   */
 object ScaleCheck {
 
-  /** Plan-compile warm-pass dir — shared by the warm loop and the
-    * pagerank partsFor pre-compute so the two can't drift apart. */
+  /** Plan-compile warm-pass dir for [[run]]'s untimed first pass. */
   private val warmDir = "/root/testdata/sf0.001"
 
   private def session(parts: Int): SparkSession = {
@@ -132,73 +132,27 @@ object ScaleCheck {
     spark.stop()
   }
 
-  /** The heavy families VERDICT r9 asked to scale-test. Each is the same
-    * code path its bench gate runs; pagerank builds its edges inline with
-    * a tiled-range-safe supplier offset.
-    *
-    * `partsFor` supplies the data-sized shuffle-partition count for a dir
-    * — computed by [[run]] OUTSIDE the timed region, because the sizing
-    * needs a full lineitem count and folding that scan into the timed body
-    * would shift every graph_pagerank reading (including the 1×/10× points
-    * whose comparability with the historical series the pin below exists
-    * to preserve).
+  /** The heavy families VERDICT r9 asked to scale-test. Each is EXACTLY
+    * the code path its bench gate runs — including `graph_pagerank` since
+    * the gate went tiled-safe (offset derived from max(o_custkey), shuffle
+    * partitions sized from the lineitem parquet footprint via driver-side
+    * FS metadata: sf0.1/10× → 8 = the historical pin, 30× → 24, 100× →
+    * one task wave). The partition SIZING adds no Spark job to the timed
+    * body; the offset DERIVATION adds one single-column max over orders
+    * (≲0.5 s at 100×, proportionally less below) — a cost the r13/r14
+    * series did not pay, bounded well inside the weather noise band, and
+    * measured-inclusive by the round-15 GateTwice points.
     */
-  private def families(partsFor: String => String): Seq[(String, (SparkSession, String) => DataFrame)] = {
+  private def families: Seq[(String, (SparkSession, String) => DataFrame)] = {
     val gates = graft.SparkEntry.queries
-    Seq(
-      "dedup_ngram_jaccard" -> gates("dedup_ngram_jaccard"),
-      "dedup_minhash_lsh" -> gates("dedup_minhash_lsh"),
-      "dedup_substring_spans" -> gates("dedup_substring_spans"),
-      "corpus_clean" -> gates("corpus_clean"),
-      "ann_topk_ivf_persist" -> gates("ann_topk_ivf_persist"),
-      "graph_pagerank" -> ((spark: SparkSession, dir: String) => {
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        try {
-          // The BENCH gate pins 8 shuffle partitions — right for sf0.1's
-          // 16 k-node state, where 32-way tiny stages are pure task-launch
-          // cost. A scale test must do what production does instead: size
-          // partitions to the DATA, or the pin silently caps every stage
-          // at 8 tasks and the 100× point measures spill + lost
-          // parallelism, not the algorithm (measured: 296 s pinned vs the
-          // data-sized number recorded in COVERAGE). ~750 k edge-source
-          // rows per task, floor 8 (1×/10× keep their historical pin so
-          // the growth series stays comparable), cap 32 = one task wave on
-          // this box's 32 cores (a 64-vs-32 back-to-back A/B at 100× read
-          // consistently lower at 32 across every phase; a cluster session
-          // conf would carry the data-sizing further).
-          spark.conf.set("spark.sql.shuffle.partitions", partsFor(dir))
-          val li = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-          val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-          val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          val fwd = joined.select(col("o_custkey").as("src"),
-            (col("l_suppkey") + 10000000L).as("dst")).distinct()
-          val edges = fwd.unionByName(
-            fwd.select(col("dst").as("src"), col("src").as("dst")))
-          graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
-            .select(col("node"), round(col("rank"), 6).as("rank"))
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }),
-    )
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_substring_spans",
+      "corpus_clean", "ann_topk_ivf_persist", "graph_pagerank")
+      .map(n => n -> gates(n))
   }
 
   def run(dir: String, only: Option[Seq[String]]): Unit = {
     val spark = session(32)
-    // the pagerank family's data-sized partition count, memoized per dir
-    // and PRE-computed below so the lineitem scan it needs never lands
-    // inside a timed family body
-    val partsCache = scala.collection.concurrent.TrieMap.empty[String, String]
-    def partsFor(d: String): String = partsCache.getOrElseUpdate(d, {
-      val liRows = graft.Tables.lineitem(spark, d).count()
-      math.max(8L, math.min(32L, liRows / 750000L)).toString
-    })
-    val picked = families(partsFor).filter { case (n, _) => only.forall(_.contains(n)) }
-    if (picked.exists(_._1 == "graph_pagerank")) {
-      // best-effort: a missing warm dir or lineitem-less target must stay
-      // contained to the pagerank family (whose body will re-raise inside
-      // its own try), not abort the run before any family is timed
-      try { partsFor(warmDir): Unit; partsFor(dir): Unit }
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    val picked = families.filter { case (n, _) => only.forall(_.contains(n)) }
     // one untimed warm pass per family at sf0.001 compiles the plans so the
     // timed numbers measure execution, as Bench's registry warm pass does
     picked.foreach { case (name, fn) =>

@@ -1,0 +1,56 @@
+#!/bin/bash
+# Automated calm-hunt loop (round-13 protocol, scripted round 15):
+# gauge the DuckDB denominator; the moment a gauge reads calm
+# (<= $CALM_BAR seconds), run the full Spark bench and a back-to-back
+# DuckDB arm — a same-session paired measurement in the same weather
+# window. Logs to $LOG; artifacts per attempt under /tmp/gauge/.
+#
+# usage: tools/calm_hunt.sh <sfDir> <oracleDir> <maxAttempts> [calmBar]
+set -u
+SF=$1; ORACLE=$2; MAX=$3; CALM_BAR=${4:-42.0}
+LOG=/tmp/gauge/hunt.log
+mkdir -p /tmp/gauge
+cd /root/repo
+for i in $(seq 1 "$MAX"); do
+  # errored oracle queries are EXCLUDED from total_sec — a shrunken
+  # denominator would read as a false calm, so any error aborts the hunt
+  G=$(python3 tools/oracletime.py "$SF" "$ORACLE" 2>>"$LOG" \
+      | python3 -c "
+import json,sys
+d = json.load(sys.stdin)
+if d['errors'] > 0:
+    print('ERRORS', d['errors']); sys.exit(0)
+print(d['total_sec'])")
+  case "$G" in ERRORS*|"")
+    echo "$(date +%H:%M:%S) attempt $i gauge invalid ($G) — aborting" >> "$LOG"
+    exit 2;;
+  esac
+  echo "$(date +%H:%M:%S) attempt $i gauge ${G}s (bar ${CALM_BAR})" >> "$LOG"
+  if python3 -c "exit(0 if float('$G') <= float('$CALM_BAR') else 1)"; then
+    echo "$(date +%H:%M:%S) CALM — running paired bench" >> "$LOG"
+    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" > "/tmp/gauge/bench_$i.log" 2>&1
+    grep -o '{"metric".*}' "/tmp/gauge/bench_$i.log" | tail -1 > "/tmp/gauge/bench_$i.json"
+    # a crashed bench (no metric line) is a BUILD/CODE problem, not
+    # weather — abort loudly instead of burning the remaining attempts
+    if ! [ -s "/tmp/gauge/bench_$i.json" ]; then
+      echo "$(date +%H:%M:%S) bench produced no metric line (see bench_$i.log) — aborting" >> "$LOG"
+      exit 3
+    fi
+    python3 tools/oracletime.py "$SF" "$ORACLE" > "/tmp/gauge/duck_$i.json" 2>>"$LOG"
+    B=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['value'])" 2>>"$LOG")
+    W=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['warmup_sec'])" 2>>"$LOG")
+    D=$(python3 -c "import json; print(json.load(open('/tmp/gauge/duck_$i.json'))['total_sec'])" 2>>"$LOG")
+    echo "$(date +%H:%M:%S) PAIR attempt $i: spark=$B warmup=$W duckdb=$D" >> "$LOG"
+    # keep hunting only if the bench arm caught a storm mid-run
+    # (warmup above the 46 s calm bar invalidates the calm label)
+    if python3 -c "exit(0 if float('$W') <= 46.0 else 1)"; then
+      echo "$(date +%H:%M:%S) calm pair banked — stopping" >> "$LOG"
+      exit 0
+    fi
+    echo "$(date +%H:%M:%S) warmup above calm bar — continuing hunt" >> "$LOG"
+  fi
+  sleep 150
+done
+echo "$(date +%H:%M:%S) no calm pair in $MAX attempts" >> "$LOG"
+exit 1
