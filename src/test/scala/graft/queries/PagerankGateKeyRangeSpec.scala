@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The `graph_pagerank` gate must be key-range independent (round 15): its
+  * supplier node-space offset is DERIVED from max(o_custkey), not the
+  * historical literal 100000, so ScaleCheck's tiled dirs (and any future
+  * testdata drop with larger key ranges) cannot collide supplier node ids
+  * into the customer id space.
+  *
+  * The probe shifts every o_custkey by exactly +100000 — a range where the
+  * old literal offset WOULD have merged supplier nodes into customers
+  * (sf0.001 custkeys and suppkeys both start near 1, so the shifted
+  * custkey range [100001, 100000+maxCust] overlaps the literal supplier
+  * range [100001, 100000+maxSupp]). A collision changes the node COUNT,
+  * which changes every initial rank 1/n and therefore every output rank;
+  * id-shifting alone changes neither the graph structure nor any rank.
+  */
+class PagerankGateKeyRangeSpec extends AnyFunSuite with SparkSpec {
+
+  test("custkeys shifted past the old literal offset leave node count and rank multiset unchanged") {
+    val gate = graft.SparkEntry.queries("graph_pagerank")
+    val base = gate(spark, sfDir).collect()
+
+    val tmp = java.nio.file.Files.createTempDirectory("pg_keyrange").toString
+    graft.Tables.orders(spark, sfDir)
+      .withColumn("o_custkey", col("o_custkey") + lit(100000L))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    graft.Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val shifted = gate(spark, tmp).collect()
+
+    // no supplier↔customer id collision merged nodes
+    assert(shifted.length === base.length,
+      s"node count changed: ${base.length} -> ${shifted.length} (id collision)")
+    // same graph structure => same rank multiset. Ranks are compared with a
+    // tolerance, not bit-exact: the shifted dst keys hash to different
+    // partitions, so per-node contribution sums may accumulate in a
+    // different float order. A collision is orders of magnitude larger
+    // (it changes n, hence every initial 1/n).
+    val a = base.map(_.getDouble(1)).sorted
+    val b = shifted.map(_.getDouble(1)).sorted
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(math.abs(x - y) < 1e-9, s"rank multiset diverged at sorted index $i: $x vs $y")
+    }
+    // the derived offset actually cleared the shifted customer space:
+    // supplier nodes sit strictly above every shifted custkey
+    val maxShiftedCust = graft.Tables.orders(spark, tmp)
+      .agg(max(col("o_custkey"))).head.getLong(0)
+    assert(shifted.map(_.getLong(0)).max > maxShiftedCust,
+      "no supplier node above the shifted custkey range - offset not derived from the data")
+  }
+}
