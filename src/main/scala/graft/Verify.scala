@@ -18,6 +18,15 @@ object Verify {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** The ONE renderer of an oracle_sql.json payload, shared with
+    * [[graft.tools.DumpOracle]]. Hoisting only the escape left the
+    * object-assembly line duplicated in both producers, where a format
+    * tweak to one would silently diverge the gauge's dump from the
+    * driver-facing one — the whole map→JSON step lives here instead. */
+  private[graft] def oracleJson(entries: Map[String, String]): String =
+    entries.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter for fast local
@@ -66,10 +75,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    def q(s: String): String = jsonQuote(s)
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => wanted.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = oracleJson(SparkEntry.oracleSql
+      .filter { case (k, _) => wanted.forall(_.contains(k)) })
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

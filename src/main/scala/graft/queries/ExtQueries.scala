@@ -2460,7 +2460,13 @@ object ExtQueries {
         // no extra Spark job inside the timed body): sf0.1 → 8 (the
         // historical pin, so the 1×/10× growth series stays comparable),
         // 30× → 24, 100× → capped at one task wave (the session's core
-        // count — 32 on the bench box). Restored after.
+        // count — 32 on the bench box). Restored after. KNIFE-EDGE to
+        // know about when reading a shifted series: the 10× point holds
+        // the pin of 8 by a ~4 % byte margin only (sf0.1 lineitem
+        // ≈ 10.8 MB → 10× tile ≈ 108 MB vs the 112.5 MB 9-part boundary);
+        // a testdata drop with fatter compression crosses it silently, so
+        // attribute any 10× pagerank shift to the partition bucket FIRST
+        // (ScaleCheck's timings expose it as a step, not noise).
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         try {
           val liPath = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
@@ -2472,11 +2478,12 @@ object ExtQueries {
           val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
           // one tiny driver-side agg (single column of orders) — the cost
           // of the tiled-safe offset, paid identically by the oracle's
-          // scalar subquery
-          val maxCust = ord.agg(max(col("o_custkey"))).head
+          // scalar subquery. cast("long") + null check = the FULL
+          // keyStride discipline: an int32 o_custkey in a future drop must
+          // widen, not ClassCastException on getLong
+          val maxCust = ord.agg(max(col("o_custkey")).cast("long")).head
           // max over an empty table is NULL — fail with the actual problem
-          // instead of a bare NullPointerException (ScaleCheck.keyStride's
-          // discipline)
+          // instead of a bare NullPointerException
           if (maxCust.isNullAt(0)) sys.error("graph_pagerank: empty orders table")
           val off = maxCust.getLong(0) + 1L
           val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")

@@ -16,11 +16,9 @@ object DumpOracle {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(sys.error("usage: DumpOracle <outDir>"))
     new java.io.File(outDir).mkdirs()
-    // the ONE escape implementation, shared with Verify's dump — the two
-    // producers of oracle_sql.json must stay format-identical
-    def q(s: String): String = graft.Verify.jsonQuote(s)
-    val json = graft.SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // the ONE renderer, shared with Verify's dump — the two producers of
+    // oracle_sql.json must stay format-identical (escape AND assembly)
+    val json = graft.Verify.oracleJson(graft.SparkEntry.oracleSql)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[dumporacle] wrote ${graft.SparkEntry.oracleSql.size} oracle entries to $outDir/oracle_sql.json")
   }

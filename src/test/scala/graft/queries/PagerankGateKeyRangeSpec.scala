@@ -36,15 +36,18 @@ class PagerankGateKeyRangeSpec extends AnyFunSuite with SparkSpec {
     // no supplier↔customer id collision merged nodes
     assert(shifted.length === base.length,
       s"node count changed: ${base.length} -> ${shifted.length} (id collision)")
-    // same graph structure => same rank multiset. Ranks are compared with a
-    // tolerance, not bit-exact: the shifted dst keys hash to different
-    // partitions, so per-node contribution sums may accumulate in a
-    // different float order. A collision is orders of magnitude larger
-    // (it changes n, hence every initial 1/n).
+    // same graph structure => same rank multiset. The gate emits
+    // round(rank, 6), so compared values sit on a 1e-6 grid — a tolerance
+    // below that grid is exact equality in disguise, and the float-order
+    // difference this tolerance exists for (shifted dst keys hash to
+    // different partitions, so contribution sums accumulate in a different
+    // order) can legitimately flip a value across one rounding boundary.
+    // Allow exactly one rounding step; a node-id collision is caught by
+    // the COUNT assert above (merging ids changes n), not by this check.
     val a = base.map(_.getDouble(1)).sorted
     val b = shifted.map(_.getDouble(1)).sorted
     a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
-      assert(math.abs(x - y) < 1e-9, s"rank multiset diverged at sorted index $i: $x vs $y")
+      assert(math.abs(x - y) < 1.5e-6, s"rank multiset diverged at sorted index $i: $x vs $y")
     }
     // the derived offset actually cleared the shifted customer space:
     // supplier nodes sit strictly above every shifted custkey

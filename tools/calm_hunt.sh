@@ -38,9 +38,28 @@ print(d['total_sec'])")
       exit 3
     fi
     python3 tools/oracletime.py "$SF" "$ORACLE" > "/tmp/gauge/duck_$i.json" 2>>"$LOG"
+    # the BANKED DuckDB arm gets the same error discipline as the gauge:
+    # an errored query shrinks total_sec (false-fast denominator) and a
+    # crashed run leaves no total at all — neither may be banked
+    D=$(python3 -c "
+import json
+d = json.load(open('/tmp/gauge/duck_$i.json'))
+print('ERRORS %d' % d['errors'] if d['errors'] > 0 else d['total_sec'])" 2>>"$LOG")
+    case "$D" in ERRORS*|"")
+      echo "$(date +%H:%M:%S) banked DuckDB arm invalid (D='$D', see duck_$i.json) — aborting" >> "$LOG"
+      exit 4;;
+    esac
     B=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['value'])" 2>>"$LOG")
     W=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['warmup_sec'])" 2>>"$LOG")
-    D=$(python3 -c "import json; print(json.load(open('/tmp/gauge/duck_$i.json'))['total_sec'])" 2>>"$LOG")
+    # an empty/non-numeric bench field is a CODE/FORMAT problem, not
+    # weather — abort loudly instead of sleeping through the remaining
+    # attempts misreporting it as 'warmup above calm bar'
+    for v in "value=$B" "warmup_sec=$W"; do
+      case "${v#*=}" in ""|*[!0-9.]*)
+        echo "$(date +%H:%M:%S) bench metric unparseable ($v, see bench_$i.json) — aborting" >> "$LOG"
+        exit 5;;
+      esac
+    done
     echo "$(date +%H:%M:%S) PAIR attempt $i: spark=$B warmup=$W duckdb=$D" >> "$LOG"
     # keep hunting only if the bench arm caught a storm mid-run
     # (warmup above the 46 s calm bar invalidates the calm label)
