@@ -11,6 +11,17 @@ SF=$1; ORACLE=$2; MAX=$3; CALM_BAR=${4:-42.0}
 LOG=/tmp/gauge/hunt.log
 mkdir -p /tmp/gauge
 cd /root/repo
+# Every banked numeric field goes through an actual float() parse, not a
+# character-class glob: *[!0-9.]* passes digit/dot garbage like '1.2.3' or
+# '.', which then crashes the later float comparisons and gets misreported
+# as a weather decision ('warmup above calm bar') instead of the format
+# error it is. Returns nonzero on anything float() rejects, plus the two
+# values float() accepts that must never be banked as a measurement:
+# 'nan' (compares False everywhere — would silently loop as 'above bar')
+# and 'inf'.
+is_num() {
+  python3 -c "import math,sys; sys.exit(0 if math.isfinite(float(sys.argv[1])) else 1)" "$1" 2>/dev/null
+}
 for i in $(seq 1 "$MAX"); do
   # errored oracle queries are EXCLUDED from total_sec — a shrunken
   # denominator would read as a false calm, so any error aborts the hunt
@@ -45,20 +56,23 @@ print(d['total_sec'])")
 import json
 d = json.load(open('/tmp/gauge/duck_$i.json'))
 print('ERRORS %d' % d['errors'] if d['errors'] > 0 else d['total_sec'])" 2>>"$LOG")
-    case "$D" in ERRORS*|"")
+    # the banked arm gets the SAME numeric discipline as the bench fields
+    # below — oracletime.py happens to always round a float today, but a
+    # future 'None'/'nan' total must abort here, not bank silently
+    if [[ "$D" == ERRORS* ]] || ! is_num "$D"; then
       echo "$(date +%H:%M:%S) banked DuckDB arm invalid (D='$D', see duck_$i.json) — aborting" >> "$LOG"
-      exit 4;;
-    esac
+      exit 4
+    fi
     B=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['value'])" 2>>"$LOG")
     W=$(python3 -c "import json; print(json.load(open('/tmp/gauge/bench_$i.json'))['warmup_sec'])" 2>>"$LOG")
     # an empty/non-numeric bench field is a CODE/FORMAT problem, not
     # weather — abort loudly instead of sleeping through the remaining
     # attempts misreporting it as 'warmup above calm bar'
     for v in "value=$B" "warmup_sec=$W"; do
-      case "${v#*=}" in ""|*[!0-9.]*)
+      if ! is_num "${v#*=}"; then
         echo "$(date +%H:%M:%S) bench metric unparseable ($v, see bench_$i.json) — aborting" >> "$LOG"
-        exit 5;;
-      esac
+        exit 5
+      fi
     done
     echo "$(date +%H:%M:%S) PAIR attempt $i: spark=$B warmup=$W duckdb=$D" >> "$LOG"
     # keep hunting only if the bench arm caught a storm mid-run
