@@ -28,10 +28,21 @@ import org.apache.spark.sql.SparkSession
   * usage: AsofStormProbe <dir> [passes=5] [hogThreads=0]
   */
 object AsofStormProbe {
+  private val usage = "usage: AsofStormProbe <dir> [passes=5] [hogThreads=0]"
+  // same numeric-arg discipline as GateTwice (ADVICE r14): a typo must fail
+  // at the usage line; passes=0 would crash the median index after printing
+  // a plausible header
+  private def numArg(v: String, what: String, min: Int): Int = {
+    val n = try v.toInt catch { case _: NumberFormatException =>
+      sys.error(s"$what must be an integer >= $min (got '$v'); $usage") }
+    if (n < min) sys.error(s"$what must be an integer >= $min (got '$v'); $usage")
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val passes = args.lift(1).map(_.toInt).getOrElse(5)
-    val hogThreads = args.lift(2).map(_.toInt).getOrElse(0)
+    val passes = args.lift(1).map(numArg(_, "passes", 1)).getOrElse(5)
+    val hogThreads = args.lift(2).map(numArg(_, "hogThreads", 0)).getOrElse(0)
     val gates = Seq(
       "asof_event_order",       // backward window form (did NOT amplify r15)
       "asof_forward",           // forward window form
