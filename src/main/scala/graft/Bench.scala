@@ -41,6 +41,39 @@ object Bench {
     else if (warmupSec <= 2 * CalmWarmupBar) "moderate"
     else "heavy"
 
+  /** Gust attribution (round 17, VERDICT r16 ask 2). The entry-weather
+    * label is a FLOOR: a host gust arriving mid-suite under a calm warmup
+    * still reads "calm" while inflating whichever adjacent gates were in
+    * flight 10-40x (proven live twice: the r15 asof pair at 16.7/15.7 s,
+    * the r16 dedup quartet at 16-41 s — all sub-2-s in back-to-back
+    * sibling runs). The prescribed diagnostic has always been "re-run
+    * back-to-back", so mechanize it: any gate whose timed-loop wall
+    * exceeds [[GustAbsFloorSec]] is re-run once after the loop (warm, same
+    * data — gates build fresh from Tables, so a re-run is safe and pays
+    * the same work), and if the timed value is >= [[GustRatio]] x the
+    * re-run it is flagged `gust_suspect` on the artifact line. The re-runs
+    * happen OUTSIDE the timed loop and never contribute to `value`.
+    * Thresholds: 5 s is above every calm per-gate wall ever recorded at
+    * sf0.1 (slowest calm gate ~4-5 s bpe_encode), so a calm run re-runs
+    * ~nothing; 10x is the gap both live gust events cleared (>=10x) while
+    * legitimate warm-vs-warm jitter stays within ~3x. */
+  val GustAbsFloorSec = 5.0
+  val GustRatio = 10.0
+
+  /** Names of non-errored gates slow enough to deserve a back-to-back
+    * re-run (strictly above the floor). */
+  def gustCandidates(timed: Seq[(String, Double)]): Seq[String] =
+    timed.collect { case (n, t) if t > GustAbsFloorSec => n }
+
+  /** A candidate is a gust suspect when the timed wall is >= GustRatio x
+    * its back-to-back re-run. The 1 ms floor on the re-run keeps a
+    * degenerate near-zero re-run from dividing to infinity while still
+    * flagging it (a 5 s gate that re-runs in ~0 is the strongest gust
+    * evidence there is). */
+  def isGustSuspect(timedSec: Double, rerunSec: Double): Boolean =
+    timedSec > GustAbsFloorSec &&
+      timedSec >= GustRatio * math.max(rerunSec, 0.001)
+
   private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
@@ -441,7 +474,9 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // classified ONCE, from the pre-suite warmup: the label describes the
     // weather the timed run ENTERED under (a storm arriving mid-suite still
-    // shows as per-query outliers — the label is a floor, not a ceiling)
+    // shows as per-query outliers — the label is a floor, not a ceiling;
+    // since r17 those mid-suite outliers are mechanically flagged on the
+    // artifact line via gust_suspect — see gustCandidates/isGustSuspect)
     val weather = weatherLabel(warmupSec, warmRegistryRan)
     // deterministic (sorted) execution order so JVM warm-up lands on the
     // same first query every round and per-query numbers compare across runs
@@ -543,6 +578,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErrors = results.count(_._3.nonEmpty)
     val total = if (nErrors > 0) -1.0 else results.map(_._2).sum
+    // Back-to-back re-run of the slow gates, AFTER the timed loop (see
+    // gustCandidates/isGustSuspect): annotation only — `value` above is
+    // already fixed, and the re-run walls are reported separately so a
+    // storm reader can attribute per-gate spikes without a manual re-run.
+    val gustRerun: Seq[(String, Double)] =
+      gustCandidates(results.collect { case (n, t, None) => (n, t) }).map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+        if (sys.env.getOrElse("SPARK_GRAFT_UNPERSIST_EACH", "true") == "true")
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (name, (System.nanoTime() - t0) / 1e9)
+      }
+    val timedByName = results.map(r => r._1 -> r._2).toMap
+    val gustSuspects = gustRerun.collect {
+      case (n, rr) if isGustSuspect(timedByName(n), rr) => n
+    }.sorted
     // Full per-query line first (for humans reading the log)…
     // Janino-compile telemetry: compile count and cumulative ms over the
     // whole JVM (warm-up included) — the deterministic counterpart to the
@@ -552,12 +604,25 @@ object Bench {
     // histogram values are milliseconds (CodeGenerator.doCompile); the
     // reservoir mean x count is an estimate of total compile ms
     val cgMs = (cgSrc.METRIC_COMPILATION_TIME.getSnapshot.getMean * cgN).toLong
-    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"codegen_compiles":$cgN,"codegen_compiles_timed":$cgTimed,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
+    // gust_suspect on BOTH lines (names only — the compact line budget);
+    // the per-gate re-run walls go on the full line for diagnosis
+    val gustJson = gustSuspects.map(jsonStr).mkString("[", ",", "]")
+    val gustRerunJson = gustRerun
+      .map { case (n, rr) => jsonStr(n) + ":" + r3(rr) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"gust_rerun":$gustRerunJson,"codegen_compiles":$cgN,"codegen_compiles_timed":$cgTimed,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
     // …then a COMPACT summary as the LAST line: the driver keeps only the
-    // final ~2000 chars of stdout, and the full line (~4 KB at 100 queries)
-    // has been truncated mid-object — and therefore unparseable — every
-    // round so far. This line carries the headline numbers plus only the
-    // slowest queries, sized to always survive the tail window.
+    // final ~2000 chars of stdout, and the full line (~4 KB at 184 queries)
+    // gets truncated mid-object there. This line carries the headline
+    // numbers plus only the slowest queries, sized to survive the tail
+    // window — and as of round 17 it reaches that window UNPREFIXED and as
+    // the literal last stdout line (build.sbt: run/outputStrategy =
+    // CustomOutput(System.out) + showSuccess := false). For 16 rounds the
+    // driver's stored `parsed` field was null NOT because of line length
+    // (r01's 1,588-char and r12's 1,246-char lines sat complete in their
+    // tails, parsed still null) but because sbt's default LoggedOutput
+    // re-logged every forked line as "[info] {…}" with a trailing
+    // "[success] Total time…" after it — no stdout line ever STARTED with
+    // '{' for a line-wise JSON parse to find.
     val slow = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
     val slowJson = slow.map { case (k, v, _) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errJson = results.filter(_._3.nonEmpty).take(3)
@@ -594,13 +659,15 @@ object Bench {
           try {
             import org.json4s._
             // headline fields ONLY — drop "samples" (and any prose "note")
-            // entirely: the r13–r15 artifacts prove the failure mode this
-            // guards. The sample history grew to ~1.7 KB, the compact line
-            // crossed the tail window, and the driver's stored `parsed`
-            // field has been null for THREE rounds (the line's head —
-            // including the opening brace — fell off the 2000-char tail).
-            // The embed's job is the latest calm pair's numbers; the
-            // history and prose live in the repo file.
+            // entirely. Size hygiene: the sample history had grown the
+            // compact line to 2,188 chars by r15, past the ~2000-char tail
+            // window. (CORRECTED r17: the r16 claim that this truncation
+            // CAUSED the driver's `parsed: null` was falsified — `parsed`
+            // is null in ALL 16 artifacts, including rounds whose tails
+            // held complete short lines; the actual cause was sbt's
+            // "[info] " line prefix, fixed in build.sbt. Keeping the embed
+            // small remains correct: the numbers are the embed, the
+            // history and prose live in the repo file.)
             def strip(v: JValue): JValue = v match {
               case JObject(fields) =>
                 JObject(fields.filterNot(f => f._1 == "note" || f._1 == "samples")
@@ -614,18 +681,26 @@ object Bench {
         case None => "null"
       }
     } catch { case _: Exception => "null" }
-    // HARD fit guard (round 16): the compact line exists to survive the
-    // driver's ~2000-char stdout tail as ONE valid JSON object — a line
-    // that overflows loses its HEAD (opening brace included) and parses as
-    // nothing, which is exactly what happened rounds 13–15. Budget 1900
-    // leaves margin for the trailing newline and tail-boundary jitter; if
-    // a future embed outgrows it, paired_ref degrades to null (its data
-    // still lives in PAIRED.json at the repo root) rather than silently
-    // decapitating the artifact.
+    // HARD fit guard (round 16, extended r17 per ADVICE): the compact line
+    // exists to survive the driver's ~2000-char stdout tail as ONE valid
+    // JSON object — a line that overflows loses its HEAD (opening brace
+    // included) and parses as nothing. Budget 1900 leaves margin for the
+    // trailing newline and tail-boundary jitter. Degradation ladder: full
+    // line with the paired embed → paired_ref nulled (its data still lives
+    // in PAIRED.json at the repo root) → a minimal headline-only line
+    // (metric/sf/n_queries/errors/warmup/weather/value, ~230 chars,
+    // unconditionally under budget) so that even a pathological slowJson +
+    // error_detail combination can never decapitate the artifact.
     def totalLine(pairedJson: String) =
-      s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"paired_ref":$pairedJson,"value":${r3(total)}}"""
-    val full = totalLine(paired)
-    println(if (full.length <= 1900) full else totalLine("null"))
+      s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"paired_ref":$pairedJson,"value":${r3(total)}}"""
+    def minimalLine =
+      s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"errors":$nErrors,"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"value":${r3(total)}}"""
+    val withPaired = totalLine(paired)
+    val withoutPaired = totalLine("null")
+    println(
+      if (withPaired.length <= 1900) withPaired
+      else if (withoutPaired.length <= 1900) withoutPaired
+      else minimalLine)
     spark.stop()
     if (nErrors > 0) sys.exit(1)
   }

@@ -98,9 +98,13 @@ object AsofStormProbe {
       (g, times)
     }
     stop = true; hogs.foreach(_.join(1000))
-    // machine-readable line for COVERAGE
+    // machine-readable line for COVERAGE — Locale.ROOT, not the f
+    // interpolator (ADVICE r16): under a comma-decimal default locale
+    // f"$t%.3f" emits 1,234-style numbers and the JSON would not parse
     println("[asofprobe] json " + results.map { case (g, ts) =>
-      s""""$g":[${ts.map(t => f"$t%.3f").mkString(",")}]""" }.mkString("{", ",", "}"))
+      val vals = ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      s""""$g":[${vals.mkString(",")}]""" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

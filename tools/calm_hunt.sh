@@ -75,13 +75,32 @@ print('ERRORS %d' % d['errors'] if d['errors'] > 0 else d['total_sec'])" 2>>"$LO
       fi
     done
     echo "$(date +%H:%M:%S) PAIR attempt $i: spark=$B warmup=$W duckdb=$D" >> "$LOG"
-    # keep hunting only if the bench arm caught a storm mid-run
-    # (warmup above the 46 s calm bar invalidates the calm label)
-    if python3 -c "exit(0 if float('$W') <= 46.0 else 1)"; then
-      echo "$(date +%H:%M:%S) calm pair banked — stopping" >> "$LOG"
-      exit 0
-    fi
-    echo "$(date +%H:%M:%S) warmup above calm bar — continuing hunt" >> "$LOG"
+    # keep hunting only if the bench arm caught a storm mid-run. Bank on
+    # the artifact's OWN weather label, not a re-derived bar (ADVICE r16:
+    # the 46.0 hardcoded here duplicated Bench.CalmWarmupBar and would
+    # silently diverge if the Scala constant were recalibrated). Since r17
+    # the artifact also carries gust_suspect — a calm entry-label with a
+    # mid-suite gust must not be banked either.
+    WTHR=$(python3 -c "
+import json
+d = json.load(open('/tmp/gauge/bench_$i.json'))
+w = d.get('weather', 'MISSING')
+if w == 'calm' and d.get('gust_suspect'):
+    w = 'calm-gusted %s' % ','.join(d['gust_suspect'])
+print(w)" 2>>"$LOG")
+    case "$WTHR" in
+      calm)
+        echo "$(date +%H:%M:%S) calm pair banked (weather=calm warmup=$W) — stopping" >> "$LOG"
+        exit 0;;
+      moderate|heavy|calm-gusted*)
+        echo "$(date +%H:%M:%S) bench weather=$WTHR (warmup=$W) — continuing hunt" >> "$LOG";;
+      *)
+        # 'unknown' (warm pass skipped — the label's precondition fails and
+        # would fail every attempt) or a missing/unparseable field is a
+        # CODE/FORMAT problem, not weather — abort loudly
+        echo "$(date +%H:%M:%S) bench weather field unusable ('$WTHR', see bench_$i.json) — aborting" >> "$LOG"
+        exit 6;;
+    esac
   fi
   sleep 150
 done
