@@ -21,10 +21,14 @@ run / fork := true
 // "[success] Total time…" trailer after the compact line. A driver that
 // json-parses the last line, or any line, finds no JSON. Fix both from
 // inside sbt: CustomOutput(System.out) passes the forked process's stdout
-// AND stderr through unprefixed to the sbt process's stdout (sbt's own
-// stderr stays zero bytes — the Verify stderr-clean bar is unaffected;
-// forked stderr already landed on sbt stdout, just "[error]"-prefixed),
-// and showSuccess := false drops the trailing "[success]" line so the
+// through unprefixed to the sbt process's stdout, while the forked STDERR
+// stops being swallowed into sbt's logger and INHERITS to the real stderr
+// (measured r17, recorded in COVERAGE.md — under LoggedOutput it arrived
+// "[error]"-prefixed on sbt stdout instead). That inheritance is exactly
+// why src/main/resources/log4j2.properties targets SYSTEM_OUT: Spark's
+// log events must ride the routed stdout so the inherited stderr channel
+// stays zero bytes and the Verify stderr-clean bar holds (re-measured
+// clean). showSuccess := false drops the trailing "[success]" line so the
 // bench's compact JSON is the literal last line of stdout.
 run / outputStrategy := Some(OutputStrategy.CustomOutput(System.out))
 Global / showSuccess := false

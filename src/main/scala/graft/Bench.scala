@@ -69,10 +69,37 @@ object Bench {
     * its back-to-back re-run. The 1 ms floor on the re-run keeps a
     * degenerate near-zero re-run from dividing to infinity while still
     * flagging it (a 5 s gate that re-runs in ~0 is the strongest gust
-    * evidence there is). */
+    * evidence there is). A NEGATIVE rerunSec is the failed-re-run marker
+    * (see [[GustRerunFailed]]): a gate that crashes quickly on re-run
+    * would otherwise record a near-zero wall and be falsely flagged —
+    * indistinguishable from a genuine gust — so failed re-runs are
+    * excluded from the comparison entirely (ADVICE r17). */
   def isGustSuspect(timedSec: Double, rerunSec: Double): Boolean =
-    timedSec > GustAbsFloorSec &&
+    rerunSec >= 0.0 &&
+      timedSec > GustAbsFloorSec &&
       timedSec >= GustRatio * math.max(rerunSec, 0.001)
+
+  /** Sentinel recorded in `gust_rerun` when the back-to-back re-run itself
+    * threw: the timed value stands, the gate is never a suspect, and the
+    * corrected composite falls back to the timed wall. */
+  val GustRerunFailed = -1.0
+
+  /** Storm-robust secondary estimator (round 18, VERDICT r17 ask 1): the
+    * suite total with each gate taken at `min(timed, rerun)` wherever a
+    * back-to-back re-run exists (all gust CANDIDATES over the 5 s floor,
+    * not just flagged suspects — so a victim sitting just under the 10x
+    * suspect bar, like the judge's live 9.99x near-miss, is still
+    * corrected). Failed re-runs ([[GustRerunFailed]]) never substitute.
+    * Four consecutive sessions were storm-bound, making calm headline
+    * pairs unbankable as a matter of host weather — this field lets a
+    * storm pair self-report its corrected numerator on the artifact line
+    * (the PAIRED.json headline stays calm-only; bank_pair.py banks the
+    * corrected value alongside the raw sample). */
+  def gustCorrectedTotal(timed: Seq[(String, Double)],
+                         rerun: Map[String, Double]): Double =
+    timed.map { case (n, t) =>
+      rerun.get(n).filter(_ >= 0.0).fold(t)(math.min(t, _))
+    }.sum
 
   private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
@@ -484,7 +511,10 @@ object Bench {
     val wanted = args.toSet
     val unknown = wanted.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, // a typo must not yield a silently-empty "successful" bench
-      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}" +
+        " — positional args are exact query-name filters; the SF dir is" +
+        " env-only: SPARK_GRAFT_SF_DIR=/path/to/sfN (a path passed as an" +
+        " arg lands here)")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
@@ -585,11 +615,17 @@ object Bench {
     val gustRerun: Seq[(String, Double)] =
       gustCandidates(results.collect { case (n, t, None) => (n, t) }).map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
-        catch { case scala.util.control.NonFatal(_) => () }
+        // a re-run that THROWS must not record its (near-zero) wall — a
+        // fast crash would read as the strongest possible gust evidence
+        // (ADVICE r17); mark it GustRerunFailed so the suspect comparison
+        // and the corrected composite both skip it
+        val ok = try {
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
         if (sys.env.getOrElse("SPARK_GRAFT_UNPERSIST_EACH", "true") == "true")
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (name, (System.nanoTime() - t0) / 1e9)
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else GustRerunFailed)
       }
     val timedByName = results.map(r => r._1 -> r._2).toMap
     val gustSuspects = gustRerun.collect {
@@ -605,11 +641,19 @@ object Bench {
     // reservoir mean x count is an estimate of total compile ms
     val cgMs = (cgSrc.METRIC_COMPILATION_TIME.getSnapshot.getMean * cgN).toLong
     // gust_suspect on BOTH lines (names only — the compact line budget);
-    // the per-gate re-run walls go on the full line for diagnosis
+    // the per-gate re-run walls go on the full line for diagnosis (a -1
+    // wall is the failed-re-run marker, see GustRerunFailed)
     val gustJson = gustSuspects.map(jsonStr).mkString("[", ",", "]")
     val gustRerunJson = gustRerun
       .map { case (n, rr) => jsonStr(n) + ":" + r3(rr) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"gust_rerun":$gustRerunJson,"codegen_compiles":$cgN,"codegen_compiles_timed":$cgTimed,"codegen_ms_est":$cgMs,"value":${r3(total)}}""")
+    // storm-robust secondary estimator, on BOTH lines (see
+    // gustCorrectedTotal); mirrors `value`'s error poisoning — a partial
+    // suite must never read as a fast corrected total
+    val valueGustCorrected =
+      if (nErrors > 0) -1.0
+      else gustCorrectedTotal(results.collect { case (n, t, None) => (n, t) },
+        gustRerun.toMap)
+    val fullLine = s"""{"metric":"total_full","unit":"sec","sf":${jsonStr(sfDir)},"queries":$qs,"errors":$nErrors,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"gust_rerun":$gustRerunJson,"value_gust_corrected":${r3(valueGustCorrected)},"codegen_compiles":$cgN,"codegen_compiles_timed":$cgTimed,"codegen_ms_est":$cgMs,"value":${r3(total)}}"""
     // …then a COMPACT summary as the LAST line: the driver keeps only the
     // final ~2000 chars of stdout, and the full line (~4 KB at 184 queries)
     // gets truncated mid-object there. This line carries the headline
@@ -692,16 +736,27 @@ object Bench {
     // unconditionally under budget) so that even a pathological slowJson +
     // error_detail combination can never decapitate the artifact.
     def totalLine(pairedJson: String) =
-      s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"paired_ref":$pairedJson,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":$slowJson,"queries_note":"slowest 15 of ${results.size}; full map on the total_full line above","errors":$nErrors,"error_detail":$errJson,"cpu_probe_sec":${r3(probe)},"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"gust_suspect":$gustJson,"value_gust_corrected":${r3(valueGustCorrected)},"paired_ref":$pairedJson,"value":${r3(total)}}"""
     def minimalLine =
       s"""{"metric":"total","unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"errors":$nErrors,"warmup_sec":${r3(warmupSec)},"weather":${jsonStr(weather)},"weather_bar_sec":$CalmWarmupBar,"value":${r3(total)}}"""
     val withPaired = totalLine(paired)
     val withoutPaired = totalLine("null")
-    println(
+    val compactLine =
       if (withPaired.length <= 1900) withPaired
       else if (withoutPaired.length <= 1900) withoutPaired
-      else minimalLine)
+      else minimalLine
+    // Both artifact lines print AFTER spark.stop() (ADVICE r17, medium):
+    // log4j2.properties routes Spark's log events to SYSTEM_OUT, so a WARN
+    // logged during stop() (state-store/executor shutdown) would otherwise
+    // land on stdout AFTER the compact line and intermittently break the
+    // "compact line is the literal last stdout line" invariant the driver's
+    // parse depends on. Nothing below needs the session: the gust re-runs
+    // ran above, and the line strings are fully built. After stop() returns,
+    // the SparkContext shutdown hook is a no-op and log4j's own shutdown
+    // hook emits nothing at WARN, so no further stdout can follow.
     spark.stop()
+    println(fullLine)
+    println(compactLine)
     if (nErrors > 0) sys.exit(1)
   }
 }

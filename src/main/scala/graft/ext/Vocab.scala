@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary construction + document-to-id encoding — the
@@ -10,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * [[build]] assigns ids by global frequency (1 = most frequent; ties break
   * on the term string) — the conventional layout, so frequent tokens get
-  * small ids. One shuffle: the term-count aggregate (map-side combined over
-  * the exploded tokens); the ranking window runs over the VOCAB relation
-  * (one row per distinct term), never over the corpus. NOTE: a global
-  * `row_number` window is a single-partition sort of the vocab — fine for
-  * real vocabularies (≤ a few million terms), and exactly the determinism an
-  * oracle can gate; for open-web-scale term universes, cut the tail (e.g.
-  * min count) before ranking, as every real tokenizer does.
+  * small ids. The term-count aggregate shuffles once (map-side combined
+  * over the exploded tokens); the ranking runs over the VOCAB relation (one
+  * row per distinct term), never over the corpus, via
+  * [[graft.ops.IndexOps.globalIndexBy]]'s range-bucketed two-phase
+  * numbering — NOT a global `row_number` window, whose
+  * `Exchange SinglePartition` would sort an open-web-scale term universe
+  * (~10⁸ distinct terms at 100 TB) on ONE task. The bucketed form numbers
+  * each ~1/64 slice independently and offsets by exact earlier-bucket
+  * counts, producing the identical dense ids (1 = most frequent, ties on
+  * the term string) with no data-shaped single-partition stage.
   *
   * [[encode]] joins each token position against the vocab on the term and
   * reassembles ids in document order. The join defaults to a plain shuffle
@@ -37,10 +39,10 @@ object Vocab {
 
   /** (term, n, id) — id dense by (n desc, term asc), starting at 1. */
   def build(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+    graft.ops.IndexOps.globalIndexBy(
+      df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("term").asc), outName = "id")
 
   /** (idCol, n_tokens, ids_csv): every token of every doc mapped to its
     * vocab id (or `unkId`), positions reassembled in order.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,51 @@ object IndexOps {
         coalesce(sum(col("count")).over(wOff), lit(0L)).as("__gx_off"))
     val w = Window.partitionBy("__gx_bucket").orderBy(col(orderCol).asc)
     withBucket
+      .join(broadcast(offsets), col("__gx_bucket") === col("__gx_ob"))
+      .withColumn(outName, col("__gx_off") + row_number().over(w).cast("long"))
+      .drop("__gx_bucket", "__gx_ob", "__gx_off")
+  }
+
+  /** 1-based contiguous index over an arbitrary COMPOSITE sort order —
+    * the generalization of [[globalIndex]] to keys that cannot be packed
+    * into one double (e.g. `(n DESC, term ASC)` for vocab id assignment).
+    *
+    * Same two-phase shape — bucket, count, offset, number-within-bucket —
+    * but the bucket boundaries come from `repartitionByRange`'s sampler
+    * (Spark's RangePartitioner handles composite keys with mixed sort
+    * directions natively; an approx-quantile literal sketch cannot), and
+    * partition ids follow the sort order, so `spark_partition_id()` IS the
+    * bucket rank. The sampler draws per-execution, so the bucket column is
+    * materialized ONCE (`localCheckpoint`) before the counts branch and the
+    * numbering branch both read it — without the freeze the two executions
+    * could sample different boundaries and the exact-offset invariant
+    * breaks. (For the single numeric-key case [[globalIndex]] stays the
+    * zero-materialization path: its boundary LITERALS are computed once on
+    * the driver and are identical in every execution by construction.)
+    *
+    * As with [[globalIndex]], boundary placement only skews bucket SIZES:
+    * per-bucket counts are exact and within-bucket numbering is a total
+    * order, so the output is exactly the global rank. `order` must be a
+    * total order over the input (ties would make the rank ambiguous on any
+    * engine — same contract the oracle's `row_number` carries).
+    */
+  def globalIndexBy(df: DataFrame, order: Seq[Column],
+                    outName: String = "idx", numBuckets: Int = 64): DataFrame = {
+    require(order.nonEmpty, "order must have at least one sort expression")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val bucketed = df
+      .repartitionByRange(numBuckets, order: _*)
+      // spark_partition_id() is deterministic WITHIN the frozen copy below;
+      // it is only ever read post-checkpoint
+      .withColumn("__gx_bucket", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("__gx_bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__gx_bucket").count()
+      .select(col("__gx_bucket").as("__gx_ob"),
+        coalesce(sum(col("count")).over(wOff), lit(0L)).as("__gx_off"))
+    val w = Window.partitionBy("__gx_bucket").orderBy(order: _*)
+    bucketed
       .join(broadcast(offsets), col("__gx_bucket") === col("__gx_ob"))
       .withColumn(outName, col("__gx_off") + row_number().over(w).cast("long"))
       .drop("__gx_bucket", "__gx_ob", "__gx_off")

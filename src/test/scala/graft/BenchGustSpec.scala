@@ -45,4 +45,26 @@ class BenchGustSpec extends AnyFunSuite {
     assert(!Bench.isGustSuspect(timedSec = 4.0, rerunSec = 0.0))
     assert(!Bench.isGustSuspect(timedSec = 5.0, rerunSec = 0.1))
   }
+
+  test("a FAILED re-run (marker -1) is never a suspect") {
+    // ADVICE r17: a gate that crashes quickly on re-run must not read as
+    // the strongest gust evidence there is — the marker excludes it
+    assert(Bench.GustRerunFailed === -1.0)
+    assert(!Bench.isGustSuspect(timedSec = 20.0, rerunSec = Bench.GustRerunFailed))
+  }
+
+  test("gust-corrected composite: min(timed, rerun) over candidates only") {
+    val timed = Seq("a" -> 0.4, "b" -> 41.0, "c" -> 7.0, "d" -> 2.0)
+    // b gusted (1.6 s sibling), c legitimately slow but faster warm (3.2),
+    // a/d under the floor (no re-run exists)
+    val rerun = Map("b" -> 1.6, "c" -> 3.2)
+    assert(Bench.gustCorrectedTotal(timed, rerun) === 0.4 + 1.6 + 3.2 + 2.0)
+    // a re-run SLOWER than the timed wall never inflates the composite
+    assert(Bench.gustCorrectedTotal(Seq("x" -> 6.0), Map("x" -> 9.0)) === 6.0)
+    // a failed re-run falls back to the timed wall, not to -1
+    assert(Bench.gustCorrectedTotal(
+      Seq("x" -> 6.0), Map("x" -> Bench.GustRerunFailed)) === 6.0)
+    // no re-runs at all: composite == raw total
+    assert(Bench.gustCorrectedTotal(timed, Map.empty) === timed.map(_._2).sum)
+  }
 }

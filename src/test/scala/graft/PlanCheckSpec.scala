@@ -58,6 +58,19 @@ class PlanCheckSpec extends AnyFunSuite with SparkSpec {
       s"projection fell off codegen:\n$p")
   }
 
+  test("txt_vocab_encode: vocab id assignment never sorts the vocab on one task") {
+    // round 18 (VERDICT r17 item 1): the last data-shaped single-partition
+    // window — row_number over the unique-term relation, ~10^8 rows at a
+    // 100 TB corpus — replaced by IndexOps.globalIndexBy's range-bucketed
+    // numbering. The only SinglePartition allowed in the whole gate plan is
+    // the bounded bucket-offset window (<= 64 count rows).
+    val p = plan("txt_vocab_encode")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"vocab numbering must not serialize the term relation through one task:\n$p")
+    assert(p.toLowerCase.contains("__gx_bucket"),
+      s"vocab row_number window must be partitioned by the range bucket:\n$p")
+  }
+
   test("j2_agg_join_back: single shuffle (window), not agg+join double exchange") {
     val p = plan("j2_agg_join_back")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -49,6 +49,47 @@ class IndexOpsSpec extends AnyFunSuite with SparkSpec {
       s"offsets relation must broadcast:\n$plan")
   }
 
+  test("globalIndexBy == composite row_number baseline (mixed directions, ties on first key)") {
+    // frequency-style shape: heavy ties on the first key so the second
+    // (string, asc) genuinely decides — the vocab id-assignment contract
+    val df = Seq(("the", 3L), ("cat", 2L), ("sat", 2L), ("dog", 1L),
+      ("ran", 1L), ("ant", 2L), ("zzz", 3L)).toDF("term", "n")
+    val got = IndexOps.globalIndexBy(df, Seq($"n".desc, $"term".asc),
+      outName = "id", numBuckets = 3)
+      .select($"term", $"id").as[(String, Long)].collect().toMap
+    val want = df.select($"term", row_number().over(
+      Window.orderBy($"n".desc, $"term".asc)).cast("long").as("id"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got("the") == 1L && got("zzz") == 2L && got("ant") == 3L)
+  }
+
+  test("globalIndexBy data path never serializes through one task") {
+    val df = orders.select($"o_orderkey", $"o_custkey")
+    val plan = IndexOps.globalIndexBy(df,
+      Seq($"o_custkey".desc, $"o_orderkey".asc))
+      .queryExecution.executedPlan.toString
+    // same contract as globalIndex: the only SinglePartition exchange
+    // allowed is the offsets side (running sum over <= numBuckets counts);
+    // the data rides the frozen range buckets
+    assert("SinglePartition".r.findAllIn(plan).size <= 1,
+      s"composite global numbering must not serialize data through one task:\n$plan")
+    assert(plan.toLowerCase.contains("__gx_bucket"),
+      s"row_number window must be partitioned by the range bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"offsets relation must broadcast:\n$plan")
+  }
+
+  test("globalIndexBy degenerate shapes: numBuckets=1, buckets >> rows, empty") {
+    val tiny = Seq(5L -> "a", 3L -> "b", 3L -> "a").toDF("k", "s")
+    val order = Seq($"k".desc, $"s".asc)
+    for (b <- Seq(1, 1000))
+      assert(IndexOps.globalIndexBy(tiny, order, numBuckets = b)
+        .select($"k", $"s", $"idx").as[(Long, String, Long)].collect()
+        .sortBy(_._3).toSeq == Seq((5L, "a", 1L), (3L, "a", 2L), (3L, "b", 3L)))
+    assert(IndexOps.globalIndexBy(tiny.filter($"k" < 0), order).count() == 0L)
+  }
+
   test("degenerate shapes: numBuckets=1, buckets >> rows, empty input") {
     val tiny = Seq(5L, 3L, 9L).toDF("k")
     assert(IndexOps.globalIndex(tiny, "k", numBuckets = 1)

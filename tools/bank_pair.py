@@ -53,8 +53,25 @@ def main():
         die(f"bench arm has errors={compact.get('errors')} — not bankable")
     spark = finite(compact["value"], "bench value")
     warmup = finite(compact["warmup_sec"], "warmup_sec")
-    weather = compact.get("weather")
-    gusts = compact.get("gust_suspect", [])
+    # format discipline mirrors calm_hunt's exit-6 path (ADVICE r17): a
+    # pre-r17 log has no weather field at all, and 'unknown' means the warm
+    # pass was skipped — neither may bank a sample whose label would read
+    # as a weather statement
+    if "weather" not in compact:
+        die("compact line lacks 'weather' (pre-r17 log?) — not bankable")
+    weather = compact["weather"]
+    if not weather or weather == "unknown":
+        die(f"compact weather unusable ({weather!r}) — not bankable")
+    # gust_suspect absent (the minimal fit-guard rung drops it) is weaker
+    # than gusts==[]: warn and bar the HEADLINE — a gusted run could hide
+    # behind the missing field — but still bank the sample honestly
+    gusts = compact.get("gust_suspect")
+    gust_field_present = gusts is not None
+    if not gust_field_present:
+        print("bank_pair: warning: compact line lacks 'gust_suspect' "
+              "(minimal fit-guard line?) — sample banked, headline "
+              "ineligible", file=sys.stderr)
+        gusts = []
     if gusts:
         # the artifact's entry label is a floor; a gusted run must carry
         # the gust in its banked label (calm_hunt refuses calm-gusted
@@ -76,12 +93,21 @@ def main():
 
     entry = {"spark": round(spark, 2), "duckdb": round(duckdb_sec, 2),
              "ratio": ratio, "weather": weather, "code": code}
+    # storm-robust secondary estimator (round 18): bank the artifact's own
+    # gust-corrected composite alongside the raw sample so a storm pair
+    # carries its corrected numerator — the HEADLINE stays calm-only
+    corr = compact.get("value_gust_corrected")
+    if corr is not None:
+        corr = finite(corr, "value_gust_corrected")
+        if corr >= 0:
+            entry["spark_gust_corrected"] = round(corr, 2)
+            entry["ratio_gust_corrected"] = round(corr / duckdb_sec, 3)
     if note:
         entry["note"] = note
 
     paired = json.load(open("PAIRED.json"))
     paired["samples"].insert(0, entry)
-    if weather == "calm":
+    if weather == "calm" and gust_field_present:
         paired.update(round=int(rnd),
                       sf=full["sf"].rstrip("/").rsplit("/", 1)[-1],
                       spark_sec=round(spark, 2),
@@ -93,7 +119,8 @@ def main():
     print(f"banked: spark={spark:.2f} duckdb={duckdb_sec:.2f} "
           f"ratio={ratio} weather={weather} warmup={warmup:.1f} "
           f"stream_block={stream_block}"
-          + (" [headline updated]" if weather == "calm" else ""))
+          + (" [headline updated]"
+             if weather == "calm" and gust_field_present else ""))
 
 
 if __name__ == "__main__":
