@@ -5,9 +5,17 @@
 # DuckDB arm — a same-session paired measurement in the same weather
 # window. Logs to $LOG; artifacts per attempt under /tmp/gauge/.
 #
-# usage: tools/calm_hunt.sh <sfDir> <oracleDir> <maxAttempts> [calmBar]
+# usage: tools/calm_hunt.sh <sfDir> <oracleDir> <maxAttempts> [calmBar] [round] [code]
+#
+# With [round] and [code] given (round 18), a genuinely-calm pair is
+# banked INTO PAIRED.json on the spot via tools/bank_pair.py — the last
+# manual step of the pair protocol (the script used to log "banked" but
+# leave the artifacts for a by-hand bank_pair run; a calm window caught
+# while nobody is watching now lands in the file immediately). Without
+# them the old behavior stands: exit 0 with the artifacts in /tmp/gauge.
 set -u
 SF=$1; ORACLE=$2; MAX=$3; CALM_BAR=${4:-42.0}
+BANK_ROUND=${5:-}; BANK_CODE=${6:-}
 LOG=/tmp/gauge/hunt.log
 mkdir -p /tmp/gauge
 cd /root/repo
@@ -90,7 +98,24 @@ if w == 'calm' and d.get('gust_suspect'):
 print(w)" 2>>"$LOG")
     case "$WTHR" in
       calm)
-        echo "$(date +%H:%M:%S) calm pair banked (weather=calm warmup=$W) — stopping" >> "$LOG"
+        if [ -n "$BANK_ROUND" ] && [ -n "$BANK_CODE" ]; then
+          # bank_pair re-validates everything (finite floats, errors==0 on
+          # both arms, the calm label against weather+gust_suspect) and
+          # updates the headline only on this genuinely-calm path
+          if python3 tools/bank_pair.py "/tmp/gauge/bench_$i.log" \
+               "/tmp/gauge/duck_$i.json" "$BANK_ROUND" "$BANK_CODE" \
+               "scripted calm_hunt pair (attempt $i, gauge ${G}s, warmup ${W}s)" \
+               >> "$LOG" 2>&1; then
+            echo "$(date +%H:%M:%S) calm pair banked into PAIRED.json (warmup=$W) — stopping" >> "$LOG"
+            exit 0
+          else
+            # a bank refusal on a calm-labeled pair is a FORMAT problem —
+            # artifacts stay in /tmp/gauge for diagnosis, don't burn attempts
+            echo "$(date +%H:%M:%S) bank_pair refused the calm pair (see above) — aborting" >> "$LOG"
+            exit 7
+          fi
+        fi
+        echo "$(date +%H:%M:%S) calm pair caught (weather=calm warmup=$W) — bank via tools/bank_pair.py bench_$i.log duck_$i.json — stopping" >> "$LOG"
         exit 0;;
       moderate|heavy|calm-gusted*)
         echo "$(date +%H:%M:%S) bench weather=$WTHR (warmup=$W) — continuing hunt" >> "$LOG";;
