@@ -114,13 +114,16 @@ object IndexOps {
     * (Spark's RangePartitioner handles composite keys with mixed sort
     * directions natively; an approx-quantile literal sketch cannot), and
     * partition ids follow the sort order, so `spark_partition_id()` IS the
-    * bucket rank. The sampler draws per-execution, so the bucket column is
-    * materialized ONCE (`localCheckpoint`) before the counts branch and the
-    * numbering branch both read it — without the freeze the two executions
-    * could sample different boundaries and the exact-offset invariant
-    * breaks. (For the single numeric-key case [[globalIndex]] stays the
-    * zero-materialization path: its boundary LITERALS are computed once on
-    * the driver and are identical in every execution by construction.)
+    * bucket rank. Two freezes, each load-bearing: the INPUT is frozen first
+    * so the sampler's own execution of the child reads materialized blocks
+    * instead of re-running the upstream (and its count sizes the bucket
+    * fan-out to the data); the BUCKETED relation is frozen because the
+    * sampler draws per-execution — without that freeze the counts branch
+    * and the numbering branch could sample different boundaries and the
+    * exact-offset invariant breaks. (For the single numeric-key case
+    * [[globalIndex]] stays the zero-materialization path: its boundary
+    * LITERALS are computed once on the driver and are identical in every
+    * execution by construction.)
     *
     * As with [[globalIndex]], boundary placement only skews bucket SIZES:
     * per-bucket counts are exact and within-bucket numbering is a total
@@ -129,11 +132,26 @@ object IndexOps {
     * engine — same contract the oracle's `row_number` carries).
     */
   def globalIndexBy(df: DataFrame, order: Seq[Column],
-                    outName: String = "idx", numBuckets: Int = 64): DataFrame = {
+                    outName: String = "idx", numBuckets: Int = 64,
+                    rowsPerBucket: Long = 2000L): DataFrame = {
     require(order.nonEmpty, "order must have at least one sort expression")
     require(numBuckets >= 1, "numBuckets must be >= 1")
-    val bucketed = df
-      .repartitionByRange(numBuckets, order: _*)
+    require(rowsPerBucket >= 1, "rowsPerBucket must be >= 1")
+    // Freeze the INPUT once before range-bucketing (checkpoint + count in a
+    // single pass): repartitionByRange's boundary sampler is its own
+    // execution of the child plan, so an unfrozen input pays the full
+    // upstream twice — for Vocab.build that upstream is the corpus
+    // explode + term-count aggregate, the expensive half of the gate at any
+    // scale. The frozen row count also sizes the bucket fan-out
+    // scale-adaptively: ~rowsPerBucket rows per bucket up to the numBuckets
+    // cap, so a gate-scale vocab stops paying dozens of near-empty shuffle
+    // partitions (each a task launch + window sort) while a 10^8-row term
+    // universe keeps the full numBuckets-way spread.
+    val (frozen, n) = org.apache.spark.sql.GraftPlanShim.localCheckpointWithCount(df)
+    val buckets = math.max(1, math.min(numBuckets,
+      math.ceil(n.toDouble / rowsPerBucket).toInt))
+    val bucketed = frozen
+      .repartitionByRange(buckets, order: _*)
       // spark_partition_id() is deterministic WITHIN the frozen copy below;
       // it is only ever read post-checkpoint
       .withColumn("__gx_bucket", spark_partition_id())
