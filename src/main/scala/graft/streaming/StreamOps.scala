@@ -38,6 +38,33 @@ object StreamOps {
     */
   def streamShuffleParts: String = sys.env.getOrElse("GRAFT_STREAM_PARTS", "4")
 
+  /** Whole-stage codegen for the finite micro-batch REPLAYS these run
+    * helpers drive: OFF by default. The incremental planner re-plans every
+    * trigger and bakes per-batch literals (watermark timestamps, batch
+    * metadata) into the generated sources, so janino's source-keyed cache
+    * can never hit across triggers or runs — measured on the 14-gate
+    * stream block at sf0.1, ~190 fresh compiles per suite run land INSIDE
+    * the timed loop even with every batch plan already seen (steady-state
+    * ROUNDS=2, codegen_compiles_timed), and interpreted evaluation over
+    * the tiny per-trigger batches beats compile+run in every interleaved
+    * A/B pair (12.19→11.35, 14.60→8.70, 10.50→9.26 s). Scope: pinned only
+    * around `start()`/drain inside the run helpers (the stream snapshots
+    * session confs at start), so batch-side rollups and every non-stream
+    * gate keep codegen. A production stream with large per-trigger batches
+    * amortizes the compile and wants the engine default back:
+    * `SPARK_GRAFT_STREAM_WSCG=true`.
+    */
+  def streamWholeStageCodegen: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_WSCG", "false")
+
+  private def withStreamCodegen[T](spark: org.apache.spark.sql.SparkSession)
+                                  (body: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, streamWholeStageCodegen); body }
+    finally spark.conf.set(key, prev)
+  }
+
   /** Events schema of the LANDING drops: the landing is written from
     * `graft.Tables.events` (which normalizes whatever physical timestamp
     * the source parquet carries — see its doc), so `ts` here is always
@@ -433,9 +460,13 @@ object StreamOps {
     // extra idle-confirmation source round per gate; AvailableNow knows
     // its end. Same batches, same state transitions, same sink contents —
     // every gate's oracle hash pins that.
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString).start()
+    // codegen pinned per streamWholeStageCodegen for the start+drain window
+    // only (the stream snapshots session confs at start)
+    val q = withStreamCodegen(df.sparkSession) {
+      df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString).start()
+    }
     try {
       val t1 = System.nanoTime()
       q.awaitTermination()
@@ -473,11 +504,14 @@ object StreamOps {
     * off. StreamOpsSpec drives the restart/no-duplication contract.
     */
   def runToParquet(df: Dataset[_], path: String, checkpoint: String): Unit = {
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // same codegen pinning as runToMemory (confs snapshot at start)
+    val q = withStreamCodegen(df.sparkSession) {
+      df.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     q.stop()
   }
@@ -513,7 +547,9 @@ object StreamOps {
   def applyChangesStream(changes: DataFrame, snapshotPath: String,
                          checkpoint: String, keyCol: String, opCol: String,
                          outFiles: Int = 4): Unit = {
-    val q = changes.writeStream
+    // same codegen pinning as runToMemory (confs snapshot at start; the
+    // foreachBatch body plans under the stream's cloned session)
+    val q = withStreamCodegen(changes.sparkSession) { changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
@@ -548,6 +584,7 @@ object StreamOps {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    }
     q.awaitTermination()
     q.stop()
   }
