@@ -32,7 +32,11 @@ object PageRank {
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85, noDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // checkpoint + count FUSED into one pass per eager relation (the eager
+    // checkpoint already runs a counting action) — saves one block-scan job
+    // each for the edge, degree, and (general-path) node relations
+    val (e0, eCount) = org.apache.spark.sql.GraftPlanShim
+      .localCheckpointWithCount(edges.select(col("src"), col("dst")))
     // The edge relation is scanned once per iteration (as the probe side of
     // the broadcast join), so its partition count is a per-iteration task
     // count multiplier. Right-size it to ~250 k edges/task (narrow coalesce
@@ -40,20 +44,24 @@ object PageRank {
     // 32 task launches per scan per iteration; a 100 TB edge relation
     // exceeds the upstream partition count and keeps full parallelism.
     val eParts = math.max(1, math.min(e0.rdd.getNumPartitions,
-      math.ceil(e0.count() / 250000.0).toInt))
+      math.ceil(eCount / 250000.0).toInt))
     val e = e0.coalesce(eParts)
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("d"))
-      .localCheckpoint() // computed once, not per broadcast job per iteration
+    val (deg, degCount) = org.apache.spark.sql.GraftPlanShim
+      .localCheckpointWithCount( // computed once, not per broadcast job per iteration
+        e.groupBy("src").agg(count(lit(1)).cast("double").as("d")))
     // under noDangling every node has an out-edge, so deg's key set IS the
     // node set — the endpoint-union distinct (a second shuffle over the
     // edge relation, plus its checkpoint and count) exists only for the
-    // general path
-    val nodes =
-      if (noDangling) deg.select(col("src").as("node"))
-      else e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
-        .distinct().localCheckpoint()
-    val n = nodes.count().toDouble
+    // general path; the node count is deg's row count, already in hand
+    val (nodes, n) =
+      if (noDangling) (deg.select(col("src").as("node")), degCount.toDouble)
+      else {
+        val (nd, nc) = org.apache.spark.sql.GraftPlanShim.localCheckpointWithCount(
+          e.select(col("src").as("node"))
+            .unionByName(e.select(col("dst").as("node")))
+            .distinct())
+        (nd, nc.toDouble)
+      }
     // Rank state is O(nodes) — orders of magnitude under the edge relation —
     // but every state-side stage (the weights broadcast job, the final agg,
     // checkpoint block writes) would otherwise inherit the session's
