@@ -58,3 +58,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // claimed win.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// GC selector for A/B (SPARK_GRAFT_GC=UseParallelGC|UseG1GC|…): unset keeps
+// the JDK default (G1 on 17).
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+$g").toSeq
