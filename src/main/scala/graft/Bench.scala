@@ -186,6 +186,15 @@ object Bench {
       // the production posture for large state; A/B knob at gate scale.
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "false"))
+      // State-store backend for the NON-TWS stateful gates (the TWS gates
+      // pin RocksDB themselves — the API requires it): A/B knob, engine
+      // default (HDFS-backed in-memory map) kept when unset. Measured r19
+      // (VERDICT ask 3): RocksDB loses at gate-scale state (see
+      // OPTIMIZATION_r19.md); at 100 TB state sizes RocksDB is the standard
+      // posture — this stays a deployment-sized choice, not a constant.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_SS_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
       // Every checkpoint this session writes lives under Scratch.root (a
       // local tmpfs) — route WAL/commit/state-delta writes through the
       // java.nio manager instead of FileContext's ~42 ms-per-rename local

@@ -54,15 +54,42 @@ object StreamOps {
     * amortizes the compile and wants the engine default back:
     * `SPARK_GRAFT_STREAM_WSCG=true`.
     */
-  def streamWholeStageCodegen: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_WSCG", "false")
+  def streamWholeStageCodegen: Boolean = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_WSCG", "false")
+    // parse up front: a typo ('1', 'ture') must fail as a config error at
+    // helper entry, not as an opaque IllegalArgumentException at stream start
+    require(raw == "true" || raw == "false",
+      s"SPARK_GRAFT_STREAM_WSCG must be 'true' or 'false', got '$raw'")
+    raw.toBoolean
+  }
+
+  /** Expression-level codegen factory for the same scope (A/B knob only —
+    * engine default kept): whole-stage OFF still leaves UnsafeProjection/
+    * predicate/ordering codegen on the expression path, and the incremental
+    * planner bakes per-batch literals (watermark timestamps) into THOSE
+    * sources too — at sf0.1 steady state, all 198 janino compiles left
+    * inside the timed loop sit in the stream gates with whole-stage already
+    * pinned off, and NO_CODEGEN (the engine's own interpreted-fallback
+    * path, semantically identical) removes 154 of them. Measured r19,
+    * interleaved ROUNDS=3 on the 13-gate block: FALLBACK 8.17/8.98 s vs
+    * NO_CODEGEN 8.98/8.83 s — sign-inconsistent, the per-trigger expression
+    * compiles are off the critical path, so the default stays FALLBACK
+    * (interpreted projections are also the wrong scale posture).
+    */
+  private def streamFactoryMode: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_FACTORY", "FALLBACK")
 
   private def withStreamCodegen[T](spark: org.apache.spark.sql.SparkSession)
                                   (body: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
+    val fKey = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.get(key)
-    try { spark.conf.set(key, streamWholeStageCodegen); body }
-    finally spark.conf.set(key, prev)
+    val prevF = spark.conf.get(fKey, "FALLBACK")
+    try {
+      spark.conf.set(key, streamWholeStageCodegen.toString)
+      spark.conf.set(fKey, streamFactoryMode)
+      body
+    } finally { spark.conf.set(key, prev); spark.conf.set(fKey, prevF) }
   }
 
   /** Events schema of the LANDING drops: the landing is written from
