@@ -28,24 +28,45 @@ object PageRank {
 
   /** Edges (src, dst) → (node, rank) after `iterations` rounds.
     * `nodes` = every endpoint; initial rank 1/n.
+    *
+    * `symmetricHalf = true`: the input carries each undirected edge ONCE
+    * and the operator forms the symmetric closure `input ∪ reverse(input)`
+    * itself. Contract: the input must be disjoint from its own reverse
+    * (no self-loops, no pair present in both directions) — the closure is
+    * then an exact 2× union and degrees/contributions are identical to
+    * passing the pre-built union. The point is the eager edge
+    * materialization: the checkpoint freezes HALF the rows and the other
+    * half is derived per scan by a narrow column-swap projection over the
+    * same frozen blocks — at any scale that halves the block-store write
+    * and the resident edge copy (measured r19: the materialization is
+    * ~50% of the gate's steady cost at sf0.1; see OPTIMIZATION_r19.md).
     */
   def pageRank(edges: DataFrame, iterations: Int,
-               damping: Double = 0.85, noDangling: Boolean = false): DataFrame = {
+               damping: Double = 0.85, noDangling: Boolean = false,
+               symmetricHalf: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // checkpoint + count FUSED into one pass per eager relation (the eager
     // checkpoint already runs a counting action) — saves one block-scan job
     // each for the edge, degree, and (general-path) node relations
-    val (e0, eCount) = org.apache.spark.sql.GraftPlanShim
+    val (e0, halfCount) = org.apache.spark.sql.GraftPlanShim
       .localCheckpointWithCount(edges.select(col("src"), col("dst")))
+    val eCount = if (symmetricHalf) 2L * halfCount else halfCount
     // The edge relation is scanned once per iteration (as the probe side of
     // the broadcast join), so its partition count is a per-iteration task
     // count multiplier. Right-size it to ~250 k edges/task (narrow coalesce
     // over the checkpoint blocks — no rewrite): a small graph stops paying
     // 32 task launches per scan per iteration; a 100 TB edge relation
     // exceeds the upstream partition count and keeps full parallelism.
+    // Under symmetricHalf each frozen partition is scanned by TWO tasks
+    // (direct + swapped), so the target stays ~250 k rows per TASK.
     val eParts = math.max(1, math.min(e0.rdd.getNumPartitions,
-      math.ceil(eCount / 250000.0).toInt))
-    val e = e0.coalesce(eParts)
+      math.ceil(halfCount / 250000.0).toInt))
+    val eHalf = e0.coalesce(eParts)
+    val e =
+      if (symmetricHalf)
+        eHalf.unionByName(
+          eHalf.select(col("dst").as("src"), col("src").as("dst")))
+      else eHalf
     val (deg, degCount) = org.apache.spark.sql.GraftPlanShim
       .localCheckpointWithCount( // computed once, not per broadcast job per iteration
         e.groupBy("src").agg(count(lit(1)).cast("double").as("d")))

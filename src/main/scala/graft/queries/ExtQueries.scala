@@ -2495,9 +2495,13 @@ object ExtQueries {
           // UNION dedups the same disjoint sets to the same rows)
           val fwd = joined.select(col("o_custkey").as("src"),
             (col("l_suppkey") + off).as("dst")).distinct()
-          val edges = fwd.unionByName(
-            fwd.select(col("dst").as("src"), col("src").as("dst")))
-          graft.ext.PageRank.pageRank(edges, iterations = 5, noDangling = true)
+          // symmetricHalf: the operator forms fwd ∪ reverse(fwd) itself
+          // from the FROZEN half (src < off <= dst makes fwd disjoint from
+          // its reverse, the flag's contract) — the eager edge checkpoint
+          // materializes half the rows and the reversed half is a narrow
+          // column swap over the same blocks (r19; was ~50% of the gate)
+          graft.ext.PageRank.pageRank(fwd, iterations = 5, noDangling = true,
+              symmetricHalf = true)
             .select(col("node"), round(col("rank"), 6).as("rank"))
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),

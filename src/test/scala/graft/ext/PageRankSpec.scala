@@ -42,6 +42,29 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(general === fast) // exact ==: dm is 0.0, a float no-op
   }
 
+  test("symmetricHalf closure matches the pre-built symmetric union") {
+    // half-input: each undirected edge once, disjoint from its reverse
+    // (src ids < 10 <= dst ids — the gate's key-range shape)
+    val half = Seq((1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L), (1L, 13L))
+    val union = half ++ half.map(_.swap)
+    for (noDangling <- Seq(false, true)) {
+      val full = PageRank.pageRank(union.toDF("src", "dst"), 5,
+        noDangling = noDangling).as[(Long, Double)].collect().toMap
+      val viaHalf = PageRank.pageRank(half.toDF("src", "dst"), 5,
+        noDangling = noDangling, symmetricHalf = true)
+        .as[(Long, Double)].collect().toMap
+      assert(full.keySet === viaHalf.keySet)
+      // same edge set, same degrees, same formula; only aggregate
+      // combine ORDER can differ (partition layout) — bound it well below
+      // the gate's round-6 display grid
+      full.foreach { case (node, r) =>
+        assert(math.abs(r - viaHalf(node)) < 1e-12,
+          s"node $node: $r vs ${viaHalf(node)} (noDangling=$noDangling)")
+      }
+      assert(math.abs(viaHalf.values.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("oracle render executes the same formula (spot check vs DuckDB-less hand run)") {
     // the render is pinned by the driver's DuckDB hash gate; here just
     // assert it unrolls the requested depth and embeds the damping
